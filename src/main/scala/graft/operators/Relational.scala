@@ -1,0 +1,464 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Relational operator surface (SURVEY.md §2.2–§2.9) expressed over the
+  * driver testdata tables, one named query per operator family, each with a
+  * DuckDB-equivalent oracle SQL.
+  *
+  * Cross-engine determinism policy:
+  *  - SUM over doubles is order-dependent; both sides sum exact decimals
+  *    (`DECIMAL(38,6)`) and cast the exact result to double at the end, so
+  *    partial-aggregation order cannot change the bits (SURVEY §5.4).
+  *  - Averages/variances are derived from those exact sums with IEEE double
+  *    division, which is deterministic.
+  *  - Transcendental outputs (log1p/expm1) are rounded to 6 decimals on both
+  *    sides (different libm implementations differ in the last ulp).
+  *  - Every query has a total ORDER BY (unique key last) mirrored in both
+  *    engines, and ties in top-k are broken by key.
+  *
+  * Scale notes are per-query in the Scaladoc: small dims are broadcast,
+  * aggregations are partial-agg friendly (plain groupBy on the shuffle key),
+  * and window functions partition on high-cardinality keys.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double expression, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  private val D = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+  private def dsql(expr: String): String = D.format(expr)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01: TPC-H Q1-style pricing summary — scan, filter, hash aggregate
+    * (SURVEY A1). At scale: partial aggregation map-side on 6 groups, filter
+    * pushed to parquet (`l_shipdate` predicate appears in PushedFilters).
+    */
+  val q01PricingSummary: Q = (s, d) => {
+    val l = lineitem(s, d)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsql("l_quantity")} AS sum_qty,
+       |  ${dsql("l_extendedprice")} AS sum_base_price,
+       |  ${dsql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: join + aggregate + top-k (SURVEY T1, J3). orders⋈lineitem is a
+    * shuffle hash join on l_orderkey at scale; the final top-10 is a
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  val q02TopRevenue: Q = (s, d) => {
+    val l = lineitem(s, d); val o = orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+  val q02Sql: String =
+    s"""SELECT o_orderkey, o_orderpriority,
+       |  ${dsql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderkey, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q03: multi-way join with broadcast dims (SURVEY J1). nation/region are
+    * tiny — `broadcast()` makes every probe map-side; only the
+    * customer⋈orders join shuffles. At 100 TB the dims are still KBs.
+    */
+  val q03BroadcastJoin: Q = (s, d) => {
+    val c = customer(s, d); val o = orders(s, d)
+    val n = broadcast(nation(s, d)); val r = broadcast(region(s, d))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("total_price"), count(lit(1)).as("order_cnt"))
+      .orderBy("r_name", "n_name")
+  }
+  val q03Sql: String =
+    s"""SELECT r_name, n_name, ${dsql("o_totalprice")} AS total_price, COUNT(*) AS order_cnt
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** q04: left-semi join (SURVEY §2.3) — customers that have at least one
+    * urgent order. Semi joins never duplicate the left side and shuffle only
+    * the join key of the right side.
+    */
+  val q04SemiJoin: Q = (s, d) => {
+    val c = customer(s, d)
+    val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+  val q04Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q05: left-anti join (SURVEY J2 train/test split shape) — customers with
+    * no orders at all. */
+  val q05AntiJoin: Q = (s, d) => {
+    val c = customer(s, d); val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06: per-group min then global sum — the reference's `opt_time`
+    * Σ min(M, axis=1) (SURVEY A2). Two-level hash agg, both partial-final.
+    */
+  val q06RowMinSum: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy("l_orderkey").agg(min("l_extendedprice").as("min_price"))
+      .agg(dsum(col("min_price")).as("sum_min_price"), count(lit(1)).as("n_orders"))
+  }
+  val q06Sql: String =
+    s"""SELECT ${dsql("min_price")} AS sum_min_price, COUNT(*) AS n_orders
+       |FROM (SELECT l_orderkey, MIN(l_extendedprice) AS min_price
+       |      FROM lineitem GROUP BY l_orderkey)""".stripMargin
+
+  /** q07: conditional min — the reference's `get_min_observed` (SURVEY A3):
+    * min over only the "observed" subset, no 0→∞ sentinel needed.
+    */
+  val q07MinObserved: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(min(when(col("l_returnflag") =!= "R", col("l_extendedprice"))).as("min_kept"),
+           count(lit(1)).as("n_lines"))
+      .filter(col("min_kept").isNotNull)
+      .orderBy("l_orderkey")
+  }
+  val q07Sql: String =
+    """SELECT l_orderkey,
+      |  MIN(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END) AS min_kept,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey
+      |HAVING MIN(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice END) IS NOT NULL
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** q08: distinct-then-sum — the reference's hint-group-deduplicated
+    * `get_exec_time` (SURVEY A4): one value per (query,group) then Σ.
+    */
+  val q08DistinctSum: Q = (s, d) => {
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity")).distinct()
+      .agg(dsum(col("l_quantity")).as("dedup_qty_sum"), count(lit(1)).as("n_distinct"))
+  }
+  val q08Sql: String =
+    s"""SELECT ${dsql("l_quantity")} AS dedup_qty_sum, COUNT(*) AS n_distinct
+       |FROM (SELECT DISTINCT l_orderkey, l_quantity FROM lineitem)""".stripMargin
+
+  /** q09: exact percentiles with linear interpolation (SURVEY A5) — Spark
+    * `percentile` matches NumPy/DuckDB `quantile_cont`. Exact percentiles
+    * buffer per group; at scale groups are per-key (34 groups here), each
+    * buffer bounded by group row count — for workload metrics n≤6191.
+    */
+  val q09Percentiles: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+      .orderBy("l_returnflag")
+  }
+  val q09Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q10: distinct counts (SURVEY A6). Exact count-distinct expands to a
+    * two-stage agg; `approx_count_distinct` is the 100 TB path when ±2 % is
+    * acceptable (not used here — the oracle is exact).
+    */
+  val q10CountDistinct: Q = (s, d) => {
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+  val q10Sql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q11: arg-min per group (SURVEY A7) — which supplier has the lowest
+    * balance per nation. Implemented with a struct-min (single agg, no
+    * window, deterministic tie-break on the key) rather than `min_by`
+    * whose tie behavior is undefined.
+    */
+  val q11ArgMin: Q = (s, d) => {
+    supplier(s, d)
+      .groupBy("s_nationkey")
+      .agg(min(struct(col("s_acctbal"), col("s_suppkey"))).as("m"))
+      .select(col("s_nationkey"), col("m.s_suppkey").as("best_suppkey"),
+              col("m.s_acctbal").as("min_acctbal"))
+      .orderBy("s_nationkey")
+  }
+  val q11Sql: String =
+    """SELECT s_nationkey, s_suppkey AS best_suppkey, s_acctbal AS min_acctbal
+      |FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+      |             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+      |                                ORDER BY s_acctbal, s_suppkey) AS rn
+      |      FROM supplier) WHERE rn = 1
+      |ORDER BY s_nationkey""".stripMargin
+
+  /** q12: running cumulative sum (SURVEY A8) — daily revenue CDF over order
+    * dates. Window over a global ORDER BY: at scale, pre-aggregate per day
+    * first (done here — the window input is |days| rows, not |orders|).
+    */
+  val q12CumSum: Q = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("day_total"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_total",
+        sum(col("day_total").cast(DecimalType(38, 6))).over(w).cast(DoubleType))
+      .select(col("day").cast("string").as("day"), col("day_total"), col("running_total"))
+      .orderBy("day")
+  }
+  val q12Sql: String =
+    s"""SELECT CAST(day AS VARCHAR) AS day, day_total,
+       |  CAST(SUM(CAST(day_total AS DECIMAL(38,6))) OVER (ORDER BY day
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       |FROM (SELECT CAST(o_orderdate AS DATE) AS day, ${dsql("o_totalprice")} AS day_total
+       |      FROM orders GROUP BY CAST(o_orderdate AS DATE))
+       |ORDER BY day""".stripMargin
+
+  /** q13: moment statistics from exact sums (SURVEY A9) — mean and
+    * population variance derived from decimal Σx, Σx² so engine-side
+    * summation order can't shift bits; final arithmetic is IEEE-identical.
+    */
+  val q13GroupStats: Q = (s, d) => {
+    customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(dsum(col("c_acctbal")).as("sx"),
+           dsum(col("c_acctbal") * col("c_acctbal")).as("sxx"),
+           count(lit(1)).as("n"))
+      .select(col("c_mktsegment"),
+              (col("sx") / col("n")).as("mean_bal"),
+              (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("var_bal"),
+              col("n"))
+      .orderBy("c_mktsegment")
+  }
+  val q13Sql: String =
+    s"""SELECT c_mktsegment,
+       |  sx / n AS mean_bal,
+       |  sxx / n - (sx / n) * (sx / n) AS var_bal,
+       |  n
+       |FROM (SELECT c_mktsegment, ${dsql("c_acctbal")} AS sx,
+       |             ${dsql("c_acctbal * c_acctbal")} AS sxx, COUNT(*) AS n
+       |      FROM customer GROUP BY c_mktsegment)
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** q14: median over a group (SURVEY A10 median-of-array, expressed
+    * relationally: the array is the group). */
+  val q14GroupMedian: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+           count(lit(1)).as("n"))
+      .orderBy("l_suppkey")
+  }
+  val q14Sql: String =
+    """SELECT l_suppkey, quantile_cont(l_quantity, 0.5) AS median_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** q15: ranking window (SURVEY §2.9) — top-3 orders per customer by price,
+    * row_number with a total tie-break. Partition key is high-cardinality →
+    * parallel at scale; no global sort.
+    */
+  val q15WindowRank: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+  val q15Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** q16: scalar function battery (SURVEY F1–F6): log1p/expm1 latency
+    * transform, least-based timeout tolerance, improvement-ratio arithmetic.
+    * Transcendentals rounded to 6dp for cross-libm determinism.
+    */
+  val q16ScalarFuncs: Q = (s, d) => {
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(log1p(col("l_extendedprice")), 6).as("log_price"),
+        round(expm1(col("l_discount")), 6).as("exp_disc"),
+        least(col("l_quantity") * lit(1.0), col("l_extendedprice") * lit(15.0)).as("tolerance"),
+        greatest(lit(0.0), col("l_quantity") - lit(25.0)).as("over25"),
+        ((col("l_extendedprice") - col("l_quantity")) / col("l_quantity")).as("improve_ratio"),
+        (col("l_quantity") / lit(3600.0)).as("qty_hours"))
+      .orderBy("l_orderkey")
+  }
+  val q16Sql: String =
+    """SELECT l_orderkey,
+      |  ROUND(ln(1.0 + l_extendedprice), 6) AS log_price,
+      |  ROUND(exp(l_discount) - 1.0, 6) AS exp_disc,
+      |  LEAST(l_quantity * 1.0, l_extendedprice * 15.0) AS tolerance,
+      |  GREATEST(0.0, l_quantity - 25.0) AS over25,
+      |  (l_extendedprice - l_quantity) / l_quantity AS improve_ratio,
+      |  l_quantity / 3600.0 AS qty_hours
+      |FROM lineitem WHERE l_linenumber = 1
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** q17: set operations (SURVEY §2.6): union / intersect / except of
+    * customer-key sets from two segments plus urgent-order customers. */
+  val q17SetOps: Q = (s, d) => {
+    val c = customer(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val u = a.union(b).distinct().withColumn("op", lit("union"))
+    val i = a.intersect(b).withColumn("op", lit("intersect"))
+    val e = a.except(b).withColumn("op", lit("except"))
+    u.union(i).union(e).orderBy("op", "c_custkey")
+  }
+  val q17Sql: String =
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT c_custkey, 'union' AS op FROM (SELECT DISTINCT c_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+      |UNION ALL SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL SELECT c_custkey, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |ORDER BY op, c_custkey""".stripMargin
+
+  /** q18: linear interpolation onto a uniform grid (SURVEY F8) — the
+    * report-module trajectory resampler. Grid = sequence/explode; each grid
+    * point joined to its bracketing curve points via a window `lead`, then
+    * y0 + (y1-y0)·(x-x0)/(x1-x0). Range-join is a broadcast of the (small)
+    * curve; the grid side scales linearly.
+    */
+  val q18Interpolate: Q = (s, d) => {
+    // Curve: cumulative order count over totalprice percentile-ish steps —
+    // deterministic monotone x (price bucket) / y (cumulative count).
+    val curve = orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 10000.0).as("x"))
+      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+      .select(col("x").cast(DoubleType).as("x"), col("cnt"))
+    val w = Window.orderBy("x")
+    val seg = curve.select(
+      col("x").as("x0"), col("cnt").as("y0"),
+      lead(col("x"), 1).over(w).as("x1"), lead(col("cnt"), 1).over(w).as("y1"))
+      .filter(col("x1").isNotNull)
+    val grid = s.range(0, 200).select((col("id") / 4.0).as("g"))
+    grid.join(seg, col("g") >= col("x0") && col("g") < col("x1"))
+      .select(col("g"),
+              (col("y0") + (col("y1") - col("y0")) * (col("g") - col("x0")) / (col("x1") - col("x0"))).as("y"))
+      .orderBy("g")
+  }
+  val q18Sql: String =
+    """WITH curve AS (
+      |  SELECT CAST(FLOOR(o_totalprice / 10000.0) AS DOUBLE) AS x,
+      |         CAST(COUNT(*) AS DOUBLE) AS cnt
+      |  FROM orders GROUP BY 1),
+      |seg AS (
+      |  SELECT x AS x0, cnt AS y0,
+      |         LEAD(x) OVER (ORDER BY x) AS x1, LEAD(cnt) OVER (ORDER BY x) AS y1
+      |  FROM curve),
+      |grid AS (SELECT CAST(i AS DOUBLE) / 4.0 AS g FROM generate_series(0, 199) t(i))
+      |SELECT g, y0 + (y1 - y0) * (g - x0) / (x1 - x0) AS y
+      |FROM grid JOIN seg ON g >= x0 AND g < x1
+      |WHERE x1 IS NOT NULL
+      |ORDER BY g""".stripMargin
+
+  /** q19: event-time tumbling-window aggregation over the events table —
+    * batch shape of the streaming path (SURVEY §2.10); same groupBy works
+    * under `readStream` with a watermark.
+    */
+  val q19EventWindows: Q = (s, d) => {
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+  val q19Sql: String =
+    s"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       |  COUNT(*) AS n, ${dsql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_top_revenue" -> q02TopRevenue,
+    "q03_broadcast_join" -> q03BroadcastJoin,
+    "q04_semi_join" -> q04SemiJoin,
+    "q05_anti_join" -> q05AntiJoin,
+    "q06_row_min_sum" -> q06RowMinSum,
+    "q07_min_observed" -> q07MinObserved,
+    "q08_distinct_sum" -> q08DistinctSum,
+    "q09_percentiles" -> q09Percentiles,
+    "q10_count_distinct" -> q10CountDistinct,
+    "q11_argmin" -> q11ArgMin,
+    "q12_cumsum" -> q12CumSum,
+    "q13_group_stats" -> q13GroupStats,
+    "q14_group_median" -> q14GroupMedian,
+    "q15_window_rank" -> q15WindowRank,
+    "q16_scalar_funcs" -> q16ScalarFuncs,
+    "q17_set_ops" -> q17SetOps,
+    "q18_interpolate" -> q18Interpolate,
+    "q19_event_windows" -> q19EventWindows,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_top_revenue" -> q02Sql,
+    "q03_broadcast_join" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_anti_join" -> q05Sql,
+    "q06_row_min_sum" -> q06Sql,
+    "q07_min_observed" -> q07Sql,
+    "q08_distinct_sum" -> q08Sql,
+    "q09_percentiles" -> q09Sql,
+    "q10_count_distinct" -> q10Sql,
+    "q11_argmin" -> q11Sql,
+    "q12_cumsum" -> q12Sql,
+    "q13_group_stats" -> q13Sql,
+    "q14_group_median" -> q14Sql,
+    "q15_window_rank" -> q15Sql,
+    "q16_scalar_funcs" -> q16Sql,
+    "q17_set_ops" -> q17Sql,
+    "q18_interpolate" -> q18Sql,
+    "q19_event_windows" -> q19Sql,
+  )
+}

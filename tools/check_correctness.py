@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Dev-only pre-verification harness (mimics the driver's t2 gate).
+
+Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+parquet tables in <sfDir>, loads the Spark result from <outDir>/<name>/,
+and compares: row count, column names (sorted), and values.
+
+Usage: python3 tools/check_correctness.py <sfDir> <outDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def load_spark_result(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        return None
+    import pyarrow as pa
+    tabs = [pq.read_table(f) for f in files]
+    return pa.concat_tables(tabs)
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    return v
+
+def values_equal(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        # tolerate last-ulp drift only; flag anything bigger
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            duck = con.execute(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ours = load_spark_result(f"{out_dir}/{name}")
+        if ours is None:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        dcols, scols = sorted(duck.column_names), sorted(ours.column_names)
+        if dcols != scols:
+            print(f"FAIL {name}: columns differ duck={dcols} spark={scols}")
+            n_fail += 1
+            continue
+        if duck.num_rows != ours.num_rows:
+            print(f"FAIL {name}: rows duck={duck.num_rows} spark={ours.num_rows}")
+            n_fail += 1
+            continue
+        drows = duck.select(dcols).to_pylist()
+        srows = ours.select(dcols).to_pylist()
+        bad = None
+        for i, (dr, sr) in enumerate(zip(drows, srows)):
+            for c in dcols:
+                if not values_equal(dr[c], sr[c]):
+                    bad = (i, c, dr[c], sr[c])
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, dv, sv = bad
+            print(f"FAIL {name}: row {i} col {c}: duck={dv!r} spark={sv!r}")
+            n_fail += 1
+        else:
+            exact = all(norm(dr[c]) == norm(sr[c]) for dr, sr in zip(drows, srows) for c in dcols)
+            tag = "PASS" if exact else "PASS~(1e-9)"
+            print(f"{tag} {name}: {duck.num_rows} rows")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
