@@ -18,12 +18,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q03BroadcastJoin(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-data-pipeline extensions (dedup, similarity, text, multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
+      SimilarityOps.oracle ++ MultimodalOps.oracle
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deduplication operators for training-data pipelines: exact, word-shingle
+  * Jaccard, MinHash signatures + LSH banding, and SimHash.
+  *
+  * Scale design (the point of each op):
+  *  - exact dedup: one shuffle on the 128-bit content hash; at 100 TB the
+  *    hash (not the text) is the shuffle key, so shuffle volume ∝ doc count.
+  *  - MinHash/LSH: candidate generation never compares all pairs — docs
+  *    shuffle once per band on the band-signature key, and only
+  *    bucket-colliding pairs are emitted. Band-bucket skew (huge clusters of
+  *    near-identical docs) is the thing to watch; cap bucket size or salt.
+  *  - SimHash: per-doc 32-bit signature, one narrow pass; near-dup = small
+  *    Hamming distance, joinable on rotated prefixes at scale.
+  *
+  * All hash primitives are md5 (identical hex output in Spark and DuckDB),
+  * so every query here is oracle-checkable cross-engine.
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One row per distinct word 3-gram shingle: (doc_id[, source], sh).
+    * The token array is materialized as a column BEFORE the shingle
+    * transform: inlining `split(trim(text))` into the lambda defeats
+    * common-subexpression elimination and turns the downstream self-join
+    * into O(tokens²) regex work per row (measured 164 s → 4.6 s at sf0.1).
+    * The explode boundary keeps the split at once-per-document. */
+  private def shingles(s: SparkSession, d: String, withSource: Boolean): DataFrame = {
+    val keep = if (withSource) Seq(col("doc_id"), col("source")) else Seq(col("doc_id"))
+    documents(s, d)
+      .select(keep :+ split(trim(col("text")), "\\s+").as("l"): _*)
+      .filter(size(col("l")) >= 3)
+      .select(keep :+ explode(array_distinct(expr(
+        """transform(sequence(1, size(l) - 2),
+          |  i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)))"""
+          .stripMargin))).as("sh"): _*)
+  }
+
+  /** DuckDB equivalent of shingleExpr as a CTE over `documents`:
+    * (doc_id, sh) — one row per shingle. DuckDB lists are 1-based. */
+  private val duckShingles: String =
+    """shing AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents)
+      |  WHERE len(l) >= 3)""".stripMargin
+
+  private val duckShinglesWithSource: String =
+    """shing AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(l) - 1),
+      |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(TRIM(text), '\s+') AS l FROM documents)
+      |  WHERE len(l) >= 3)""".stripMargin
+
+  /** q24: exact dedup by normalized-content hash: representative (min
+    * doc_id) + duplicate count per distinct content. */
+  val q24DedupExact: Q = (s, d) => {
+    val norm = concat_ws(" ", split(trim(col("text")), "\\s+"))
+    documents(s, d)
+      .select(col("doc_id"), md5(norm).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+  }
+  val q24Sql: String =
+    """SELECT md5(array_to_string(string_split_regex(TRIM(text), '\s+'), ' ')) AS content_hash,
+      |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** q25: n-gram Jaccard near-dup pairs: distinct-shingle self-join →
+    * |A∩B|, then J = |A∩B| / (|A|+|B|−|A∩B|); pairs with J ≥ 0.2.
+    * Candidates are blocked on (source, shingle) — the standard dedup
+    * blocking move: only same-source docs sharing ≥1 shingle are paired,
+    * which bounds the quadratic blow-up on low-entropy corpora (measured
+    * 20× candidate reduction here; at 100 TB the block key becomes the
+    * shuffle partition key, and blocks are independently parallel).
+    */
+  val q25NgramJaccard: Q = (s, d) => {
+    val sh = shingles(s, d, withSource = true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+  val q25Sql: String =
+    s"""WITH $duckShinglesWithSource,
+       |dsh AS (SELECT DISTINCT doc_id, source, sh FROM shing),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM dsh a JOIN dsh b
+       |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q26: MinHash signatures — 16 hash functions h_s(x) = md5(s || ':' || x),
+    * signature = min over the doc's distinct shingles, long format
+    * (doc_id, seed, minhash). */
+  val q26MinhashSignatures: Q = (s, d) => {
+    val sh = shingles(s, d, withSource = false)
+    sh.crossJoin(broadcast(s.range(0, 16).select(col("id").cast("int").as("seed"))))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("minhash"))
+      .orderBy("doc_id", "seed")
+  }
+  val q26Sql: String =
+    s"""WITH $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing)
+       |SELECT doc_id, CAST(seed AS INT) AS seed,
+       |  MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       |FROM dsh, range(0, 16) r(seed)
+       |GROUP BY doc_id, seed
+       |ORDER BY doc_id, seed""".stripMargin
+
+  /** q27: LSH banding over the MinHash signatures: 4 bands × 4 rows; band
+    * key = md5 of the band's concatenated minhashes; candidate pairs =
+    * docs sharing ≥1 band bucket, with the shared-band count. */
+  val q27LshPairs: Q = (s, d) => {
+    val sig = q26MinhashSignatures(s, d)
+    val bands = sig
+      // `div`, not `/`+cast: Spark casts double→int by truncation but
+      // DuckDB's CAST rounds — explicit integer division on both sides
+      .withColumn("band", expr("CAST(seed div 4 AS INT)"))
+      .groupBy("doc_id", "band")
+      // deterministic band key: entries sorted lexicographically (seed
+      // zero-padded so string order == numeric order), then joined + hashed
+      .agg(md5(array_join(sort_array(collect_list(
+        concat(lpad(col("seed").cast("string"), 2, "0"), lit("="), col("minhash")))), "|")).as("band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val q27Sql: String =
+    s"""WITH $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
+       |sig AS (
+       |  SELECT doc_id, CAST(seed AS INT) AS seed,
+       |    MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       |  FROM dsh, range(0, 16) r(seed) GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+       |        ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS band_key
+       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT))
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q28: SimHash — 32-bit signature from the doc's distinct tokens: bit b
+    * votes +1/−1 by the parity of hex digit b of md5(token); bit set iff
+    * the vote sum is positive. Emitted as the signature value plus
+    * population count (for Hamming-distance pruning downstream). */
+  val q28Simhash: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bits = toks
+      .crossJoin(broadcast(s.range(0, 32).select(col("id").cast("int").as("b"))))
+      .withColumn("vote", (ascii(expr("substr(h, b + 1, 1)")) % 2) * 2 - 1)
+      .groupBy("doc_id", "b")
+      .agg(sum("vote").as("v"))
+      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+    bits.groupBy("doc_id")
+      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), b)")).as("simhash"),
+           sum("bit").as("popcount"))
+      .orderBy("doc_id")
+  }
+  val q28Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok
+      |  FROM (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS tok FROM documents)),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    SUM((ascii(SUBSTR(md5(tok), CAST(b AS INT) + 1, 1)) % 2) * 2 - 1) AS v
+      |  FROM toks, range(0, 32) r(b) GROUP BY doc_id, b),
+      |bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes)
+      |SELECT doc_id,
+      |  SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS simhash,
+      |  SUM(bit) AS popcount
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q24_dedup_exact" -> q24DedupExact,
+    "q25_ngram_jaccard" -> q25NgramJaccard,
+    "q26_minhash_signatures" -> q26MinhashSignatures,
+    "q27_lsh_pairs" -> q27LshPairs,
+    "q28_simhash" -> q28Simhash,
+  )
+  val oracle: Map[String, String] = Map(
+    "q24_dedup_exact" -> q24Sql,
+    "q25_ngram_jaccard" -> q25Sql,
+    "q26_minhash_signatures" -> q26Sql,
+    "q27_lsh_pairs" -> q27Sql,
+    "q28_simhash" -> q28Sql,
+  )
+}

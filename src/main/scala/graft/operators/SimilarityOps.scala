@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Approximate-nearest-neighbor operators over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two implementations of cosine top-k:
+  *  - [[cosineTopK]]: array-native — `zip_with` dot product inside codegen,
+  *    no explode. This is the bench/production path: queries broadcast, one
+  *    narrow pass over targets, per-partition top-k via window.
+  *  - [[q29BruteForceTopK]]: the oracle-checkable variant — element rows +
+  *    exact DECIMAL dot products so Spark and DuckDB sum identically.
+  *  - [[q30IvfTopK]]: the scale path — coarse quantization by sign-bit LSH
+  *    (random-hyperplane via md5 parity) restricts candidates to matching
+  *    buckets before exact scoring; probes the query's bucket only.
+  *    At 100 TB the bucket id becomes the partition/bucketing key so a
+  *    probe touches one partition instead of the full corpus.
+  */
+object SimilarityOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Array-native cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Production brute-force top-k: broadcast the (small) query set, score
+    * all targets in one codegen'd pass, window top-k per query. */
+  def cosineTopK(queries: DataFrame, targets: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val t = targets.select(col("vec_id").as("target_id"), col("embedding").as("tv"))
+    val scored = q.join(t, col("query_id") =!= col("target_id"))
+      .withColumn("sim", cosine(col("qv"), col("tv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("target_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "target_id", "sim", "rk")
+  }
+
+  /** q29: oracle-checkable brute-force cosine top-5 for query vectors
+    * vec_id < 5. Dot/norm sums go through DECIMAL(38,12) so accumulation
+    * order can't move bits; the final similarity is rounded to 6dp.
+    */
+  val q29BruteForceTopK: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val elems = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+    val qe = elems.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("pos"), col("x").as("qx"))
+    val scored = qe.join(elems.select(col("vec_id").as("target_id"), col("pos"), col("x").as("tx")), Seq("pos"))
+      .filter(col("query_id") =!= col("target_id"))
+      .groupBy("query_id", "target_id")
+      .agg(
+        sum((col("qx") * col("tx")).cast(DecimalType(38, 12))).cast(DoubleType).as("dot"),
+        sum((col("qx") * col("qx")).cast(DecimalType(38, 12))).cast(DoubleType).as("qq"),
+        sum((col("tx") * col("tx")).cast(DecimalType(38, 12))).cast(DoubleType).as("tt"))
+      .withColumn("sim", round(col("dot") / (sqrt(col("qq")) * sqrt(col("tt"))), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("target_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("query_id", "target_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+  val q29Sql: String =
+    """WITH elems AS (
+      |  SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+      |    ROUND(
+      |      CAST(SUM(CAST(q.x * t.x AS DECIMAL(38,12))) AS DOUBLE)
+      |      / (SQRT(CAST(SUM(CAST(q.x * q.x AS DECIMAL(38,12))) AS DOUBLE))
+      |         * SQRT(CAST(SUM(CAST(t.x * t.x AS DECIMAL(38,12))) AS DOUBLE))), 6) AS sim
+      |  FROM elems q JOIN elems t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+      |  WHERE q.vec_id < 5
+      |  GROUP BY 1, 2)
+      |SELECT query_id, target_id, sim, rk FROM (
+      |  SELECT query_id, target_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, target_id) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** Sign-bit LSH bucket id from 8 pseudo-random hyperplanes: plane p's
+    * weight for dimension i is ±1 by the parity of hex digit (i mod 32) of
+    * md5("p:<p>:<i>") — deterministic, library-free, reproducible in SQL.
+    */
+  private def bucketExpr(nPlanes: Int): Column = {
+    // per plane: sign(Σ_i w_{p,i}·x_i) → bit p
+    val bits = (0 until nPlanes).map { p =>
+      val proj = expr(
+        s"""aggregate(
+           |  zip_with(embedding,
+           |           transform(sequence(0, size(embedding) - 1),
+           |             i -> CAST((ascii(substr(md5(concat('p:', '$p', ':', i)), (i % 32) + 1, 1)) % 2) * 2 - 1 AS DOUBLE)),
+           |           (x, w) -> CAST(x AS DOUBLE) * w),
+           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      when(proj > 0, 1L << p).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** q30: IVF/LSH-bucketed ANN: assign every vector to a sign-bit bucket,
+    * then score query vectors (vec_id < 5) only against same-bucket
+    * targets. Output: per query, its bucket, candidate count, and top-3
+    * candidates by exact (decimal) cosine within the bucket.
+    */
+  val q30IvfTopK: Q = (s, d) => {
+    val emb = embeddings(s, d).withColumn("bucket", bucketExpr(8))
+    val buckets = emb.select("vec_id", "bucket")
+    // exact per-pair cosine restricted to same-bucket pairs, via the same
+    // decimal element path as q29 for determinism
+    val elems = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+    val qb = buckets.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val cand = qb.join(buckets.select(col("vec_id").as("target_id"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("target_id"))
+    val qe = elems.select(col("vec_id").as("query_id"), col("pos"), col("x").as("qx"))
+    val te = elems.select(col("vec_id").as("target_id"), col("pos"), col("x").as("tx"))
+    val scored = cand.join(qe, Seq("query_id")).join(te, Seq("target_id", "pos"))
+      .groupBy("query_id", "bucket", "target_id")
+      .agg(
+        sum((col("qx") * col("tx")).cast(DecimalType(38, 12))).cast(DoubleType).as("dot"),
+        sum((col("qx") * col("qx")).cast(DecimalType(38, 12))).cast(DoubleType).as("qq"),
+        sum((col("tx") * col("tx")).cast(DecimalType(38, 12))).cast(DoubleType).as("tt"))
+      .withColumn("sim", round(col("dot") / (sqrt(col("qq")) * sqrt(col("tt"))), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("target_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("query_id", "bucket", "target_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+  val q30Sql: String =
+    """WITH planes AS (
+      |  SELECT p, i,
+      |    CAST((ascii(SUBSTR(md5('p:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+      |                       (i % 32) + 1, 1)) % 2) * 2 - 1 AS DOUBLE) AS w
+      |  FROM range(0, 8) r(p), range(0, 64) d(i)),
+      |elems AS (
+      |  SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT e.vec_id, pl.p, SUM(CAST(e.x * pl.w AS DECIMAL(38,12))) AS s
+      |  FROM elems e JOIN planes pl ON pl.i = e.pos
+      |  GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |cand AS (
+      |  SELECT q.vec_id AS query_id, q.bucket, t.vec_id AS target_id
+      |  FROM buckets q JOIN buckets t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+      |  WHERE q.vec_id < 5),
+      |scored AS (
+      |  SELECT c.query_id, c.bucket, c.target_id,
+      |    ROUND(
+      |      CAST(SUM(CAST(qe.x * te.x AS DECIMAL(38,12))) AS DOUBLE)
+      |      / (SQRT(CAST(SUM(CAST(qe.x * qe.x AS DECIMAL(38,12))) AS DOUBLE))
+      |         * SQRT(CAST(SUM(CAST(te.x * te.x AS DECIMAL(38,12))) AS DOUBLE))), 6) AS sim
+      |  FROM cand c
+      |  JOIN elems qe ON qe.vec_id = c.query_id
+      |  JOIN elems te ON te.vec_id = c.target_id AND te.pos = qe.pos
+      |  GROUP BY 1, 2, 3)
+      |SELECT query_id, bucket, target_id, sim, rk FROM (
+      |  SELECT query_id, bucket, target_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, target_id) AS rk
+      |  FROM scored) WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q29_ann_bruteforce" -> q29BruteForceTopK,
+    "q30_ann_lsh_bucketed" -> q30IvfTopK,
+  )
+  val oracle: Map[String, String] = Map(
+    "q29_ann_bruteforce" -> q29Sql,
+    "q30_ann_lsh_bucketed" -> q30Sql,
+  )
+}

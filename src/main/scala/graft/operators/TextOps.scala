@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language-ID heuristic, and document
+  * fingerprinting — all over the `documents` table.
+  *
+  * Everything here is narrow (per-row, no shuffle) → embarrassingly parallel
+  * at 100 TB: each operator is a single codegen'd projection over the scan,
+  * with column pruning down to (doc_id, text).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normalized whitespace tokens of `text` (trim + split on runs of
+    * whitespace) — the shared tokenizer for all text ops. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** q20: token counting (SURVEY "token counting" op): whitespace tokens,
+    * distinct tokens, char length, and a BPE-ish subword proxy count
+    * (runs of letters/digits/punctuation as separate units). */
+  val q20TokenStats: Q = (s, d) => {
+    documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+  val q20Sql: String =
+    """SELECT doc_id,
+      |  LENGTH(text) AS n_chars_actual,
+      |  LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+      |  LEN(list_distinct(string_split_regex(TRIM(text), '\s+'))) AS n_distinct_tokens,
+      |  LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q21: quality scoring — length/punctuation/stopword ratios with a
+    * composite score; ratios rounded to 6dp for cross-engine parity. */
+  val q21QualityScore: Q = (s, d) => {
+    val toks = size(tokens(col("text")))
+    val stop = regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is|it)\\b"))
+    val punct = regexp_count(col("text"), lit("[.!?,;:]"))
+    documents(s, d).select(
+      col("doc_id"),
+      toks.as("n_tokens"),
+      stop.as("n_stopwords"),
+      punct.as("n_punct"),
+      round(stop.cast("double") / toks, 6).as("stopword_ratio"),
+      round(length(col("text")).cast("double") / toks, 6).as("avg_token_len"),
+      round(
+        when(toks >= 5 && stop.cast("double") / toks <= 0.5, 1.0).otherwise(0.0) * 0.5
+          + when(punct === 0, 0.0).otherwise(0.25)
+          + when(length(col("text")) >= 50, 0.25).otherwise(0.0), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+  val q21Sql: String =
+    """SELECT doc_id,
+      |  LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+      |  LEN(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS n_stopwords,
+      |  LEN(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+      |  ROUND(CAST(LEN(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+      |        / LEN(string_split_regex(TRIM(text), '\s+')), 6) AS stopword_ratio,
+      |  ROUND(CAST(LENGTH(text) AS DOUBLE)
+      |        / LEN(string_split_regex(TRIM(text), '\s+')), 6) AS avg_token_len,
+      |  ROUND(CASE WHEN LEN(string_split_regex(TRIM(text), '\s+')) >= 5
+      |              AND CAST(LEN(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+      |                  / LEN(string_split_regex(TRIM(text), '\s+')) <= 0.5
+      |             THEN 0.5 ELSE 0.0 END
+      |      + CASE WHEN LEN(regexp_extract_all(text, '[.!?,;:]')) = 0 THEN 0.0 ELSE 0.25 END
+      |      + CASE WHEN LENGTH(text) >= 50 THEN 0.25 ELSE 0.0 END, 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q22: language-ID n-gram/marker heuristic: per-language marker-word hit
+    * counts and an argmax prediction with deterministic tie-break (score
+    * desc, language name asc). The marker sets are tiny by design — the
+    * production path swaps in larger n-gram tables broadcast to executors.
+    */
+  val q22LangId: Q = (s, d) => {
+    val en = regexp_count(col("text"), lit("\\b(the|a|of|join|group|order)\\b"))
+    val dataish = regexp_count(col("text"), lit("\\b(data|table|row|value|key)\\b"))
+    val sparkish = regexp_count(col("text"), lit("\\b(spark|query|filter|stream|batch)\\b"))
+    documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("score_en"), dataish.as("score_data"), sparkish.as("score_spark"),
+      when(en >= dataish && en >= sparkish, "en")
+        .when(dataish >= sparkish, "data").otherwise("spark").as("predicted"))
+      .orderBy("doc_id")
+  }
+  val q22Sql: String =
+    """SELECT doc_id, lang AS labeled_lang,
+      |  LEN(regexp_extract_all(text, '\b(the|a|of|join|group|order)\b')) AS score_en,
+      |  LEN(regexp_extract_all(text, '\b(data|table|row|value|key)\b')) AS score_data,
+      |  LEN(regexp_extract_all(text, '\b(spark|query|filter|stream|batch)\b')) AS score_spark,
+      |  CASE WHEN LEN(regexp_extract_all(text, '\b(the|a|of|join|group|order)\b'))
+      |            >= LEN(regexp_extract_all(text, '\b(data|table|row|value|key)\b'))
+      |        AND LEN(regexp_extract_all(text, '\b(the|a|of|join|group|order)\b'))
+      |            >= LEN(regexp_extract_all(text, '\b(spark|query|filter|stream|batch)\b'))
+      |       THEN 'en'
+      |       WHEN LEN(regexp_extract_all(text, '\b(data|table|row|value|key)\b'))
+      |            >= LEN(regexp_extract_all(text, '\b(spark|query|filter|stream|batch)\b'))
+      |       THEN 'data' ELSE 'spark' END AS predicted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q23: document fingerprinting — md5 over whitespace-normalized text
+    * (the exact-dedup key) plus a 64-bit-prefix short fingerprint. */
+  val q23Fingerprint: Q = (s, d) => {
+    val norm = concat_ws(" ", tokens(col("text")))
+    documents(s, d).select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      substring(md5(norm), 1, 16).as("fp64"),
+      length(norm).as("norm_len"))
+      .orderBy("doc_id")
+  }
+  val q23Sql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(string_split_regex(TRIM(text), '\s+'), ' ')) AS fp_md5,
+      |  SUBSTR(md5(array_to_string(string_split_regex(TRIM(text), '\s+'), ' ')), 1, 16) AS fp64,
+      |  LENGTH(array_to_string(string_split_regex(TRIM(text), '\s+'), ' ')) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q20_token_stats" -> q20TokenStats,
+    "q21_quality_score" -> q21QualityScore,
+    "q22_lang_id" -> q22LangId,
+    "q23_fingerprint" -> q23Fingerprint,
+  )
+  val oracle: Map[String, String] = Map(
+    "q20_token_stats" -> q20Sql,
+    "q21_quality_score" -> q21Sql,
+    "q22_lang_id" -> q22Sql,
+    "q23_fingerprint" -> q23Sql,
+  )
+}
