@@ -34,12 +34,22 @@ final class CensoredALS(rank: Int, iters: Int, lambda: Double, seed: Long)
 
   override def complete(x: DenseMatrix[Double], mask: DenseMatrix[Double],
                         cutoffs: DenseMatrix[Double]): DenseMatrix[Double] = {
-    val n = x.rows; val m = x.cols
     val rng = new scala.util.Random(seed)
     // uniform [0,1) init, matching np.random.rand's distribution (bit-level
     // RNG parity with NumPy MT19937 is an explicit non-goal, SURVEY §5.4)
-    var a = DenseMatrix.fill(n, rank)(rng.nextDouble())
-    var b = DenseMatrix.fill(m, rank)(rng.nextDouble())
+    val a0 = DenseMatrix.fill(x.rows, rank)(rng.nextDouble())
+    val b0 = DenseMatrix.fill(x.cols, rank)(rng.nextDouble())
+    completeFrom(x, mask, cutoffs, a0, b0)
+  }
+
+  /** Completion from explicit initial factors (shared with the distributed
+    * variant for equivalence testing). */
+  def completeFrom(x: DenseMatrix[Double], mask: DenseMatrix[Double],
+                   cutoffs: DenseMatrix[Double],
+                   a0: DenseMatrix[Double], b0: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val n = x.rows; val m = x.cols
+    var a = a0.copy
+    var b = b0.copy
     val oneMinusMask = mask.map(v => 1.0 - v)
     val eye = DenseMatrix.eye[Double](rank) * lambda
 

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events schema
+  * (event_id, ts, user_id, event_type, value, props) — the streaming ingest
+  * path for the engine (SURVEY §2.10 names this a stretch beyond reference
+  * parity; the batch shapes are q19 and friends).
+  *
+  * All transforms are source-agnostic DataFrame→DataFrame functions: bind
+  * them to `spark.readStream` (kafka/file/rate) in production or to a
+  * MemoryStream in tests, and the same code runs batch when handed a static
+  * DataFrame (tested both ways in EventStreamsSpec).
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded by
+  * (windows in flight × key cardinality); dedup state is bounded by the
+  * watermark horizon; the sessionizer uses per-key timeout-driven state
+  * eviction rather than unbounded buffers.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark: count +
+    * sum(value) per (window, event_type). Append-mode capable: windows
+    * close once the watermark passes. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming counterpart of q24 (late duplicates beyond the horizon
+    * are dropped by definition of the watermark contract). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
+  final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
+                                 startMs: Long, endMs: Long, closed: Boolean)
+  private final case class SessionState(nEvents: Long, totalValue: Double,
+                                        startMs: Long, endMs: Long)
+
+  /** Per-user session aggregation with a 30-minute inactivity gap, via
+    * `flatMapGroupsWithState` (the custom-state path, SURVEY §2.10 /
+    * builder prompt). Emits a closed session when the gap elapses. */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts").cast("long").as("tsSec"), col("value"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.nEvents, s.totalValue, s.startMs, s.endMs, closed = true))
+          } else {
+            val sorted = rows.toVector.sortBy(_._2)
+            var st = state.getOption.getOrElse(SessionState(0, 0.0, sorted.head._2 * 1000, sorted.head._2 * 1000))
+            val out = Vector.newBuilder[SessionUpdate]
+            sorted.foreach { case (_, tsSec, v) =>
+              val tsMs = tsSec * 1000
+              if (st.nEvents > 0 && tsMs - st.endMs > 30 * 60 * 1000) {
+                out += SessionUpdate(userId, st.nEvents, st.totalValue, st.startMs, st.endMs, closed = true)
+                st = SessionState(0, 0.0, tsMs, tsMs)
+              }
+              st = SessionState(st.nEvents + 1, st.totalValue + v, st.startMs, tsMs)
+            }
+            state.update(st)
+            state.setTimeoutDuration("30 minutes")
+            out += SessionUpdate(userId, st.nEvents, st.totalValue, st.startMs, st.endMs, closed = false)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+}

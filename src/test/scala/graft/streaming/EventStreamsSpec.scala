@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+class EventStreamsSpec extends AnyFunSuite with SharedSpark {
+
+  private def t(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyTypeCounts: streaming windows via MemoryStream match batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val data = Seq(
+      Ev(1, t(0), 1, "click", 1.0), Ev(2, t(10), 1, "click", 2.0),
+      Ev(3, t(65), 2, "view", 5.0), Ev(4, t(70), 2, "click", 3.0),
+      Ev(5, t(200), 3, "view", 7.0)) // advances watermark past the first windows
+
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.hourlyTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("hourly")
+      .select("window_start", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val batch = EventStreams.hourlyTypeCounts(data.toDF()).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // append mode only emits windows the watermark has closed
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streamed $streamed not in batch $batch")
+    // the two hour-0 aggregates must have closed
+    assert(streamed.exists(_._2 == "click"))
+  }
+
+  test("dedupEvents: duplicates across micro-batches are dropped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    stream.addData(Ev(1, t(0), 1, "a", 1.0), Ev(2, t(1), 1, "b", 1.0))
+    q.processAllAvailable()
+    stream.addData(Ev(1, t(0), 1, "a", 1.0), Ev(3, t(2), 1, "c", 1.0)) // 1 is a dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = sp.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("sessionize: 30-minute gap splits sessions (batch execution)") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(
+      Ev(1, t(0), 7, "a", 1.0), Ev(2, t(10), 7, "a", 2.0),  // session 1
+      Ev(3, t(60), 7, "a", 3.0),                            // gap 50min → session 2
+      Ev(4, t(5), 8, "b", 4.0))                             // user 8, one session
+    val out = EventStreams.sessionize(sp, data.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(5)))
+    // user 7: one closed session (2 events, 3.0) + one open (1 event, 3.0)
+    assert(out.contains((7L, 2L, 3.0, true)), out.mkString(", "))
+    assert(out.contains((7L, 1L, 3.0, false)))
+    assert(out.contains((8L, 1L, 4.0, false)))
+  }
+}
