@@ -1,5 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Measurement notes:
+  *  - results go to the `noop` sink, not `count()`: count() lets Spark
+  *    collapse the plan to a row count (parquet count pushdown) and skip
+  *    the projections entirely — noop forces every column to materialize.
+  *  - one warmup pass first (JVM/codegen/broadcast warm), then the
+  *    measured pass; reported numbers are steady-state.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +20,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // SPARK_GRAFT_QUERIES=q01_...,q02_... restricts the set (debug aid);
+    // SPARK_GRAFT_WARMUP=0 skips the warmup pass
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      names.foreach { n =>
+        ()
+        runOnce(n, SparkEntry.queries(n))
+      }
+    val results = names.map { n =>
+      val t = runOnce(n, SparkEntry.queries(n))
+      System.err.println(f"[bench] $n: $t%.2f s")
+      n -> t
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -33,6 +33,11 @@ object DedupOps {
   private def shingles(s: SparkSession, d: String, withSource: Boolean): DataFrame = {
     val keep = if (withSource) Seq(col("doc_id"), col("source")) else Seq(col("doc_id"))
     documents(s, d)
+      // a small corpus arrives as ONE parquet split; without this the whole
+      // explode→hash pipeline (and any map-side partial agg downstream)
+      // runs on a single core. At 100 TB the scan has thousands of splits
+      // and this is a cheap doc_id-hash shuffle of (id, text) pairs.
+      .repartition(col("doc_id"))
       .select(keep :+ split(trim(col("text")), "\\s+").as("l"): _*)
       .filter(size(col("l")) >= 3)
       .select(keep :+ explode(array_distinct(expr(
@@ -178,6 +183,7 @@ object DedupOps {
     * population count (for Hamming-distance pruning downstream). */
   val q28Simhash: Q = (s, d) => {
     val toks = documents(s, d)
+      .repartition(col("doc_id")) // single-split input → parallelize (see shingles)
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bits = toks
