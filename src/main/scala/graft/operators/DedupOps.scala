@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.functions.HashKernels
 
 /** Deduplication operators for training-data pipelines: exact, word-shingle
   * Jaccard, MinHash signatures + LSH banding, and SimHash.
@@ -24,26 +25,37 @@ object DedupOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** One row per distinct word 3-gram shingle: (doc_id[, source], sh).
-    * The token array is materialized as a column BEFORE the shingle
-    * transform: inlining `split(trim(text))` into the lambda defeats
-    * common-subexpression elimination and turns the downstream self-join
-    * into O(tokens²) regex work per row (measured 164 s → 4.6 s at sf0.1).
-    * The explode boundary keeps the split at once-per-document. */
-  private def shingles(s: SparkSession, d: String, withSource: Boolean): DataFrame = {
+  /** Per-document distinct word-3-gram shingle ARRAY: (doc_id[, source],
+    * shs). Array-valued (no explode): MinHash/SimHash/LSH signatures are
+    * per-document functions of this array, so they stay narrow — one
+    * codegen'd pass over the scan, zero shuffle — instead of exploding to
+    * |shingles|×|seeds| rows and shuffling them back together (the round-1
+    * shape; rewriting it this way took the LSH query from 616 s to seconds
+    * at sf0.1). The token array is materialized as a column BEFORE the
+    * shingle transform: inlining `split(trim(text))` into the lambda
+    * defeats common-subexpression elimination (measured 164 s → 4.6 s).
+    */
+  private def docShingles(s: SparkSession, d: String, withSource: Boolean): DataFrame = {
     val keep = if (withSource) Seq(col("doc_id"), col("source")) else Seq(col("doc_id"))
+    val nPar = s.sparkContext.defaultParallelism
     documents(s, d)
       // a small corpus arrives as ONE parquet split; without this the whole
-      // explode→hash pipeline (and any map-side partial agg downstream)
-      // runs on a single core. At 100 TB the scan has thousands of splits
-      // and this is a cheap doc_id-hash shuffle of (id, text) pairs.
-      .repartition(col("doc_id"))
+      // hashing pipeline runs on a single core. At 100 TB the scan has
+      // thousands of splits and this is a cheap doc_id-hash shuffle of
+      // (id, text) pairs. The EXPLICIT partition count matters twice over:
+      // AQE coalesces a bare repartition(col) of a few-MB corpus back to one
+      // partition (measured: the entire signature pipeline on 1 core), but
+      // preserves a user-specified count.
+      .repartition(nPar, col("doc_id"))
       .select(keep :+ split(trim(col("text")), "\\s+").as("l"): _*)
       .filter(size(col("l")) >= 3)
-      .select(keep :+ explode(array_distinct(expr(
-        """transform(sequence(1, size(l) - 2),
-          |  i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)))"""
-          .stripMargin))).as("sh"): _*)
+      .select(keep :+ HashKernels.shingles3(col("l")).as("shs"): _*)
+  }
+
+  /** Exploded view (doc_id[, source], sh) for the shingle self-join (q25). */
+  private def shingles(s: SparkSession, d: String, withSource: Boolean): DataFrame = {
+    val keep = if (withSource) Seq(col("doc_id"), col("source")) else Seq(col("doc_id"))
+    docShingles(s, d, withSource).select(keep :+ explode(col("shs")).as("sh"): _*)
   }
 
   /** DuckDB equivalent of shingleExpr as a CTE over `documents`:
@@ -122,12 +134,13 @@ object DedupOps {
 
   /** q26: MinHash signatures — 16 hash functions h_s(x) = md5(s || ':' || x),
     * signature = min over the doc's distinct shingles, long format
-    * (doc_id, seed, minhash). */
+    * (doc_id, seed, minhash). One narrow pass: the signature is an array
+    * function of the per-doc shingle array (no seed crossJoin, no shuffle —
+    * the only exchange is the output sort). */
   val q26MinhashSignatures: Q = (s, d) => {
-    val sh = shingles(s, d, withSource = false)
-    sh.crossJoin(broadcast(s.range(0, 16).select(col("id").cast("int").as("seed"))))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("minhash"))
+    docShingles(s, d, withSource = false)
+      .select(col("doc_id"),
+        posexplode(HashKernels.minhash(16)(col("shs"))).as(Seq("seed", "minhash")))
       .orderBy("doc_id", "seed")
   }
   val q26Sql: String =
@@ -141,18 +154,26 @@ object DedupOps {
 
   /** q27: LSH banding over the MinHash signatures: 4 bands × 4 rows; band
     * key = md5 of the band's concatenated minhashes; candidate pairs =
-    * docs sharing ≥1 band bucket, with the shared-band count. */
+    * docs sharing ≥1 band bucket, with the shared-band count.
+    *
+    * The band keys are computed per document from the signature array (one
+    * narrow pass, 4 rows out per doc) — the ONLY shuffle is the equi-join
+    * on (band, band_key), which is exactly the LSH contract: shuffle volume
+    * ∝ docs×bands, never ∝ pairs. Band-bucket skew (a huge cluster of
+    * near-identical docs) is the thing to watch at 100 TB — AQE skew-join
+    * handles moderate cases; degenerate ones get a bucket-size cap upstream.
+    */
   val q27LshPairs: Q = (s, d) => {
-    val sig = q26MinhashSignatures(s, d)
-    val bands = sig
-      // `div`, not `/`+cast: Spark casts double→int by truncation but
-      // DuckDB's CAST rounds — explicit integer division on both sides
-      .withColumn("band", expr("CAST(seed div 4 AS INT)"))
-      .groupBy("doc_id", "band")
-      // deterministic band key: entries sorted lexicographically (seed
-      // zero-padded so string order == numeric order), then joined + hashed
-      .agg(md5(array_join(sort_array(collect_list(
-        concat(lpad(col("seed").cast("string"), 2, "0"), lit("="), col("minhash")))), "|")).as("band_key"))
+    val nPar = s.sparkContext.defaultParallelism
+    val bands = docShingles(s, d, withSource = false)
+      .select(col("doc_id"),
+        posexplode(HashKernels.bandKeys(nBands = 4, rowsPerBand = 4)(
+          HashKernels.minhash(16)(col("shs")))).as(Seq("band", "band_key")))
+      // repartition on the join key: both self-join sides then share ONE
+      // exchange (ReusedExchange), so the md5-heavy signature pipeline
+      // runs once, not twice. HashPartitioning(band_key) satisfies the
+      // join's ClusteredDistribution(band, band_key) (subset rule).
+      .repartition(nPar, col("band_key"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
@@ -182,19 +203,15 @@ object DedupOps {
     * the vote sum is positive. Emitted as the signature value plus
     * population count (for Hamming-distance pruning downstream). */
   val q28Simhash: Q = (s, d) => {
-    val toks = documents(s, d)
-      .repartition(col("doc_id")) // single-split input → parallelize (see shingles)
-      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bits = toks
-      .crossJoin(broadcast(s.range(0, 32).select(col("id").cast("int").as("b"))))
-      .withColumn("vote", (ascii(expr("substr(h, b + 1, 1)")) % 2) * 2 - 1)
-      .groupBy("doc_id", "b")
-      .agg(sum("vote").as("v"))
-      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
-    bits.groupBy("doc_id")
-      .agg(sum(col("bit") * expr("shiftleft(CAST(1 AS BIGINT), b)")).as("simhash"),
-           sum("bit").as("popcount"))
+    // One narrow pass: md5 once per distinct token, 32 vote counters, all
+    // in the compiled kernel. Zero shuffle (vs round-1's 32-way row
+    // explosion + two groupBy shuffles) — signatures are pure map work.
+    val nPar = s.sparkContext.defaultParallelism
+    documents(s, d)
+      .repartition(nPar, col("doc_id")) // single-split input → parallelize (see docShingles)
+      .select(col("doc_id"),
+        HashKernels.simhash32(TextOps.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh._1").as("simhash"), col("sh._2").as("popcount"))
       .orderBy("doc_id")
   }
   val q28Sql: String =
@@ -207,8 +224,8 @@ object DedupOps {
       |  FROM toks, range(0, 32) r(b) GROUP BY doc_id, b),
       |bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes)
       |SELECT doc_id,
-      |  SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS simhash,
-      |  SUM(bit) AS popcount
+      |  CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT) AS simhash,
+      |  CAST(SUM(bit) AS BIGINT) AS popcount
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

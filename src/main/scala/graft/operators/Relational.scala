@@ -177,18 +177,22 @@ object Relational {
        |FROM (SELECT DISTINCT l_orderkey, l_quantity FROM lineitem)""".stripMargin
 
   /** q09: exact percentiles with linear interpolation (SURVEY A5) — Spark
-    * `percentile` matches NumPy/DuckDB `quantile_cont`. Exact percentiles
-    * buffer per group; at scale groups are per-key (34 groups here), each
-    * buffer bounded by group row count — for workload metrics n≤6191.
+    * `percentile` matches NumPy/DuckDB `quantile_cont`. ONE array-argument
+    * call, not four scalar calls: each `percentile` agg keeps its own
+    * OpenHashMap buffer of the whole group, so four of them buffer (and
+    * sort) the data 4× (measured 38.8 s → ~10 s at sf0.1). Exact
+    * percentiles buffer per group; the 100 TB path for big groups is
+    * `approx_percentile` (mergeable sketch) — not used here because the
+    * oracle is exact, matching the reference's np.percentile (SURVEY A5).
     */
   val q09Percentiles: Q = (s, d) => {
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.95), lit(0.99))).as("ps"))
+      .select(col("l_returnflag"),
+        col("ps")(0).as("p50"), col("ps")(1).as("p90"),
+        col("ps")(2).as("p95"), col("ps")(3).as("p99"))
       .orderBy("l_returnflag")
   }
   val q09Sql: String =

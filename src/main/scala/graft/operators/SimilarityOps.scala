@@ -93,15 +93,19 @@ object SimilarityOps {
     * md5("p:<p>:<i>") — deterministic, library-free, reproducible in SQL.
     */
   private def bucketExpr(nPlanes: Int): Column = {
-    // per plane: sign(Σ_i w_{p,i}·x_i) → bit p
+    // per plane: sign(Σ_i w_{p,i}·x_i) → bit p. The projection accumulates
+    // DECIMAL(38,12)-cast products (not doubles): decimal addition is exact
+    // and order-independent, so the sign of a near-zero projection can't
+    // differ from the oracle's SUM(CAST(x*w AS DECIMAL)) by summation order.
     val bits = (0 until nPlanes).map { p =>
       val proj = expr(
         s"""aggregate(
            |  zip_with(embedding,
            |           transform(sequence(0, size(embedding) - 1),
            |             i -> CAST((ascii(substr(md5(concat('p:', '$p', ':', i)), (i % 32) + 1, 1)) % 2) * 2 - 1 AS DOUBLE)),
-           |           (x, w) -> CAST(x AS DOUBLE) * w),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+           |           (x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(38, 12))),
+           |  CAST(0 AS DECIMAL(38, 12)),
+           |  (acc, v) -> CAST(acc + v AS DECIMAL(38, 12)))""".stripMargin)
       when(proj > 0, 1L << p).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -153,7 +157,7 @@ object SimilarityOps {
       |  GROUP BY 1, 2),
       |buckets AS (
       |  SELECT vec_id,
-      |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+      |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM proj GROUP BY vec_id),
       |cand AS (
       |  SELECT q.vec_id AS query_id, q.bucket, t.vec_id AS target_id
