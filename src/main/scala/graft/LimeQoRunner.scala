@@ -11,8 +11,12 @@ import graft.strategy._
   *   graft.LimeQoRunner <strategy> <matrix.csv> <out.json> [--mask m.npy]
   *                      [--batch 8] [--seed 42] [--rank 5] [--alpha 1]
   *                      [--beta 15] [--lambda 0.2] [--max-rounds N]
+  *                      [--plans "glob"]
   *
-  * strategies: oracle | qo_advisor | random | greedy | limeqo
+  * strategies: oracle | qo_advisor | random | greedy | limeqo | limeqo_plus
+  * (limeqo_plus needs --plans, a glob of plan-file JSONs — the unzipped
+  * `dataset/<ds>.zip` layout; batch defaults to 32 there,
+  * `run_experiment.py:61-63`.)
   * Writes the per-round JSON trace (reference artifact format, S4) to
   * <out.json> after every round.
   */
@@ -48,6 +52,19 @@ object LimeQoRunner {
       case "greedy" => new GreedyStrategy(batch, seed)
       case "limeqo" => new LimeQOStrategy(rank, lambda, alpha, beta, batch,
         seed = seed, maxRounds = maxRounds)
+      case "limeqo_plus" =>
+        val glob = opts.getOrElse("plans",
+          { System.err.println("limeqo_plus requires --plans <glob>"); sys.exit(2); "" })
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .getOrCreate()
+        val plans = graft.plans.PlanFeaturizer.loadPlans(spark, glob)
+        val fz = graft.plans.PlanFeaturizer.fit(plans)
+        val rowOf = w.queryIds.zipWithIndex.toMap
+        new LimeQOPlusStrategy(plans, fz, rowOf, rank, alpha, beta,
+          newObserveSize = opts.getOrElse("batch", "32").toInt,
+          seed = seed, maxRounds = maxRounds)
       case other =>
         System.err.println(s"unknown strategy: $other"); sys.exit(2); null
     }
