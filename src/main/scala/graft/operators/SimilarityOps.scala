@@ -34,16 +34,54 @@ object SimilarityOps {
   }
 
   /** Production brute-force top-k: broadcast the (small) query set, score
-    * all targets in one codegen'd pass, window top-k per query. */
+    * all targets in one codegen'd pass (the native [[graft.functions.CosineSimilarity]]
+    * expression — fused dot+norms, whole-stage codegen), window top-k per
+    * query. */
   def cosineTopK(queries: DataFrame, targets: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
     val t = targets.select(col("vec_id").as("target_id"), col("embedding").as("tv"))
     val scored = q.join(t, col("query_id") =!= col("target_id"))
-      .withColumn("sim", cosine(col("qv"), col("tv")))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("qv"), col("tv")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("target_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "target_id", "sim", "rk")
   }
+
+  /** q33: the production ANN path as a checked query — native codegen'd
+    * cosine (no decimal detour: the fused loop is strictly sequential, so
+    * doubles are bitwise deterministic and DuckDB's in-order list fold
+    * reproduces them), broadcast queries, one narrow scoring pass, window
+    * top-5. Same answer shape as q29 at a fraction of the plan.
+    */
+  val q33AnnNative: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val t = emb.select(col("vec_id").as("target_id"), col("embedding").as("tv"))
+    // rank on the ROUNDED sim (mirrored in the oracle) so sub-1e-6 score
+    // gaps can't produce engine-dependent orderings
+    val scored = q.join(t, col("query_id") =!= col("target_id"))
+      .withColumn("sim", round(graft.functions.CosineSimilarity(col("qv"), col("tv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("target_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("query_id", "target_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+  val q33Sql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+      |      / (SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      |  FROM embeddings q JOIN embeddings t ON q.vec_id <> t.vec_id
+      |  WHERE q.vec_id < 5)
+      |SELECT query_id, target_id, sim, rk FROM (
+      |  SELECT query_id, target_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, target_id) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
 
   /** q29: oracle-checkable brute-force cosine top-5 for query vectors
     * vec_id < 5. Dot/norm sums go through DECIMAL(38,12) so accumulation
@@ -179,12 +217,94 @@ object SimilarityOps {
       |  FROM scored) WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
 
+  /** q32: embedding-cosine near-duplicate pairs — the dedup-flavored LSH
+    * path: 12 sign-bit planes split into 2 bands of 6; candidate pairs
+    * agree on ≥1 band key (union across bands = standard banded-LSH
+    * recall boost); candidates re-scored with the exact decimal cosine and
+    * kept at sim ≥ 0.45.
+    *
+    * Scale contract: shuffle volume ∝ vectors × bands (each vector emits 2
+    * (band, key) rows), never ∝ pairs; only bucket-colliding pairs reach
+    * the rescoring join. Recall is the banded-LSH tradeoff — for true
+    * near-dups (sim ≥ 0.95) two 6-bit bands catch ~78 %; more bands raise
+    * recall linearly in cost. The exact threshold is oracle-mirrored.
+    */
+  val q32EmbeddingNearDup: Q = (s, d) => {
+    val nPar = s.sparkContext.defaultParallelism
+    val emb = embeddings(s, d).withColumn("bucket", bucketExpr(12))
+    val bands = emb.select(col("vec_id"),
+        posexplode(array((0 until 2).map(b =>
+          shiftright(col("bucket"), b * 6).bitwiseAND(lit(63L))): _*)).as(Seq("band", "key")))
+      .repartition(nPar, col("band"), col("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val elems = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+    val ae = elems.select(col("vec_id").as("vec_a"), col("pos"), col("x").as("ax"))
+    val be = elems.select(col("vec_id").as("vec_b"), col("pos"), col("x").as("bx"))
+    cand.join(ae, Seq("vec_a")).join(be, Seq("vec_b", "pos"))
+      .groupBy("vec_a", "vec_b")
+      .agg(
+        sum((col("ax") * col("bx")).cast(DecimalType(38, 12))).cast(DoubleType).as("dot"),
+        sum((col("ax") * col("ax")).cast(DecimalType(38, 12))).cast(DoubleType).as("aa"),
+        sum((col("bx") * col("bx")).cast(DecimalType(38, 12))).cast(DoubleType).as("bb"))
+      .select(col("vec_a"), col("vec_b"),
+        round(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 6).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+  val q32Sql: String =
+    """WITH planes AS (
+      |  SELECT p, i,
+      |    CAST((ascii(SUBSTR(md5('p:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+      |                       (i % 32) + 1, 1)) % 2) * 2 - 1 AS DOUBLE) AS w
+      |  FROM range(0, 12) r(p), range(0, 64) d(i)),
+      |elems AS (
+      |  SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT e.vec_id, pl.p, SUM(CAST(e.x * pl.w AS DECIMAL(38,12))) AS s
+      |  FROM elems e JOIN planes pl ON pl.i = e.pos
+      |  GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |bands AS (
+      |  SELECT vec_id, b.band, (bucket >> (b.band * 6)) & 63 AS key
+      |  FROM buckets, (SELECT CAST(unnest(range(0, 2)) AS INT) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      |scored AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ROUND(
+      |      CAST(SUM(CAST(ae.x * be.x AS DECIMAL(38,12))) AS DOUBLE)
+      |      / (SQRT(CAST(SUM(CAST(ae.x * ae.x AS DECIMAL(38,12))) AS DOUBLE))
+      |         * SQRT(CAST(SUM(CAST(be.x * be.x AS DECIMAL(38,12))) AS DOUBLE))), 6) AS sim
+      |  FROM cand c
+      |  JOIN elems ae ON ae.vec_id = c.vec_a
+      |  JOIN elems be ON be.vec_id = c.vec_b AND be.pos = ae.pos
+      |  GROUP BY 1, 2)
+      |SELECT vec_a, vec_b, sim FROM scored
+      |WHERE sim >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
+    "q32_embedding_neardup" -> q32EmbeddingNearDup,
+    "q33_ann_native" -> q33AnnNative,
   )
   val oracle: Map[String, String] = Map(
     "q29_ann_bruteforce" -> q29Sql,
     "q30_ann_lsh_bucketed" -> q30Sql,
+    "q32_embedding_neardup" -> q32Sql,
+    "q33_ann_native" -> q33Sql,
   )
 }
