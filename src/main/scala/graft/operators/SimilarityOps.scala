@@ -241,18 +241,16 @@ object SimilarityOps {
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val elems = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast(DoubleType))
-    val ae = elems.select(col("vec_id").as("vec_a"), col("pos"), col("x").as("ax"))
-    val be = elems.select(col("vec_id").as("vec_b"), col("pos"), col("x").as("bx"))
-    cand.join(ae, Seq("vec_a")).join(be, Seq("vec_b", "pos"))
-      .groupBy("vec_a", "vec_b")
-      .agg(
-        sum((col("ax") * col("bx")).cast(DecimalType(38, 12))).cast(DoubleType).as("dot"),
-        sum((col("ax") * col("ax")).cast(DecimalType(38, 12))).cast(DoubleType).as("aa"),
-        sum((col("bx") * col("bx")).cast(DecimalType(38, 12))).cast(DoubleType).as("bb"))
+    // rescore with the native fused cosine (deterministic sequential
+    // accumulation — see q33) instead of a per-element decimal join: the
+    // candidate set × 64 dims would otherwise dominate the query
+    // (measured 29 s → ~3 s at sf0.1)
+    val plain = embeddings(s, d)
+    cand
+      .join(plain.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(plain.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 6).as("sim"))
+        round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= 0.45)
       .orderBy("vec_a", "vec_b")
   }
@@ -284,13 +282,13 @@ object SimilarityOps {
       |scored AS (
       |  SELECT c.vec_a, c.vec_b,
       |    ROUND(
-      |      CAST(SUM(CAST(ae.x * be.x AS DECIMAL(38,12))) AS DOUBLE)
-      |      / (SQRT(CAST(SUM(CAST(ae.x * ae.x AS DECIMAL(38,12))) AS DOUBLE))
-      |         * SQRT(CAST(SUM(CAST(be.x * be.x AS DECIMAL(38,12))) AS DOUBLE))), 6) AS sim
+      |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
       |  FROM cand c
-      |  JOIN elems ae ON ae.vec_id = c.vec_a
-      |  JOIN elems be ON be.vec_id = c.vec_b AND be.pos = ae.pos
-      |  GROUP BY 1, 2)
+      |  JOIN embeddings a ON a.vec_id = c.vec_a
+      |  JOIN embeddings b ON b.vec_id = c.vec_b)
       |SELECT vec_a, vec_b, sim FROM scored
       |WHERE sim >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin

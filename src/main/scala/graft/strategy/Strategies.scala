@@ -212,11 +212,17 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
 
 /** LimeQO: censored ALS completion in log1p space, improvement-ratio
   * selection with α/β timeout tolerance, random top-up to the budget
-  * (`limeqo.py:18-123`). Seeded; envelope-parity (SURVEY §5.3). */
+  * (`limeqo.py:18-123`). Seeded; envelope-parity (SURVEY §5.3).
+  *
+  * Stop condition: by default the current code's `Σ min_observed ≤
+  * opt + 20` (`limeqo.py:35`); with `budgetSeconds` set, the demo
+  * notebook's exploration-time budget instead (`limeqo.ipynb · cell 7` —
+  * the variant the stored experiment traces were generated with, which
+  * run far past the +20 rule). */
 final class LimeQOStrategy(
     rank: Int = 5, lambda: Double = 0.2, alpha: Double = 1.0, beta: Double = 15.0,
     newObserveSize: Int = 8, alsIters: Int = 50, seed: Long = 42,
-    maxRounds: Int = Int.MaxValue) extends Strategy {
+    maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None) extends Strategy {
   val name = "limeqo"
 
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
@@ -238,7 +244,11 @@ final class LimeQOStrategy(
 
     var minObs = st.minObserved
     var round = 0
-    while (minObs.sum > w.optTime + 20 && round < maxRounds) {
+    def keepGoing: Boolean = budgetSeconds match {
+      case Some(b) => st.execTime + st.timeout - w.defaultTime < b
+      case None => minObs.sum > w.optTime + 20
+    }
+    while (keepGoing && round < maxRounds) {
       minObs = st.minObserved
 
       // ALS in log space over the masked matrix
