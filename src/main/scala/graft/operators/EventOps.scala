@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Event-stream operators over the `events` table: sessionization, as-of
+  * join, JSON property extraction, range join, and skew-salted aggregation.
+  *
+  * These are the batch shapes of the operators a clickstream/training-data
+  * pipeline runs continuously; the same expressions run under Structured
+  * Streaming (see [[graft.streaming.EventStreams]]).
+  *
+  * Scale notes per operator in the Scaladoc. Shared determinism policy:
+  * timestamps compared at microsecond precision (both engines truncate the
+  * parquet NANOS the same way), double sums via exact DECIMAL(38,6).
+  */
+object EventOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  private val D = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+  private def dsql(expr: String): String = D.format(expr)
+
+  /** Reusable sessionizer: assigns a per-user session index using the
+    * classic gap rule — a new session starts when the time since the
+    * previous event exceeds `gapSeconds`.
+    *
+    * Shape: one window over (user, ts) — a single shuffle on the user key,
+    * then narrow. At 100 TB user_id is high-cardinality so the window
+    * parallelizes; there is no global sort. The streaming equivalent is
+    * `session_window(ts, gap)` / `flatMapGroupsWithState` (EventStreams).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "is_new")
+  }
+
+  /** q34: sessionization — 30-minute-gap sessions per user with per-session
+    * event count, span, and value sum. */
+  val q34Sessionize: Q = (s, d) => {
+    sessionize(events(s, d), gapSeconds = 1800)
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        round((col("end_us") - col("start_us")) / 1e6, 6).as("duration_s"),
+        col("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+  val q34Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |flags AS (
+       |  SELECT user_id, event_id, value, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL
+       |              OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, value, us,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM flags)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |  ROUND((MAX(us) - MIN(us)) / 1e6, 6) AS duration_s,
+       |  ${dsql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Reusable as-of join, the union-and-window formulation: for each left
+    * row, the latest right row with the same key and `rightTs <= leftTs`.
+    *
+    * Why not a join: an equi-join on key plus a ts inequality explodes to
+    * |left_per_key| × |right_per_key| intermediate pairs before the "latest"
+    * filter. The union trick interleaves both sides into ONE window sorted
+    * by (key, ts) and carries the last-seen right row forward — cost is a
+    * single shuffle of |left|+|right| rows on the key, no pair blow-up.
+    * This is the standard scalable as-of (backward-looking) join shape.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               carried: Seq[String]): DataFrame = {
+    // tag 0 = right (sorts first at equal ts ⇒ inclusive <= semantics)
+    val r = right.select(
+      (col(key) +: col(ts).as(ts) +: lit(0).as("_tag") +:
+        carried.map(c => col(c).as(s"_r_$c")) :+
+        lit(null).cast("long").as("_left_marker")): _*)
+    val leftCols = left.columns
+    val l = left.select(
+      (col(key) +: col(ts).as(ts) +: lit(1).as("_tag") +:
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) :+
+        monotonically_increasing_id().as("_left_marker")): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = r.union(l)
+    val filled = carried.foldLeft(merged) { (df, c) =>
+      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    val lkeyed = left.withColumn("_left_marker", monotonically_increasing_id())
+    filled.filter(col("_tag") === 1)
+      .select((col(key).as("_k") +: col("_left_marker").as("_m") +:
+        carried.map(c => col(s"_r_$c"))): _*)
+      .join(lkeyed, lkeyed(key) === col("_k") && lkeyed("_left_marker") === col("_m"))
+      .drop("_k", "_m", "_left_marker")
+  }
+
+  /** q35: as-of join — each click event matched to the same user's most
+    * recent purchase at-or-before it. Implemented with the single-window
+    * formulation inline (not the generic [[asofJoin]] helper, whose
+    * monotonically_increasing_id marker is nondeterministic across plans —
+    * here the event_id key makes everything stable and oracle-checkable).
+    */
+  val q35AsofJoin: Q = (s, d) => {
+    val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    // dedupe purchases to one row per (user, ts): keep the max event_id
+    // (struct-max ⇒ single agg, deterministic) so the as-of pick is unique
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "us")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("us"), lit(0).as("tag"),
+        lit(null).cast("long").as("click_id"), lit(null).cast("double").as("click_value"),
+        col("m.event_id").as("purchase_id"), col("m.value").as("purchase_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(1).as("tag"),
+        col("event_id").as("click_id"), col("value").as("click_value"),
+        lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("purchase_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("tag"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.union(clicks)
+      .withColumn("last_purchase_id", last(col("purchase_id"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_us",
+        last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value", last(col("purchase_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("click_id").as("event_id"), col("user_id"),
+        col("last_purchase_id").as("purchase_id"),
+        round((col("us") - col("last_purchase_us")) / 1e6, 6).as("lag_s"),
+        col("last_purchase_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+  val q35Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |purchases AS (
+      |  SELECT user_id, us,
+      |    MAX(struct_pack(event_id := event_id, value := value)) AS m
+      |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, us),
+      |p AS (SELECT user_id, us, m.event_id AS purchase_id, m.value AS purchase_value
+      |      FROM purchases),
+      |clicks AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, p.purchase_id,
+      |  ROUND((c.us - p.us) / 1e6, 6) AS lag_s,
+      |  p.purchase_value
+      |FROM clicks c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.us >= p.us
+      |ORDER BY c.event_id""".stripMargin
+
+  /** q36: JSON property extraction — parse the `props` JSON column
+    * (`get_json_object`, codegen'd JSON path eval; no UDF) and aggregate
+    * the extracted metric per event_type. Narrow extract + one partial-agg
+    * shuffle on a 5-value key (fine: partial aggregation collapses each
+    * map task to ≤5 rows before the exchange). */
+  val q36JsonProps: Q = (s, d) => {
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+  val q36Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q37: range join — orders binned into price bands by a non-equi join
+    * against a tiny broadcast band table. The band side is always small ⇒
+    * BroadcastNestedLoopJoin with the range predicate evaluated codegen'd;
+    * at 100 TB the fact side streams through map-side with zero shuffle.
+    * (The equi-join rewrite `floor(price/width)` is q12-style; this query
+    * keeps a genuine range predicate to exercise the non-equi path with
+    * irregular band edges.)
+    */
+  val q37RangeJoin: Q = (s, d) => {
+    // irregular, hand-picked band edges — not expressible as floor(x/w)
+    import s.implicits._
+    val edges = Seq(0.0, 1000.0, 5000.0, 20000.0, 50000.0, 100000.0, 1e9)
+    val bands = broadcast(
+      edges.init.zip(edges.tail).zipWithIndex
+        .map { case ((lo, hi), i) => (i, lo, hi) }
+        .toDF("band", "lo", "hi"))
+    orders(s, d).join(bands,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band", "lo")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("band"), col("n_orders"), col("sum_price"))
+      .orderBy("band")
+  }
+  val q37Sql: String =
+    s"""WITH bands(band, lo, hi) AS (VALUES
+       |  (0, 0.0, 1000.0), (1, 1000.0, 5000.0), (2, 5000.0, 20000.0),
+       |  (3, 20000.0, 50000.0), (4, 50000.0, 100000.0), (5, 100000.0, 1e9))
+       |SELECT band, COUNT(*) AS n_orders, ${dsql("o_totalprice")} AS sum_price
+       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band, lo ORDER BY band""".stripMargin
+
+  /** q38: skew-salted aggregation — event_type has only 5 distinct values,
+    * the canonical skewed shuffle key. Stage 1 aggregates on
+    * (event_type, salt16) spreading each hot key over 16 reducers; stage 2
+    * merges the 5×16 partials. Exact decimal partials ⇒ bit-identical to
+    * the unsalted plain GROUP BY the oracle runs. At local scale partial
+    * aggregation already absorbs the skew; at 1000 executors the salt is
+    * what keeps one reducer from owning a whole hot key. */
+  val q38SaltedAgg: Q = (s, d) => {
+    val salted = events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(38, 6))).as("psum"),
+        min("value").as("pmin"), max("value").as("pmax"))
+    salted.groupBy("event_type")
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).cast(DoubleType).as("sum_value"),
+        min("pmin").as("min_value"), max("pmax").as("max_value"))
+      .orderBy("event_type")
+  }
+  val q38Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${dsql("value")} AS sum_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q34_sessionize" -> q34Sessionize,
+    "q35_asof_join" -> q35AsofJoin,
+    "q36_json_props" -> q36JsonProps,
+    "q37_range_join" -> q37RangeJoin,
+    "q38_salted_agg" -> q38SaltedAgg,
+  )
+  val oracle: Map[String, String] = Map(
+    "q34_sessionize" -> q34Sql,
+    "q35_asof_join" -> q35Sql,
+    "q36_json_props" -> q36Sql,
+    "q37_range_join" -> q37Sql,
+    "q38_salted_agg" -> q38Sql,
+  )
+}

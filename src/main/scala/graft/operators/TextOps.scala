@@ -125,16 +125,66 @@ object TextOps {
       |  LENGTH(array_to_string(string_split_regex(TRIM(text), '\s+'), ' ')) AS norm_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q39: vocabulary building — corpus-wide token frequency with document
+    * frequency, top 100 by count. The canonical two-level aggregation: the
+    * (doc, token) dedup for doc-frequency happens inside one shuffle on the
+    * token key (count(distinct doc_id) expands to a two-stage agg), and the
+    * top-100 is TakeOrderedAndProject — no global sort. At 100 TB the token
+    * key is high-cardinality and near-uniform (natural-language Zipf head
+    * is handled by partial aggregation map-side: each task emits one row
+    * per distinct token, so "the" costs |tasks| rows, not |occurrences|).
+    */
+  val q39VocabTopK: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), col("token"))
+      .limit(100)
+  }
+  val q39Sql: String =
+    """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin
+
+  /** q40: deterministic hash split — train/val/test assignment from the
+    * first hex digit of md5(doc_id): 0..b → train (12/16), c..d → val,
+    * e..f → test. Content-addressed splits are the training-pipeline
+    * standard: adding data never reshuffles old assignments, and the split
+    * is reproducible on any engine with md5. Pure projection + tiny agg. */
+  val q40HashSplit: Q = (s, d) => {
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    documents(s, d)
+      .select(col("source"), col("n_chars"),
+        when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "split")
+  }
+  val q40Sql: String =
+    """SELECT source,
+      |  CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |       WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
     "q22_lang_id" -> q22LangId,
     "q23_fingerprint" -> q23Fingerprint,
+    "q39_vocab_topk" -> q39VocabTopK,
+    "q40_hash_split" -> q40HashSplit,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
     "q21_quality_score" -> q21Sql,
     "q22_lang_id" -> q22Sql,
     "q23_fingerprint" -> q23Sql,
+    "q39_vocab_topk" -> q39Sql,
+    "q40_hash_split" -> q40Sql,
   )
 }
