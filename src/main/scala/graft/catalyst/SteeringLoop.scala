@@ -1,0 +1,136 @@
+package graft.catalyst
+
+import breeze.linalg.DenseMatrix
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.linalg.CensoredALS
+
+/** The online LimeQO loop over Spark itself: queries × join-strategy hints
+  * form the workload matrix, Catalyst (steered by [[HintSteeringRule]]) is
+  * the optimizer being explored, and censored ALS completes the matrix to
+  * decide which (query, hint) cell to actually execute next.
+  *
+  * This is the reference's architecture with the offline trace swapped for
+  * live execution: the reference selects cells from a pre-measured matrix
+  * (`src/strategies/limeqo.py:18-123`); here selecting a cell RUNS the
+  * query under that hint and the measured wall time becomes the
+  * observation. Column 0 is the unsteered default plan, observed for every
+  * query up front — the same "default plan always observed" invariant as
+  * the reference's init mask (`src/data/dataset.py:31`).
+  *
+  * Deviation (documented): the offline strategies implement the full
+  * timeout/censoring bookkeeping (SURVEY §2.13); online, a timeout
+  * requires cancelling a running job at the tolerance cutoff
+  * (`sparkContext.cancelJobGroup` after α·minObs) — environment-specific
+  * plumbing that this loop omits. Every execution is observed uncensored;
+  * the ALS cutoff matrix is all-zero.
+  */
+object SteeringLoop {
+
+  /** One hint-set column: a value for [[HintSteeringRule.ConfKey]]. */
+  final case class SteeringConfig(name: String, strategy: String)
+
+  /** Default hint space — the Spark analogue of the reference's 49
+    * PostgreSQL hint sets, at the granularity Catalyst exposes. */
+  val defaultConfigs: Seq[SteeringConfig] = Seq(
+    SteeringConfig("default", ""),
+    SteeringConfig("broadcast", "broadcast"),
+    SteeringConfig("merge", "merge"),
+    SteeringConfig("shuffle_hash", "shuffle_hash"),
+    SteeringConfig("no_broadcast", "no_broadcast"))
+
+  final case class Observation(query: Int, config: Int, seconds: Double, round: Int)
+  final case class Recommendation(queryName: String, configName: String,
+                                  observedSeconds: Double, defaultSeconds: Double)
+  final case class SteeringResult(observations: Vector[Observation],
+                                  recommendations: Vector[Recommendation]) {
+    def totalExplorationSeconds: Double = observations.map(_.seconds).sum
+  }
+
+  /** Measure one query under one steering config: set the session's
+    * steering strategy, force a full materialization (noop sink), restore.
+    * Requires the session to carry [[GraftExtensions]]. */
+  def measure(spark: SparkSession, fn: SparkSession => DataFrame,
+              config: SteeringConfig): Double = {
+    val prev = spark.conf.getOption(HintSteeringRule.ConfKey)
+    spark.conf.set(HintSteeringRule.ConfKey, config.strategy)
+    try {
+      val t0 = System.nanoTime()
+      fn(spark).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(HintSteeringRule.ConfKey, v)
+        case None => spark.conf.unset(HintSteeringRule.ConfKey)
+      }
+    }
+  }
+
+  /** Run the online loop with a pluggable executor (tests inject a synthetic
+    * cost function; production passes [[measure]] partially applied).
+    *
+    * Each round: censored-ALS-complete the observed matrix in log1p space
+    * (rank/λ per the reference defaults), rank unobserved cells by the
+    * predicted improvement ratio over the query's current best
+    * (`limeqo.py:71`), execute the top `batch` cells, observe.
+    */
+  def run(queryNames: Seq[String], configNames: Seq[String],
+          exec: (Int, Int) => Double,
+          batch: Int = 2, rounds: Int = 3, rank: Int = 2,
+          lambda: Double = 0.2, alsIters: Int = 50, seed: Long = 42): SteeringResult = {
+    val nQ = queryNames.length
+    val nC = configNames.length
+    val values = Array.fill(nQ, nC)(0.0)
+    val mask = Array.fill(nQ, nC)(false)
+    val obs = Vector.newBuilder[Observation]
+
+    // round 0: default plan for every query (column 0 always observed)
+    var q = 0
+    while (q < nQ) {
+      values(q)(0) = exec(q, 0); mask(q)(0) = true
+      obs += Observation(q, 0, values(q)(0), 0)
+      q += 1
+    }
+
+    val rng = new scala.util.Random(seed)
+    var round = 1
+    while (round <= rounds && mask.exists(_.contains(false))) {
+      val logM = DenseMatrix.tabulate(nQ, nC)((r, c) =>
+        if (mask(r)(c)) math.log1p(values(r)(c)) else 0.0)
+      val maskM = DenseMatrix.tabulate(nQ, nC)((r, c) => if (mask(r)(c)) 1.0 else 0.0)
+      val zeros = DenseMatrix.zeros[Double](nQ, nC)
+      val als = new CensoredALS(rank, alsIters, lambda, rng.nextLong())
+      val completed = als.complete(logM, maskM, zeros)
+
+      val minObs = Array.tabulate(nQ)(r =>
+        (0 until nC).filter(mask(r)).map(values(r)).min)
+      // best unobserved prediction per query + improvement ratio
+      val candidates = for {
+        r <- 0 until nQ
+        c <- 0 until nC if !mask(r)(c)
+        pred = math.expm1(completed(r, c)) if pred > 0.0
+      } yield (r, c, (minObs(r) - pred) / pred)
+      val picks = candidates.sortBy { case (r, c, imp) => (-imp, r, c) }.take(batch)
+
+      picks.foreach { case (r, c, _) =>
+        values(r)(c) = exec(r, c); mask(r)(c) = true
+        obs += Observation(r, c, values(r)(c), round)
+      }
+      round += 1
+    }
+
+    val recs = (0 until nQ).map { r =>
+      val best = (0 until nC).filter(mask(r)).minBy(c => (values(r)(c), c))
+      Recommendation(queryNames(r), configNames(best), values(r)(best), values(r)(0))
+    }
+    SteeringResult(obs.result(), recs.toVector)
+  }
+
+  /** End-to-end convenience: steer a set of DataFrame-producing queries on
+    * a live (extension-carrying) session. */
+  def steer(spark: SparkSession, queries: Seq[(String, SparkSession => DataFrame)],
+            configs: Seq[SteeringConfig] = defaultConfigs,
+            batch: Int = 2, rounds: Int = 3): SteeringResult =
+    run(queries.map(_._1), configs.map(_.name),
+      (q, c) => measure(spark, queries(q)._2, configs(c)),
+      batch = batch, rounds = rounds)
+}

@@ -17,6 +17,7 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.catalyst.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

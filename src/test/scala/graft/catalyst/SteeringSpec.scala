@@ -1,0 +1,98 @@
+package graft.catalyst
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Specs for the Catalyst extension (hint steering + SQL function) and the
+  * online LimeQO steering loop.
+  */
+class SteeringSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def joinDF = {
+    val c = graft.Tables.customer(spark, sf)
+    val o = graft.Tables.orders(spark, sf)
+    c.join(o, c("c_custkey") === o("o_custkey")).groupBy("c_mktsegment").count()
+  }
+
+  test("extension registers cosine_similarity as a SQL function") {
+    val r = spark.sql(
+      """SELECT cosine_similarity(CAST(array(1.0, 0.0) AS array<float>),
+        |                         CAST(array(1.0, 0.0) AS array<float>)) AS s""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("steering strategy 'merge' forces sort-merge join") {
+    spark.conf.set(HintSteeringRule.ConfKey, "merge")
+    try assert(physical(joinDF).contains("SortMergeJoin"))
+    finally spark.conf.unset(HintSteeringRule.ConfKey)
+  }
+
+  test("steering strategy 'broadcast' forces broadcast even when autoBroadcast is off") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(HintSteeringRule.ConfKey, "broadcast")
+    try assert(physical(joinDF).contains("BroadcastHashJoin"))
+    finally {
+      spark.conf.unset(HintSteeringRule.ConfKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("unset strategy leaves plans alone; manual hints are respected") {
+    // no conf: rule is a no-op (plan may be anything Catalyst picks)
+    val p0 = physical(joinDF)
+    assert(p0.nonEmpty)
+    // manual hint survives the rule even with a conflicting steering conf
+    spark.conf.set(HintSteeringRule.ConfKey, "merge")
+    try {
+      val c = graft.Tables.customer(spark, sf)
+      val o = broadcast(graft.Tables.orders(spark, sf))
+      val hinted = c.join(o, c("c_custkey") === o("o_custkey")).groupBy("c_mktsegment").count()
+      assert(physical(hinted).contains("BroadcastHashJoin"))
+    } finally spark.conf.unset(HintSteeringRule.ConfKey)
+  }
+
+  test("online loop explores the full matrix and recommends the best hint") {
+    // 3 queries × 3 configs; config 1 is 10× faster everywhere
+    val cost = Array(
+      Array(10.0, 1.0, 20.0),
+      Array(12.0, 1.2, 24.0),
+      Array(8.0, 0.8, 16.0))
+    var execs = 0
+    val res = SteeringLoop.run(
+      Seq("qa", "qb", "qc"), Seq("default", "fast", "slow"),
+      (q, c) => { execs += 1; cost(q)(c) },
+      batch = 2, rounds = 3)
+    // 3 default observations + 6 explored cells = full matrix
+    assert(execs == 9)
+    assert(res.observations.count(_.round == 0) == 3)
+    res.recommendations.foreach { r =>
+      assert(r.configName == "fast", r.toString)
+      assert(r.observedSeconds < r.defaultSeconds)
+    }
+  }
+
+  test("steer() end-to-end on a live session improves or matches the default") {
+    val queries: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
+      "join_agg" -> (s => {
+        val c = graft.Tables.customer(s, sf); val o = graft.Tables.orders(s, sf)
+        c.join(o, c("c_custkey") === o("o_custkey")).groupBy("c_mktsegment")
+          .agg(sum("o_totalprice"))
+      }),
+      "semi" -> (s => {
+        val c = graft.Tables.customer(s, sf); val o = graft.Tables.orders(s, sf)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      }))
+    val res = SteeringLoop.steer(spark, queries,
+      configs = SteeringLoop.defaultConfigs.take(3), batch = 2, rounds = 2)
+    assert(res.recommendations.length == 2)
+    // recommendation is min over observed cells, so never worse than default
+    res.recommendations.foreach(r => assert(r.observedSeconds <= r.defaultSeconds))
+    assert(res.totalExplorationSeconds > 0.0)
+  }
+}
