@@ -98,6 +98,51 @@ object HashKernels {
     (c: Column) => f(c)
   }
 
+  /** Sign-bit LSH bucket id over a float-array embedding: plane p's weight
+    * for dimension i is ±1 by the parity of hex digit (i mod 32) of
+    * md5("p:<p>:<i>"); bit p of the bucket = sign of the plane projection.
+    *
+    * Compiled replacement for the interpreted HOF formulation (nPlanes
+    * CodegenFallback `aggregate` lambdas per row — measured 2-3 s/query at
+    * sf0.1; this kernel is one narrow pass). Accumulation is EXACT decimal
+    * (each product rounded to scale 12 half-up, matching both Spark's and
+    * DuckDB's double→DECIMAL(38,12) cast, then summed exactly), so the
+    * sign of a near-zero projection is order-independent and identical to
+    * the oracle's SUM(CAST(x*w AS DECIMAL(38,12))). The ±1 weight table is
+    * precomputed once per executor from the same md5 recipe the oracle SQL
+    * spells out. */
+  def signBuckets(nPlanes: Int, dims: Int): Column => Column = {
+    val f = udf { (emb: Seq[Float]) =>
+      val md = MessageDigest.getInstance("MD5")
+      // weight table w(p)(i) — tiny (nPlanes × dims), rebuilt per task;
+      // cost is nPlanes·dims md5 calls once per closure instantiation
+      val w = Array.tabulate(nPlanes, dims) { (p, i) =>
+        val h = md5Hex(md, "p:" + p + ":" + i)
+        (h.charAt(i % 32) % 2) * 2 - 1 // ascii parity, as ascii(substr)%2
+      }
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        val n = math.min(dims, emb.length)
+        while (i < n) {
+          val prod = emb(i).toDouble * w(p)(i)
+          // valueOf (shortest decimal string), matching Spark's
+          // Cast(double→decimal) path exactly — NOT new BigDecimal(d),
+          // whose full binary expansion can round digit 12 differently
+          acc = acc.add(java.math.BigDecimal.valueOf(prod)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        if (acc.signum() > 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    }
+    (c: Column) => f(c)
+  }
+
   /** SimHash over distinct tokens: bit b of the 32-bit signature votes
     * +1/−1 by the parity of hex digit b of md5(token); bit set iff the vote
     * sum is positive. Returns (simhash, popcount). */

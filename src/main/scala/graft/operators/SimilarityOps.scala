@@ -126,28 +126,17 @@ object SimilarityOps {
       |  FROM scored) WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
-  /** Sign-bit LSH bucket id from 8 pseudo-random hyperplanes: plane p's
-    * weight for dimension i is ±1 by the parity of hex digit (i mod 32) of
-    * md5("p:<p>:<i>") — deterministic, library-free, reproducible in SQL.
+  /** Sign-bit LSH bucket id from nPlanes pseudo-random hyperplanes: plane
+    * p's weight for dimension i is ±1 by the parity of hex digit (i mod 32)
+    * of md5("p:<p>:<i>") — deterministic, library-free, reproducible in SQL.
+    * Compiled kernel ([[graft.functions.HashKernels.signBuckets]]): exact
+    * decimal accumulation per plane keeps near-zero projection signs
+    * order-independent and identical to the oracle's decimal SUM, while the
+    * whole bucket is one narrow pass instead of nPlanes interpreted HOF
+    * aggregates (the round-1 shape — 2-3 s/query at sf0.1).
     */
-  private def bucketExpr(nPlanes: Int): Column = {
-    // per plane: sign(Σ_i w_{p,i}·x_i) → bit p. The projection accumulates
-    // DECIMAL(38,12)-cast products (not doubles): decimal addition is exact
-    // and order-independent, so the sign of a near-zero projection can't
-    // differ from the oracle's SUM(CAST(x*w AS DECIMAL)) by summation order.
-    val bits = (0 until nPlanes).map { p =>
-      val proj = expr(
-        s"""aggregate(
-           |  zip_with(embedding,
-           |           transform(sequence(0, size(embedding) - 1),
-           |             i -> CAST((ascii(substr(md5(concat('p:', '$p', ':', i)), (i % 32) + 1, 1)) % 2) * 2 - 1 AS DOUBLE)),
-           |           (x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(38, 12))),
-           |  CAST(0 AS DECIMAL(38, 12)),
-           |  (acc, v) -> CAST(acc + v AS DECIMAL(38, 12)))""".stripMargin)
-      when(proj > 0, 1L << p).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  private def bucketExpr(nPlanes: Int): Column =
+    graft.functions.HashKernels.signBuckets(nPlanes, dims = 64)(col("embedding"))
 
   /** q30: IVF/LSH-bucketed ANN: assign every vector to a sign-bit bucket,
     * then score query vectors (vec_id < 5) only against same-bucket
