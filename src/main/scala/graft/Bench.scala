@@ -22,6 +22,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.catalyst.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
