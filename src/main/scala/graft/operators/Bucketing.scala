@@ -34,4 +34,15 @@ object Bucketing {
                       leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Hive-style partitioned parquet sink: one directory per distinct value
+    * of the partition columns. The matching read-side win is partition
+    * PRUNING: a filter on a partition column never opens non-matching
+    * directories (shows as `PartitionFilters` on the scan node, with the
+    * data filters in `PushedFilters`). At 100 TB this is the first-order
+    * data-layout decision — partition by low-cardinality routing keys
+    * (date, source, event_type), bucket by high-cardinality join keys. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.format("parquet").mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).save(path)
 }

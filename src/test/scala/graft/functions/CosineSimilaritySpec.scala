@@ -4,10 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class CosineSimilaritySpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]").config("spark.sql.shuffle.partitions", 2).getOrCreate()
+class CosineSimilaritySpec extends AnyFunSuite with graft.SharedSpark {
 
   test("native expression matches the HOF formulation and hand values") {
     import spark.implicits._

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
-class SvdSpectrumSpec extends AnyFunSuite {
+class SvdSpectrumSpec extends AnyFunSuite with graft.SharedSpark {
 
   test("local spectrum of an exact rank-2 matrix has 2 nonzero values") {
     val rng = new Random(1)
@@ -18,8 +18,6 @@ class SvdSpectrumSpec extends AnyFunSuite {
   }
 
   test("distributed top-k matches the local spectrum") {
-    val spark = SparkSession.builder()
-      .master("local[2]").config("spark.sql.shuffle.partitions", 2).getOrCreate()
     import spark.implicits._
     val rng = new Random(2)
     val m = DenseMatrix.tabulate(40, 6)((_, _) => rng.nextDouble())

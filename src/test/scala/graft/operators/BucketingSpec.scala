@@ -41,4 +41,28 @@ class BucketingSpec extends AnyFunSuite with SharedSpark {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("partitioned sink enables partition pruning on read") {
+    val path = "/tmp/graft_part_events"
+    Bucketing.writePartitioned(graft.Tables.events(spark, sf), path, "event_type")
+    val pruned = spark.read.parquet(path).filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition pruning:\n$plan")
+    val expected = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("salted join equals the plain join") {
+    val l = graft.Tables.orders(spark, sf)
+    val r = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+    val salted = SkewJoin.saltedJoin(l, r,
+        l("o_custkey") === r("c_custkey"), l("o_orderkey"), nSalts = 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val plain = l.join(r, l("o_custkey") === r("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
 }

@@ -7,10 +7,7 @@ import graft.sources.Workloads
 /** Golden: regenerate the reference's `result/job.csv` checkpoint table
   * from its stored traces (`draw/draw_job_fig1.ipynb · cells 2-6`,
   * SURVEY §3.3/§7 step 6) through the Spark report pipeline. */
-class ReportSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]").config("spark.sql.shuffle.partitions", 4).getOrCreate()
+class ReportSpec extends AnyFunSuite with graft.SharedSpark {
 
   test("reproduces result/job.csv checkpoints from stored traces") {
     spark.sparkContext.setLogLevel("ERROR")

@@ -10,10 +10,7 @@ import graft.sources.Workloads
   * reference's checkpoints (stochastic traces don't replay bit-exactly —
   * RNG streams differ — but the trajectory must be statistically
   * indistinguishable from the reference's own runs). */
-class LimeQOEnvelopeSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]").config("spark.sql.shuffle.partitions", 4).getOrCreate()
+class LimeQOEnvelopeSpec extends AnyFunSuite with graft.SharedSpark {
 
   test("seeded LimeQO on JOB stays inside the stored-trace envelope") {
     spark.sparkContext.setLogLevel("ERROR")
