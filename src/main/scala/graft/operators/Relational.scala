@@ -422,7 +422,26 @@ object Relational {
        |  COUNT(*) AS n, ${dsql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** q41: sketch-based approximate statistics — the 100 TB path for q09/q10
+    * style metrics when ±% error is acceptable: HyperLogLog++ distinct
+    * counts and a mergeable quantile sketch, both single-pass partial-agg
+    * friendly (constant-size state per group merged across partitions, vs
+    * the exact versions' per-group buffers). NO oracle SQL on purpose:
+    * sketch internals are engine-specific, so the driver records the
+    * weaker rows-only check — the exact counterparts (q09/q10) carry the
+    * value-level verification for the same inputs. */
+  val q41ApproxStats: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_approx_stats" -> q41ApproxStats,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_top_revenue" -> q02TopRevenue,
     "q03_broadcast_join" -> q03BroadcastJoin,

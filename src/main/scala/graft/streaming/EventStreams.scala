@@ -37,6 +37,14 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Stream-static enrichment: left-join the stream against a broadcast
+    * dimension on `key`. The static side is re-resolved every micro-batch
+    * (so a slowly-changing dimension table picks up updates between
+    * batches) and broadcast — no stream-side shuffle, stateless, which is
+    * what keeps enrichment viable at full ingest rate. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
                                  startMs: Long, endMs: Long, closed: Boolean)
   private final case class SessionState(nEvents: Long, totalValue: Double,

@@ -58,6 +58,23 @@ class EventStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(ids.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("enrich: stream-static broadcast join carries dimension columns") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.enrich(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    stream.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 3, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = sp.table("enriched").select("event_id", "segment").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(rows(1L).contains("gold"))
+    assert(rows(2L).isEmpty) // unmatched user survives the left join
+  }
+
   test("sessionize: 30-minute gap splits sessions (batch execution)") {
     val sp = spark
     import sp.implicits._
