@@ -1,0 +1,61 @@
+package graft.catalyst
+
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+/** Per-query learned-hint registry — the piece that makes steering
+  * per-QUERY rather than per-session, mirroring the reference's workload
+  * matrix rows (each query file gets its own hint choice,
+  * `/root/reference/src/strategies/limeqo.py:71-100`).
+  *
+  * A query is identified by a literal-insensitive fingerprint of its
+  * ANALYZED plan: same query template with different constants → same row
+  * of the steering matrix (the reference keys rows by SQL-file sha1;
+  * template fingerprinting is the engine equivalent that also unifies
+  * parameterized re-executions). [[SteeringLoop.steer]] populates the
+  * registry with its recommendation when asked to learn; [[run]] replays
+  * any future execution of that template under its learned strategy by
+  * setting the session steering conf that [[HintSteeringRule]] enforces.
+  */
+object Steered {
+
+  private val learned = TrieMap.empty[String, String]
+
+  /** Literal-insensitive md5 fingerprint of the analyzed plan (exprIds
+    * normalized by canonicalization, constants nulled out). */
+  def fingerprint(df: DataFrame): String = {
+    val norm = df.queryExecution.analyzed.canonicalized.transformAllExpressions {
+      case l: Literal => Literal.create(null, l.dataType)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(norm.toString.getBytes(UTF_8)).map("%02x".format(_)).mkString
+  }
+
+  def learn(df: DataFrame, strategy: String): Unit =
+    learned.put(fingerprint(df), strategy)
+
+  def strategyFor(df: DataFrame): Option[String] = learned.get(fingerprint(df))
+
+  def clear(): Unit = learned.clear()
+
+  /** Execute `action` on `df` under its learned strategy (no-op for
+    * unknown templates). The steering conf is session-scoped, so learned
+    * hints for concurrently-running distinct templates should use separate
+    * sessions (`spark.newSession()` shares the registry, not the conf). */
+  def run[T](df: DataFrame)(action: DataFrame => T): T = {
+    val spark = df.sparkSession
+    strategyFor(df) match {
+      case None => action(df)
+      case Some(strategy) =>
+        val prev = spark.conf.getOption(HintSteeringRule.ConfKey)
+        spark.conf.set(HintSteeringRule.ConfKey, strategy)
+        try action(df)
+        finally prev match {
+          case Some(v) => spark.conf.set(HintSteeringRule.ConfKey, v)
+          case None => spark.conf.unset(HintSteeringRule.ConfKey)
+        }
+    }
+  }
+}

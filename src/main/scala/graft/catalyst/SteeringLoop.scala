@@ -126,11 +126,23 @@ object SteeringLoop {
   }
 
   /** End-to-end convenience: steer a set of DataFrame-producing queries on
-    * a live (extension-carrying) session. */
+    * a live (extension-carrying) session. With `learn = true` each query's
+    * recommendation is recorded in the [[Steered]] registry under the
+    * query's template fingerprint, so future executions of the same
+    * template via [[Steered.run]] automatically use the learned hint. */
   def steer(spark: SparkSession, queries: Seq[(String, SparkSession => DataFrame)],
             configs: Seq[SteeringConfig] = defaultConfigs,
-            batch: Int = 2, rounds: Int = 3): SteeringResult =
-    run(queries.map(_._1), configs.map(_.name),
+            batch: Int = 2, rounds: Int = 3, learn: Boolean = false): SteeringResult = {
+    val res = run(queries.map(_._1), configs.map(_.name),
       (q, c) => measure(spark, queries(q)._2, configs(c)),
       batch = batch, rounds = rounds)
+    if (learn) {
+      val byName = queries.toMap
+      res.recommendations.foreach { r =>
+        val strategy = configs.find(_.name == r.configName).map(_.strategy).getOrElse("")
+        Steered.learn(byName(r.queryName)(spark), strategy)
+      }
+    }
+    res
+  }
 }

@@ -77,6 +77,31 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("fingerprint is literal-insensitive and template-sensitive") {
+    val c = graft.Tables.customer(spark, sf)
+    val a = c.filter(col("c_acctbal") > 100).groupBy("c_mktsegment").count()
+    val b = c.filter(col("c_acctbal") > 9999).groupBy("c_mktsegment").count()
+    val other = c.groupBy("c_nationkey").count()
+    assert(Steered.fingerprint(a) == Steered.fingerprint(b))
+    assert(Steered.fingerprint(a) != Steered.fingerprint(other))
+  }
+
+  test("learned strategy auto-applies through Steered.run") {
+    Steered.clear()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = joinDF
+      // unknown template: planner default (SMJ, broadcast off)
+      assert(Steered.run(df)(d => physical(d)).contains("SortMergeJoin"))
+      Steered.learn(df, "broadcast")
+      // same template, different literal constants: hint still applies
+      assert(Steered.run(joinDF)(d => physical(d)).contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Steered.clear()
+    }
+  }
+
   test("steer() end-to-end on a live session improves or matches the default") {
     val queries: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
       "join_agg" -> (s => {
