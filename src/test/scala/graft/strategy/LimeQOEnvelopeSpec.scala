@@ -57,4 +57,36 @@ class LimeQOEnvelopeSpec extends AnyFunSuite with graft.SharedSpark {
         f"checkpoint ${t}s (grid $g%.1f): ours=$ours%.2f mean=$mean%.2f std=$std%.2f tol=$tol%.2f")
     }
   }
+
+  test("seeded LimeQO on CEB stays inside the stored-trace envelope (0.75h checkpoint)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val w = Workloads.matrixFromCsv("/root/reference/dataset/ceb-matrix.csv")
+    val mask = Workloads.initMask("/root/reference/dataset/init_ceb_mask.npy", w)
+    val pgTotal = w.defaultTime
+    // the paper's first CEB checkpoint (BASELINE.md: 0.75 h exploration)
+    val checkpoints = Seq(0.75 * 3600)
+
+    val traj = Report.trajectories(
+      Report.loadTraces(spark, "/root/reference/experiment/ceb/limeqo/*.json"), pgTotal)
+    val envelope = Report.sampleCheckpoints(Report.interpolated(traj), checkpoints)
+
+    val res = new LimeQOStrategy(seed = 42, newObserveSize = 8,
+      budgetSeconds = Some(3000.0), maxRounds = 400).run(w, Some(mask), None)
+    val xs = res.map(_.execTime - pgTotal)
+    val ys = res.map(_.totalLatency)
+    assert(xs.last > 2700, s"run too short: explored ${xs.last}s")
+
+    def interpAt(t: Double): Double = {
+      val i = xs.indexWhere(_ >= t)
+      assert(i > 0, s"checkpoint $t before first round")
+      ys(i - 1) + (ys(i) - ys(i - 1)) * (t - xs(i - 1)) / (xs(i) - xs(i - 1))
+    }
+
+    envelope.zip(checkpoints).foreach { case ((g, mean, std), t) =>
+      val ours = interpAt(g)
+      val tol = 4.0 * std + 0.05 * mean
+      assert(math.abs(ours - mean) <= tol,
+        f"checkpoint ${t}s (grid $g%.1f): ours=$ours%.2f mean=$mean%.2f std=$std%.2f tol=$tol%.2f")
+    }
+  }
 }
