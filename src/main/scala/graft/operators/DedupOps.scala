@@ -228,12 +228,87 @@ object DedupOps {
       |  CAST(SUM(bit) AS BIGINT) AS popcount
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Connected components by min-label propagation: each node's label
+    * starts as its own id and each round becomes the min of itself and its
+    * neighbors' labels, until fixpoint — a driver loop of Spark jobs,
+    * converging in O(graph diameter) rounds (near-dup clusters are
+    * small/dense, so diameter is tiny in practice).
+    *
+    * Scale notes: each round is one shuffle (the edge join + min agg).
+    * Labels are cached per round and unpersisted after the next round is
+    * materialized; at very large scale add periodic `localCheckpoint()`
+    * to truncate the growing plan lineage (the classic iterative-algorithm
+    * pattern, same as GraphX's strategy).
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("b") === labels("doc_id"))
+        .select(col("a").as("doc_id"), col("component"))
+      val next = labels.select("doc_id", "component").union(viaNeighbors)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .cache()
+      // converged ⇔ no label decreased this round
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** q42: near-dup cluster assignment — connected components over the q27
+    * LSH candidate pairs; every document gets the min doc_id of its
+    * cluster (singletons = self). The oracle is a recursive-CTE transitive
+    * closure — fine at oracle scale (closure is Σ cluster-size², and LSH
+    * clusters are small), while the Spark side is the O(diameter)
+    * label-propagation loop that scales. */
+  val q42DedupClusters: Q = (s, d) => {
+    val pairs = q27LshPairs(s, d).select("doc_a", "doc_b")
+    connectedComponents(documents(s, d).select("doc_id"), pairs)
+      .orderBy("doc_id")
+  }
+  val q42Sql: String =
+    s"""WITH RECURSIVE $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
+       |sig AS (
+       |  SELECT doc_id, CAST(seed AS INT) AS seed,
+       |    MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       |  FROM dsh, range(0, 16) r(seed) GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+       |        ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS band_key
+       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+       |SELECT n AS doc_id, MIN(m) AS component
+       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q24_dedup_exact" -> q24DedupExact,
     "q25_ngram_jaccard" -> q25NgramJaccard,
     "q26_minhash_signatures" -> q26MinhashSignatures,
     "q27_lsh_pairs" -> q27LshPairs,
     "q28_simhash" -> q28Simhash,
+    "q42_dedup_clusters" -> q42DedupClusters,
   )
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,
@@ -241,5 +316,6 @@ object DedupOps {
     "q26_minhash_signatures" -> q26Sql,
     "q27_lsh_pairs" -> q27Sql,
     "q28_simhash" -> q28Sql,
+    "q42_dedup_clusters" -> q42Sql,
   )
 }

@@ -46,6 +46,29 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(df.filter(col("popcount") < 0 || col("popcount") > 32).count() == 0)
   }
 
+  test("connected components match a local union-find on the same pairs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("doc_a", "doc_b")
+    val nodes = (1L to 10L).toDF("doc_id")
+    val got = DedupOps.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    // union-find ground truth: {1,2,3,8,9} → 1, {5,6} → 5, rest singleton
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L, 10L -> 10L)
+    assert(got == expected, got.toSeq.sorted.mkString(", "))
+  }
+
+  test("q42: components are consistent with the q27 pair graph") {
+    import spark.implicits._
+    val comp = DedupOps.q42DedupClusters(spark, sf).as[(Long, Long)].collect().toMap
+    val pairs = DedupOps.q27LshPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // every pair's endpoints share a component, and the label is a member
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"($a,$b)") }
+    assert(comp.forall { case (n, c) => c <= n })
+  }
+
   test("cosine topk: self-similarity ~1, results sorted, k respected") {
     val emb = graft.Tables.embeddings(spark, sf)
     val res = SimilarityOps.cosineTopK(emb.filter(col("vec_id") < 3), emb, 5).cache()
