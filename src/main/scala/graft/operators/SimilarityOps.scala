@@ -307,6 +307,57 @@ object SimilarityOps {
       |WHERE sim >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** IVF (inverted-file) ANN with a k-means coarse quantizer — the
+    * real-index counterpart of the hash-bucket q30: vectors are assigned to
+    * their nearest of `nList` learned centroids; a query probes only its
+    * `nProbe` nearest cells and rescans those exactly.
+    *
+    * Not a gate query: k-means centroids aren't reproducible across
+    * engines, so correctness is a recall bound against the exact top-k
+    * (PipelineOpsSpec). Scale shape: train on a sample, broadcast the
+    * centroid table (nList × dim, tiny), assignment is one narrow pass,
+    * and at rest the corpus is partitioned/bucketed BY CELL so a probe
+    * touches nProbe/nList of the data.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nList: Int, nProbe: Int, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withVec = emb.withColumn("fv", toVec(col("embedding"))).cache()
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+    val assigned = model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell"))
+
+    // per query: nProbe nearest centroids (driver-side — centroid table is tiny)
+    val centroids: Array[MlVector] = model.clusterCenters
+    val queryVecs = withVec.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("fv")).collect()
+      .map(r => (r.getLong(0), r.getAs[MlVector]("fv")))
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, Vectors.sqdist(qv, c)) }
+        .sortBy(_._2).take(nProbe)
+        .map { case (cell, _) => (qid, cell) }
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probeDF = broadcast(probes.toSeq.toDF("query_id", "cell"))
+    val q = broadcast(emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+
+    val cand = assigned.join(probeDF, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+    val out = cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("target_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+    withVec.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,

@@ -98,6 +98,20 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     common.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-5, s"$k: ${a(k)} vs ${b(k)}"))
   }
 
+  test("IVF ANN: probing half the cells recovers most of the exact top-5") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = SimilarityOps.cosineTopK(emb.filter(col("vec_id") < 5), emb, 5)
+      .select("query_id", "target_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(emb, qids, k = 5, nList = 8, nProbe = 4)
+      .select("query_id", "target_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, f"recall@5 = $recall%.2f")
+    // every query returns k results (cells are populated)
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("multimodal decode stub: deterministic byte features") {
     val f = MultimodalOps.stubDecode("abc".getBytes("UTF-8"))
     assert(f(0) == 3.0f)            // length
