@@ -40,6 +40,30 @@ object Report {
       sum(col("training_time") + col("inference_time")).over(w).as("overhead_cdf"))
   }
 
+  /** New-query-arrival variant (`draw/draw_newquery.ipynb · cell 2`,
+    * `new=True`): exploration cost re-bases at the first round where
+    * total_latency INCREASES over the previous round — the moment the new
+    * queries joined the workload. Rounds before the jump subtract the old
+    * workload's default total, rounds from the jump on subtract the full
+    * one. Window `lag` finds the jump; a running max flags everything
+    * after it. */
+  def trajectoriesWithNewQueries(traces: DataFrame, pgTotalBefore: Double,
+                                 pgTotalAfter: Double): DataFrame = {
+    val w = Window.partitionBy("run").orderBy("round")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    traces
+      .withColumn("jump",
+        when(col("round") > 0 &&
+          col("total_latency") > lag("total_latency", 1).over(w), 1).otherwise(0))
+      .withColumn("met_new", max("jump").over(wCum))
+      .select(
+        col("run"), col("round"),
+        (col("exec_time") -
+          when(col("met_new") === 1, lit(pgTotalAfter)).otherwise(lit(pgTotalBefore))).as("x"),
+        col("total_latency").as("y"),
+        sum(col("training_time") + col("inference_time")).over(wCum).as("overhead_cdf"))
+  }
+
   /** Interpolate every run's (x, y) trajectory onto a shared nGrid-point
     * uniform grid spanning [max of per-run min x, min of per-run max x]
     * (the reference's `combine_plot`), then aggregate across runs:

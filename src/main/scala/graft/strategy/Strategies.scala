@@ -222,7 +222,10 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
 final class LimeQOStrategy(
     rank: Int = 5, lambda: Double = 0.2, alpha: Double = 1.0, beta: Double = 15.0,
     newObserveSize: Int = 8, alsIters: Int = 50, seed: Long = 42,
-    maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None) extends Strategy {
+    maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None,
+    // false = the reference's `wocensored_*` ablation: plain ALS ignores
+    // the timeout cutoffs (all-zero cutoff matrix fed to the kernel)
+    censored: Boolean = true) extends Strategy {
   val name = "limeqo"
 
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
@@ -256,8 +259,10 @@ final class LimeQOStrategy(
         if (st.mask(r)(c)) math.log1p(w.values(r)(c)) else 0.0)
       val maskM = DenseMatrix.tabulate(w.nRows, w.nCols)((r, c) =>
         if (st.mask(r)(c)) 1.0 else 0.0)
-      val logCut = DenseMatrix.tabulate(w.nRows, w.nCols)((r, c) =>
-        math.log1p(st.timeoutM(r)(c)))
+      val logCut =
+        if (censored)
+          DenseMatrix.tabulate(w.nRows, w.nCols)((r, c) => math.log1p(st.timeoutM(r)(c)))
+        else DenseMatrix.zeros[Double](w.nRows, w.nCols)
 
       val t0 = System.nanoTime()
       val als = new CensoredALS(rank, alsIters, lambda, rng.nextLong())

@@ -37,4 +37,21 @@ class ReportSpec extends AnyFunSuite with graft.SharedSpark {
       }
     }
   }
+
+  test("new-query trajectories re-base exploration cost at the latency jump") {
+    val sp = spark
+    import sp.implicits._
+    // latency decreases, then jumps at round 2 (new queries arrive), then decreases
+    val traces = Seq(
+      ("r1", 0, 100.0, 50.0, 0.0, 0.0),
+      ("r1", 1, 110.0, 45.0, 0.0, 0.0),
+      ("r1", 2, 130.0, 70.0, 0.0, 0.0), // jump: 70 > 45
+      ("r1", 3, 150.0, 60.0, 0.0, 0.0))
+      .toDF("run", "round", "exec_time", "total_latency", "training_time", "inference_time")
+    val out = Report
+      .trajectoriesWithNewQueries(traces, pgTotalBefore = 10.0, pgTotalAfter = 30.0)
+      .select("round", "x").as[(Int, Double)].collect().toMap
+    assert(out(0) == 90.0 && out(1) == 100.0) // minus old default (10)
+    assert(out(2) == 100.0 && out(3) == 120.0) // minus full total (30)
+  }
 }
