@@ -241,10 +241,16 @@ object DedupOps {
     * pattern, same as GraphX's strategy).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // propagate only over the nodes that appear in a pair — in a dedup
+    // graph the overwhelming majority of documents are singletons, and
+    // carrying them through every iteration's shuffle multiplies the cost
+    // by |corpus| / |paired nodes| (500k vs a few hundred at sf0.1); they
+    // rejoin as their own component at the end
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component")).cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -263,7 +269,9 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // singletons: every node not in any pair is its own component
+    nodes.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** q42: near-dup cluster assignment — connected components over the q27
