@@ -45,6 +45,20 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Declarative sessionization via the built-in `session_window` — the
+    * Catalyst-native form of the 30-minute gap rule (same semantics as
+    * [[graft.operators.EventOps.sessionize]]'s window formulation and the
+    * stateful [[sessionize]] below). Works identically in batch and
+    * streaming; under `readStream` add a watermark so closed sessions can
+    * emit in append mode. Prefer this unless per-event emission or custom
+    * state (the flatMapGroupsWithState path) is required. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
                                  startMs: Long, endMs: Long, closed: Boolean)
   private final case class SessionState(nEvents: Long, totalValue: Double,

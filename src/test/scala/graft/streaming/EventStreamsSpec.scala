@@ -75,6 +75,22 @@ class EventStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(rows(2L).isEmpty) // unmatched user survives the left join
   }
 
+  test("session_window agrees with the gap-rule sessionizer on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+    val builtin = EventStreams.sessionWindows(ev)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val manual = graft.operators.EventOps.sessionize(ev, 1800)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"))
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(builtin == manual)
+  }
+
   test("sessionize: 30-minute gap splits sessions (batch execution)") {
     val sp = spark
     import sp.implicits._
