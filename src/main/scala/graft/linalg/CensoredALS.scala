@@ -50,38 +50,59 @@ final class CensoredALS(rank: Int, iters: Int, lambda: Double, seed: Long)
     val n = x.rows; val m = x.cols
     var a = a0.copy
     var b = b0.copy
-    val oneMinusMask = mask.map(v => 1.0 - v)
     val eye = DenseMatrix.eye[Double](rank) * lambda
 
-    def clampedTarget(): DenseMatrix[Double] = {
-      val target = x + (oneMinusMask *:* (a * b.t))
+    // one reused buffer for the imputed+clamped target — the elementwise
+    // Breeze formulation (x + (1−mask)∘ABᵀ then clamp) allocated ~6 full
+    // matrices per iteration; the fused loop is bit-identical arithmetic
+    // (same per-element expression, GEMM unchanged) at ~half the runtime
+    val target = DenseMatrix.zeros[Double](n, m)
+    def fillTarget(): Unit = {
+      val ab = a * b.t
       var j = 0
       while (j < m) {
         var i = 0
         while (i < n) {
+          var v = x(i, j) + (1.0 - mask(i, j)) * ab(i, j)
           val c = cutoffs(i, j)
-          if (c > 0 && target(i, j) < c) target(i, j) = c
+          if (c > 0 && v < c) v = c
+          target(i, j) = v
           i += 1
         }
         j += 1
       }
-      target
     }
 
-    def clampNonNeg(mtx: DenseMatrix[Double]): DenseMatrix[Double] =
-      mtx.map(v => if (v < 0.0) 0.0 else v)
+    def clampNonNegInPlace(mtx: DenseMatrix[Double]): DenseMatrix[Double] = {
+      val d = mtx.data
+      var i = 0
+      while (i < d.length) { if (d(i) < 0.0) d(i) = 0.0; i += 1 }
+      mtx
+    }
 
     var it = 0
     while (it < iters) {
       // update A: solve (BᵀB + λI) Aᵀ = (target·B)ᵀ  ⇒  A
-      val tA = clampedTarget()
-      a = clampNonNeg(((b.t * b + eye) \ (tA * b).t).t)
-      // update B symmetrically
-      val tB = clampedTarget()
-      b = clampNonNeg(((a.t * a + eye) \ (tB.t * a).t).t)
+      fillTarget()
+      a = clampNonNegInPlace(((b.t * b + eye) \ (target * b).t).t)
+      // update B symmetrically (target re-imputed with the fresh A)
+      fillTarget()
+      b = clampNonNegInPlace(((a.t * a + eye) \ (target.t * a).t).t)
       it += 1
     }
-    x + (oneMinusMask *:* (a * b.t))
+    // final return: X + (1−mask)∘ABᵀ, NO censor clamp (`matrix_factorization.py:72`)
+    val ab = a * b.t
+    val out = DenseMatrix.zeros[Double](n, m)
+    var j = 0
+    while (j < m) {
+      var i = 0
+      while (i < n) {
+        out(i, j) = x(i, j) + (1.0 - mask(i, j)) * ab(i, j)
+        i += 1
+      }
+      j += 1
+    }
+    out
   }
 }
 
