@@ -119,10 +119,73 @@ object MultimodalOps {
       |  CAST(list_sum(bs) % 251 AS INT) AS f_checksum
       |FROM bytes ORDER BY doc_id""".stripMargin
 
+  /** Resize stub: downsample a payload by averaging each `factor`-byte
+    * block (the "thumbnail" shape: binary in, smaller binary out). A real
+    * image resize replaces only this function; the schema (binary→binary)
+    * and the narrow per-row execution are the production plumbing. */
+  def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    if (payload.isEmpty) return Array.emptyByteArray
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var o = 0
+    while (o < out.length) {
+      val start = o * factor
+      val end = math.min(start + factor, payload.length)
+      var sum = 0
+      var i = start
+      while (i < end) { sum += payload(i) & 0xff; i += 1 }
+      out(o) = (sum / (end - start)).toByte
+      o += 1
+    }
+    out
+  }
+
+  /** Frame sampling: split a payload into fixed-size frames and keep every
+    * `stride`-th — the video-pipeline shape (one media row → many frame
+    * rows, the UDTF/explode form). Emits per-frame byte features; a real
+    * decoder swaps the feature step, the explode stays. */
+  private val frameFeatures = udf { (payload: Array[Byte]) =>
+    val frameSize = 100; val stride = 2
+    val nFrames = (payload.length + frameSize - 1) / frameSize
+    (0 until nFrames).filter(_ % stride == 0).map { f =>
+      val start = f * frameSize
+      val end = math.min(start + frameSize, payload.length)
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += payload(i) & 0xff; i += 1 }
+      (f, end - start, (sum % 251).toInt)
+    }
+  }
+
+  /** q43: frame sampling over `documents` as synthetic media — 100-byte
+    * frames, every 2nd kept, per-frame length + checksum. One narrow pass
+    * + explode; frames never shuffle (the aggregation downstream would
+    * carry only features). Oracle-checkable because the synthetic docs are
+    * ASCII (bytes == code points, as q31). */
+  val q43FrameSample: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(frameFeatures(encode(col("text"), "UTF-8"))).as("f"))
+      .select(col("doc_id"), col("f._1").as("frame_idx"),
+        col("f._2").as("n_bytes"), col("f._3").as("checksum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+  val q43Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |    SUBSTR(text, CAST(i * 100 + 1 AS INT), 100) AS frame
+      |  FROM documents, range(0, 1000) t(i)
+      |  WHERE i % 2 = 0 AND i * 100 < LENGTH(text))
+      |SELECT doc_id, frame_idx, LENGTH(frame) AS n_bytes,
+      |  CAST(list_sum(list_transform(range(1, LENGTH(frame) + 1),
+      |       j -> ascii(SUBSTR(frame, CAST(j AS INT), 1)))) % 251 AS INT) AS checksum
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q31_multimodal_decode" -> q31MultimodalDecode,
+    "q43_frame_sample" -> q43FrameSample,
   )
   val oracle: Map[String, String] = Map(
     "q31_multimodal_decode" -> q31Sql,
+    "q43_frame_sample" -> q43Sql,
   )
 }

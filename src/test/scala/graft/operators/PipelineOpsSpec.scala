@@ -121,6 +121,22 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(MultimodalOps.stubDecode(Array.emptyByteArray)(0) == 0.0f)
   }
 
+  test("resize stub: block averaging and length contract") {
+    val in = Array[Byte](10, 20, 30, 40, 50)
+    val out = MultimodalOps.stubResize(in, 2)
+    assert(out.length == 3)
+    assert(out(0) == 15 && out(1) == 35 && out(2) == 50) // last block partial
+    assert(MultimodalOps.stubResize(Array.emptyByteArray, 4).isEmpty)
+  }
+
+  test("q43 frame sampling: strided frames with correct sizes") {
+    val df = MultimodalOps.q43FrameSample(spark, sf).cache()
+    // every sampled frame index is even; full frames are exactly 100 bytes
+    assert(df.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    assert(df.filter(col("n_bytes") > 100 || col("n_bytes") <= 0).count() == 0)
+    assert(df.select("doc_id").distinct().count() == 500)
+  }
+
   test("q31 multimodal pipeline: features survive the mapPartitions boundary") {
     val df = MultimodalOps.q31MultimodalDecode(spark, sf).cache()
     assert(df.count() == 500)
