@@ -40,6 +40,20 @@ object Workloads {
     new WorkloadMatrix(ids, values)
   }
 
+  /** Distributed S1 path: scan the matrix CSV with Spark and melt the 49
+    * hint columns to long form with one `stack` expression — no driver
+    * materialization, so it scales to workload matrices of any size (the
+    * driver-side [[matrixFromCsv]] exists because the reference matrices
+    * are tiny and row-order-aligned with the NPY masks). */
+  def cellsFromCsvDistributed(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", true).option("inferSchema", false).csv(path)
+    val hintCols = df.columns.filter(_ != "filename")
+    val pairs = hintCols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.selectExpr("filename AS query_id",
+        s"stack(${hintCols.length}, $pairs) AS (hint_id_s, runtime)")
+      .selectExpr("query_id", "CAST(hint_id_s AS INT) AS hint_id", "runtime")
+  }
+
   /** Long-format cells DataFrame from a dense matrix:
     * (query_id, hint_id, runtime, hint_group) where hint_group is the
     * dense-rank-by-value group id within the query (SURVEY §1.1). */

@@ -3,9 +3,24 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Workloads
 
-class WorkloadSpec extends AnyFunSuite {
+class WorkloadSpec extends AnyFunSuite with graft.SharedSpark {
   private val ref = "/root/reference/dataset"
   private lazy val job = Workloads.matrixFromCsv(s"$ref/job-matrix.csv")
+
+  test("distributed CSV melt agrees with the driver-side parse") {
+    import org.apache.spark.sql.functions._
+    val cells = Workloads.cellsFromCsvDistributed(spark, s"$ref/job-matrix.csv").cache()
+    assert(cells.count() == 113L * 49)
+    val stats = cells.agg(
+      sum(when(col("hint_id") === 0, col("runtime"))),
+      countDistinct("query_id")).head()
+    assert(math.abs(stats.getDouble(0) - job.defaultTime) < 1e-9)
+    assert(stats.getLong(1) == 113)
+    // spot-check one cell against the dense matrix
+    val c7 = cells.filter(col("query_id") === job.queryIds(7) && col("hint_id") === 13)
+      .head().getDouble(2)
+    assert(c7 == job.values(7)(13))
+  }
 
   test("JOB matrix shape and §1.4 numeric goldens") {
     assert(job.nRows == 113 && job.nCols == 49)
