@@ -225,7 +225,12 @@ final class LimeQOStrategy(
     maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None,
     // false = the reference's `wocensored_*` ablation: plain ALS ignores
     // the timeout cutoffs (all-zero cutoff matrix fed to the kernel)
-    censored: Boolean = true) extends Strategy {
+    censored: Boolean = true,
+    // pluggable completion kernel: default driver-local Breeze; pass
+    // (r, i, l, s) => new DistributedCensoredALS(spark, r, i, l, s) for
+    // workload matrices that outgrow the driver
+    alsFactory: (Int, Int, Double, Long) => graft.linalg.MatrixCompletion =
+      new CensoredALS(_, _, _, _)) extends Strategy {
   val name = "limeqo"
 
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
@@ -265,7 +270,7 @@ final class LimeQOStrategy(
         else DenseMatrix.zeros[Double](w.nRows, w.nCols)
 
       val t0 = System.nanoTime()
-      val als = new CensoredALS(rank, alsIters, lambda, rng.nextLong())
+      val als = alsFactory(rank, alsIters, lambda, rng.nextLong())
       val completedLog = als.complete(logM, maskM, logCut)
       val trainingTime = (System.nanoTime() - t0) / 1e9
 
