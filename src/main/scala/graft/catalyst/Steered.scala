@@ -51,7 +51,13 @@ object Steered {
       case Some(strategy) =>
         val prev = spark.conf.getOption(HintSteeringRule.ConfKey)
         spark.conf.set(HintSteeringRule.ConfKey, strategy)
-        try action(df)
+        // re-plan under the hint: a Dataset memoizes its QueryExecution on
+        // first use, so a df whose plan was already forced (count/explain)
+        // would silently keep the unhinted plan; the no-op projection
+        // wraps the same logical plan in a fresh Dataset that plans now,
+        // with the steering conf in effect
+        val fresh = df.select(org.apache.spark.sql.functions.col("*"))
+        try action(fresh)
         finally prev match {
           case Some(v) => spark.conf.set(HintSteeringRule.ConfKey, v)
           case None => spark.conf.unset(HintSteeringRule.ConfKey)

@@ -110,6 +110,9 @@ object SteeringLoop {
         pred = math.expm1(completed(r, c)) if pred > 0.0
       } yield (r, c, (minObs(r) - pred) / pred)
       val picks = candidates.sortBy { case (r, c, imp) => (-imp, r, c) }.take(batch)
+      // no eligible cell (every unobserved prediction collapsed to ≤0):
+      // further rounds would refit ALS without ever observing — stop
+      if (picks.isEmpty) round = rounds
 
       picks.foreach { case (r, c, _) =>
         values(r)(c) = exec(r, c); mask(r)(c) = true

@@ -112,14 +112,18 @@ object HashKernels {
     * precomputed once per executor from the same md5 recipe the oracle SQL
     * spells out. */
   def signBuckets(nPlanes: Int, dims: Int): Column => Column = {
-    val f = udf { (emb: Seq[Float]) =>
+    // weight table w(p)(i) — tiny (nPlanes × dims), computed ONCE here and
+    // captured by the serialized closure (inside the lambda it would be
+    // rebuilt per ROW: nPlanes·dims md5 calls each — the exact cost this
+    // kernel exists to remove)
+    val w: Array[Array[Int]] = {
       val md = MessageDigest.getInstance("MD5")
-      // weight table w(p)(i) — tiny (nPlanes × dims), rebuilt per task;
-      // cost is nPlanes·dims md5 calls once per closure instantiation
-      val w = Array.tabulate(nPlanes, dims) { (p, i) =>
+      Array.tabulate(nPlanes, dims) { (p, i) =>
         val h = md5Hex(md, "p:" + p + ":" + i)
         (h.charAt(i % 32) % 2) * 2 - 1 // ascii parity, as ascii(substr)%2
       }
+    }
+    val f = udf { (emb: Seq[Float]) =>
       var bucket = 0L
       var p = 0
       while (p < nPlanes) {

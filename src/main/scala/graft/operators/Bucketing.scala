@@ -31,9 +31,15 @@ object Bucketing {
   /** Join two identically-bucketed tables on their bucket key — planner
     * emits a zero-Exchange sort-merge join when bucket counts match. */
   def cooperativeJoin(spark: SparkSession, left: String, right: String,
-                      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+                      leftKey: String, rightKey: String): DataFrame = {
+    // resolve each table once: the join condition must reference the SAME
+    // Dataset instances that are the join's children, not fresh
+    // spark.table() resolutions whose attribute ids only coincide while
+    // the catalog's relation cache is warm
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Hive-style partitioned parquet sink: one directory per distinct value
     * of the partition columns. The matching read-side win is partition

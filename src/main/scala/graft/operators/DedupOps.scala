@@ -269,9 +269,29 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    // singletons: every node not in any pair is its own component
-    nodes.join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    // silent non-convergence would return labels that split true clusters
+    // (and diverge from the transitive-closure oracle) — fail loudly
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations; " +
+        "a component has diameter > maxIter — raise maxIter")
+    // paired-node labels are small by construction (only docs in ≥1 pair);
+    // collect and broadcast them back over the corpus so the loop's cache
+    // can be released HERE instead of leaking for the session lifetime
+    // (the lazily-returned DataFrame would otherwise keep depending on the
+    // cached iterative lineage). For a pathological pair graph too big to
+    // collect, fall back to a plain join and accept the retained cache.
+    val singletonJoin = (lbl: DataFrame) =>
+      nodes.join(lbl, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    if (labels.count() <= 5000000) {
+      val pinned = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      labels.unpersist()
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      singletonJoin(broadcast(pinned.toDF("doc_id", "component")))
+    } else {
+      singletonJoin(labels)
+    }
   }
 
   /** q42: near-dup cluster assignment — connected components over the q27

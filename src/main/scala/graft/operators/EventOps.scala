@@ -95,28 +95,26 @@ object EventOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                carried: Seq[String]): DataFrame = {
+    // ALL left columns ride through the union (right rows carry nulls for
+    // them) so no re-join is needed afterwards — an earlier draft joined
+    // back on monotonically_increasing_id(), which is NOT stable across
+    // two evaluations of the same plan and can mispair rows.
+    val leftCols = left.columns.filterNot(c => c == key || c == ts)
     // tag 0 = right (sorts first at equal ts ⇒ inclusive <= semantics)
     val r = right.select(
       (col(key) +: col(ts).as(ts) +: lit(0).as("_tag") +:
-        carried.map(c => col(c).as(s"_r_$c")) :+
-        lit(null).cast("long").as("_left_marker")): _*)
-    val leftCols = left.columns
+        carried.map(c => col(c).as(s"_r_$c"))) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       (col(key) +: col(ts).as(ts) +: lit(1).as("_tag") +:
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) :+
-        monotonically_increasing_id().as("_left_marker")): _*)
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))) ++
+        leftCols.map(col): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = r.union(l)
-    val filled = carried.foldLeft(merged) { (df, c) =>
+    val filled = carried.foldLeft(r.union(l)) { (df, c) =>
       df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
     }
-    val lkeyed = left.withColumn("_left_marker", monotonically_increasing_id())
-    filled.filter(col("_tag") === 1)
-      .select((col(key).as("_k") +: col("_left_marker").as("_m") +:
-        carried.map(c => col(s"_r_$c"))): _*)
-      .join(lkeyed, lkeyed(key) === col("_k") && lkeyed("_left_marker") === col("_m"))
-      .drop("_k", "_m", "_left_marker")
+    filled.filter(col("_tag") === 1).drop("_tag")
   }
 
   /** q35: as-of join — each click event matched to the same user's most

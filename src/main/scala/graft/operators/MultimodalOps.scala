@@ -170,11 +170,14 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
   val q43Sql: String =
-    """WITH f AS (
+    """WITH fi AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CAST(CEIL(LENGTH(text) / 100.0) AS BIGINT))) AS i
+      |  FROM documents),
+      |f AS (
       |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
       |    SUBSTR(text, CAST(i * 100 + 1 AS INT), 100) AS frame
-      |  FROM documents, range(0, 1000) t(i)
-      |  WHERE i % 2 = 0 AND i * 100 < LENGTH(text))
+      |  FROM fi WHERE i % 2 = 0)
       |SELECT doc_id, frame_idx, LENGTH(frame) AS n_bytes,
       |  CAST(list_sum(list_transform(range(1, LENGTH(frame) + 1),
       |       j -> ascii(SUBSTR(frame, CAST(j AS INT), 1)))) % 251 AS INT) AS checksum

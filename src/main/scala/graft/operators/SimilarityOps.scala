@@ -354,8 +354,13 @@ object SimilarityOps {
     val out = cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("target_id"), col("sim"), col("rk"))
       .orderBy("query_id", "rk")
+    // pin the result before releasing the cache the lineage depends on —
+    // unpersisting first would make the caller's action recompute the
+    // toVec pass and cell assignment uncached
+    val rows = out.collect()
     withVec.unpersist()
-    out
+    val spark2 = emb.sparkSession
+    spark2.createDataFrame(spark2.sparkContext.parallelize(rows.toSeq), out.schema)
   }
 
   val queries: Map[String, Q] = Map(

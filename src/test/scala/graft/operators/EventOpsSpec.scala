@@ -43,6 +43,21 @@ class EventOpsSpec extends AnyFunSuite with SharedSpark {
     assert(df.count() == clicks)
   }
 
+  test("generic asofJoin: latest right row at-or-before each left row") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 200L))
+      .toDF("user_id", "us", "purchase_id")
+    val left = Seq((1L, 15L, 1L), (1L, 25L, 2L), (1L, 5L, 3L), (2L, 5L, 4L), (3L, 9L, 5L))
+      .toDF("user_id", "us", "click_id")
+    val out = EventOps.asofJoin(left, right, "user_id", "us", Seq("purchase_id"))
+      .select("click_id", "_r_purchase_id").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(
+      1L -> Some(100L), 2L -> Some(101L),
+      3L -> None,          // click precedes every purchase
+      4L -> Some(200L),    // equal timestamps are inclusive
+      5L -> None))         // user with no purchases at all
+  }
+
   test("q37 range join: every order lands in exactly one band") {
     val df = EventOps.q37RangeJoin(spark, sf)
     val orders = graft.Tables.orders(spark, sf).count()
