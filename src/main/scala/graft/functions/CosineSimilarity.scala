@@ -33,7 +33,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // fail fast on ragged inputs: silently scoring the common prefix would
+    // mask a data-quality bug and diverge from the SQL oracle formulation
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_similarity: length mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -55,7 +60,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException("cosine_similarity: length mismatch "
+         |    + $x.numElements() + " vs " + $y.numElements());
+         |}
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $x.getFloat($i);

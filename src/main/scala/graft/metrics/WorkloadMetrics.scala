@@ -41,12 +41,14 @@ object WorkloadMetrics {
                    timeout: Double = 0.0, exploreCnt: Int = 0,
                    trainingTime: Double = 0.0, inferenceTime: Double = 0.0): RoundMetrics = {
     val mo = minObserved(cells, observed)
+    // coalesce: sum/percentile over ZERO observed rows return null and
+    // getDouble would NPE (empty mask is reachable pre-round-0)
     val row = mo.agg(
-      sum("min_observed"),
-      percentile(col("min_observed"), lit(0.5)),
-      percentile(col("min_observed"), lit(0.9)),
-      percentile(col("min_observed"), lit(0.95)),
-      percentile(col("min_observed"), lit(0.99))).head()
+      coalesce(sum("min_observed"), lit(0.0)),
+      coalesce(percentile(col("min_observed"), lit(0.5)), lit(0.0)),
+      coalesce(percentile(col("min_observed"), lit(0.9)), lit(0.0)),
+      coalesce(percentile(col("min_observed"), lit(0.95)), lit(0.0)),
+      coalesce(percentile(col("min_observed"), lit(0.99)), lit(0.0))).head()
     RoundMetrics(
       trainingTime, inferenceTime,
       execTime(cells, observed) + timeout,

@@ -242,6 +242,11 @@ final class TCNN(val numFeatures: Int, val rank: Int, val nRows: Int, val nCols:
 
   private def zeroGrad(): Unit = params.foreach(p => p.g := 0.0)
 
+  private def resetOptimizer(): Unit = {
+    adamT = 0
+    params.foreach { p => p.m := 0.0; p.v := 0.0 }
+  }
+
   private def adamStep(): Unit = {
     adamT += 1
     val bc1 = 1.0 - math.pow(b1, adamT)
@@ -292,6 +297,10 @@ final class TCNN(val numFeatures: Int, val rank: Int, val nRows: Int, val nCols:
     * 10 epochs ago (or improves by < 1e-4). Returns epochs run. */
   def train(samples: IndexedSeq[PlanSample], censors: IndexedSeq[Double],
             batchSize: Int = 32, maxEpochs: Int = 200, shuffleSeed: Long = 7): Int = {
+    // fresh optimizer per training run: the reference constructs a new
+    // torch.optim.Adam for every per-round train call, so stale moments /
+    // bias-correction step from a previous round must not carry over
+    resetOptimizer()
     val srng = new Random(shuffleSeed)
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     var epoch = 0

@@ -129,7 +129,7 @@ object DedupOps {
        |FROM pairs
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+       |WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q26: MinHash signatures — 16 hash functions h_s(x) = md5(s || ':' || x),

@@ -114,10 +114,11 @@ object PlanTrees {
   }
 
   private def binarizedOf(t: PlanNode): PlanNode = if (isBinary(t)) t else binarize(t)
+  // a bare (non-Dummy) leaf is NOT binary: it still needs Dummy children
+  // added by binarize
   private def isBinary(t: PlanNode): Boolean =
     t.nodeType == Dummy ||
-      (t.children.length == 2 && t.children.forall(isBinary)) ||
-      (t.children.isEmpty && false)
+      (t.children.length == 2 && t.children.forall(isBinary))
 
   /** Per-node raw feature vector: one-hot(node type over vocab) ++
     * [totalCost, planRows, planWidth] (`dataset.py:100-112`). */

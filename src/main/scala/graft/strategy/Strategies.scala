@@ -87,8 +87,13 @@ final class QOAdvisorStrategy(newObserveSize: Int = 8) extends Strategy {
     while (i < w.nRows) { st.observe(i, 0); i += 1 }
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
 
+    // reference loop shape (`qo_advisor.py`): the while condition tests the
+    // min-observed computed at the TOP of the previous body — i.e. the
+    // PRE-pick value — so after the picks cross the threshold one more
+    // round still runs, emitting the converged record
     var minObs = st.minObserved
     while (minObs.sum > w.optTime + 20) {
+      minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
       val order = (0 until w.nRows).sortBy(r => (-minObs(r), r))
       var cnt = 0
@@ -115,7 +120,6 @@ final class QOAdvisorStrategy(newObserveSize: Int = 8) extends Strategy {
           hint += 1
         }
       }
-      minObs = st.minObserved
     }
     results.toVector
   }
@@ -133,8 +137,11 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
     while (i < w.nRows) { st.observe(i, 0); i += 1 }
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
 
+    // while condition tests the PRE-pick value from the previous body top
+    // (`random.py:32-35`) — one extra converged round, as the reference
     var minObs = st.minObserved
     while (minObs.sum > w.optTime + 20) {
+      minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
       var cnt = 0
       // reference quirk: `while cnt <= size` observes size+1 per round
@@ -155,7 +162,6 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
           }
         }
       }
-      minObs = st.minObserved
     }
     results.toVector
   }
@@ -176,8 +182,11 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
     def maskCount(r: Int): Int = st.mask(r).count(identity)
     def timeoutCount(r: Int): Int = st.timeoutM(r).count(_ != 0.0)
 
+    // while condition tests the PRE-pick value from the previous body top
+    // (`greedy.py`) — one extra converged round, as the reference
     var minObs = st.minObserved
     while (minObs.sum > w.optTime + 20) {
+      minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
       var cnt = 0
       val order = (0 until w.nRows).sortBy(r => (-minObs(r), r))
@@ -204,7 +213,6 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
           }
         }
       }
-      minObs = st.minObserved
     }
     results.toVector
   }
@@ -343,7 +351,9 @@ final class LimeQOStrategy(
         }
       }
 
-      minObs = st.minObserved
+      // no trailing recompute: keepGoing's +20 branch tests the value from
+      // the TOP of this body (pre-pick), per `limeqo.py:35-40` — the
+      // converged round still runs and emits before the loop exits
       round += 1
     }
     results.toVector

@@ -33,9 +33,13 @@ object EventStreams {
 
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming counterpart of q24 (late duplicates beyond the horizon
-    * are dropped by definition of the watermark contract). */
+    * are dropped by definition of the watermark contract).
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates(event_id)`: the
+    * plain variant only evicts state when the event-time column is part of
+    * the dedup key, so keyed on event_id alone its state store would grow
+    * one entry per distinct id forever. */
   def dedupEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+    events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: left-join the stream against a broadcast
     * dimension on `key`. The static side is re-resolved every micro-batch
