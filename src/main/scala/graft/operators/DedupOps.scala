@@ -249,8 +249,15 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .cache()
+    // localCheckpoint (eager), not cache: each round's plan builds on the
+    // previous round's, so without lineage TRUNCATION the logical plan
+    // doubles every iteration — a 30-iteration run OOMs the driver just
+    // stringifying it. Checkpointing materializes the round and restarts
+    // the plan from the stored blocks (the standard iterative-algorithm
+    // pattern; old round RDDs are released by the ContextCleaner).
     var labels = edges.select(col("a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("component")).cache()
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -259,11 +266,10 @@ object DedupOps {
         .select(col("a").as("doc_id"), col("component"))
       val next = labels.select("doc_id", "component").union(viaNeighbors)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .cache()
+        .localCheckpoint(true)
       // converged ⇔ no label decreased this round
       val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") < col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
@@ -285,7 +291,6 @@ object DedupOps {
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     if (labels.count() <= 5000000) {
       val pinned = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      labels.unpersist()
       val spark = nodes.sparkSession
       import spark.implicits._
       singletonJoin(broadcast(pinned.toDF("doc_id", "component")))

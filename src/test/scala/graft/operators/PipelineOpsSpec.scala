@@ -59,6 +59,30 @@ class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got == expected, got.toSeq.sorted.mkString(", "))
   }
 
+  test("connected components match union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val pairs = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = DedupOps.connectedComponents(
+          (0L until n.toLong).toDF("doc_id"),
+          pairs.toDF("doc_a", "doc_b"), maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("q42: components are consistent with the q27 pair graph") {
     import spark.implicits._
     val comp = DedupOps.q42DedupClusters(spark, sf).as[(Long, Long)].collect().toMap
