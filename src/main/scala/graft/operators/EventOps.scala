@@ -99,29 +99,39 @@ object EventOps {
     // them) so no re-join is needed afterwards — an earlier draft joined
     // back on monotonically_increasing_id(), which is NOT stable across
     // two evaluations of the same plan and can mispair rows.
+    // The carried columns travel as ONE struct, not per-column fills: with
+    // per-column last(ignoreNulls) a null field in the latest right row
+    // would backfill from an OLDER right row, pairing field values that
+    // exist in no single right row.
     val leftCols = left.columns.filterNot(c => c == key || c == ts)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      carried.map(c => right.schema(right.schema.fieldIndex(c))))
     // tag 0 = right (sorts first at equal ts ⇒ inclusive <= semantics)
     val r = right.select(
       (col(key) +: col(ts).as(ts) +: lit(0).as("_tag") +:
-        carried.map(c => col(c).as(s"_r_$c"))) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        struct(carried.map(col): _*).as("_r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.select(
       (col(key) +: col(ts).as(ts) +: lit(1).as("_tag") +:
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))) ++
-        leftCols.map(col): _*)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
+        lit(null).cast(rStructType).as("_r") +:
+        leftCols.map(col)): _*)
+    // tie-break among right rows at equal (key, ts): the struct itself —
+    // arbitrary but DETERMINISTIC (left rows always sort after via _tag,
+    // so the extra key only orders right rows among themselves)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(r.union(l)) { (df, c) =>
-      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_tag") === 1).drop("_tag")
+    r.union(l)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select((col(key) +: col(ts) +: leftCols.map(col)) ++
+        carried.map(c => col(s"_r.$c").as(s"_r_$c")): _*)
   }
 
   /** q35: as-of join — each click event matched to the same user's most
-    * recent purchase at-or-before it. Implemented with the single-window
-    * formulation inline (not the generic [[asofJoin]] helper, whose
-    * monotonically_increasing_id marker is nondeterministic across plans —
-    * here the event_id key makes everything stable and oracle-checkable).
+    * recent purchase at-or-before it. Same union-and-window shape as the
+    * generic [[asofJoin]]; kept inline because the oracle needs the exact
+    * output columns (lag in seconds, specific aliases) and pre-dedupes
+    * purchases per (user, ts) for a unique ASOF pick.
     */
   val q35AsofJoin: Q = (s, d) => {
     val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
@@ -132,11 +142,11 @@ object EventOps {
       .groupBy("user_id", "us")
       .agg(max(struct(col("event_id"), col("value"))).as("m"))
       .select(col("user_id"), col("us"), lit(0).as("tag"),
-        lit(null).cast("long").as("click_id"), lit(null).cast("double").as("click_value"),
+        lit(null).cast("long").as("click_id"),
         col("m.event_id").as("purchase_id"), col("m.value").as("purchase_value"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("us"), lit(1).as("tag"),
-        col("event_id").as("click_id"), col("value").as("click_value"),
+        col("event_id").as("click_id"),
         lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("purchase_value"))
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("tag"), col("click_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

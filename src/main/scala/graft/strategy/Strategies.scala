@@ -328,10 +328,14 @@ final class LimeQOStrategy(
         }
       }
 
-      // random top-up to the budget (`limeqo.py:102-123`)
+      // random top-up to the budget (`limeqo.py:102-123`); NOTE the
+      // reference REBINDS min_observed here (`limeqo.py:104`), so when the
+      // top-up runs, the outer stop condition tests the refreshed value —
+      // mirrored by assigning the outer minObs each top-up iteration
       var topUpDone = false
       while (cnt < newObserveSize && !topUpDone) {
         val mo = st.minObserved
+        minObs = mo
         if (mo.sum <= w.optTime + 50) topUpDone = true
         else {
           val row = rng.nextInt(w.nRows)
@@ -351,9 +355,9 @@ final class LimeQOStrategy(
         }
       }
 
-      // no trailing recompute: keepGoing's +20 branch tests the value from
-      // the TOP of this body (pre-pick), per `limeqo.py:35-40` — the
-      // converged round still runs and emits before the loop exits
+      // no trailing recompute: keepGoing's +20 branch tests the body-top
+      // value (per `limeqo.py:35-40`) unless the top-up above refreshed it
+      // (`limeqo.py:104`) — matching the reference in both paths
       round += 1
     }
     results.toVector

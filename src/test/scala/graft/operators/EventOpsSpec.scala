@@ -58,6 +58,19 @@ class EventOpsSpec extends AnyFunSuite with SharedSpark {
       5L -> None))         // user with no purchases at all
   }
 
+  test("generic asofJoin: carried fields all come from the SAME right row") {
+    import spark.implicits._
+    // latest purchase has a null value — it must stay null, not backfill
+    // from the older purchase's non-null value
+    val right = Seq((1L, 10L, Some(100L), Some(5.0)), (1L, 20L, Some(101L), None))
+      .toDF("user_id", "us", "purchase_id", "pvalue")
+    val left = Seq((1L, 25L, 1L)).toDF("user_id", "us", "click_id")
+    val row = EventOps.asofJoin(left, right, "user_id", "us", Seq("purchase_id", "pvalue"))
+      .select("_r_purchase_id", "_r_pvalue").head()
+    assert(row.getLong(0) == 101L)
+    assert(row.isNullAt(1), s"pvalue backfilled: $row")
+  }
+
   test("q37 range join: every order lands in exactly one band") {
     val df = EventOps.q37RangeJoin(spark, sf)
     val orders = graft.Tables.orders(spark, sf).count()
