@@ -440,8 +440,55 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q44: ROLLUP — hierarchical subtotals (priority, status) → priority →
+    * grand total in ONE pass (Catalyst expands the grouping sets into a
+    * single shuffle; at scale this beats three separate aggregations by
+    * sharing the scan and the exchange). Null grouping keys are the
+    * subtotal markers, replaced with 'ALL' for a total ORDER BY. */
+  val q44Rollup: Q = (s, d) => {
+    orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status")
+  }
+  val q44Sql: String =
+    s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COUNT(*) AS n, ${dsql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       |ORDER BY priority, status""".stripMargin
+
+  /** q45: PIVOT — event counts per hour-of-day with one column per event
+    * type. Spark's relational pivot compiles to a single hash aggregate
+    * with per-value conditional aggregation — exactly the portable
+    * FILTER-agg formulation the oracle uses (no engine-specific PIVOT
+    * syntax on either side's semantics). Pivot values are enumerated
+    * explicitly: at scale, implicit value discovery is an extra pass. */
+  val q45Pivot: Q = (s, d) => {
+    events(s, d)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("hour_of_day")
+  }
+  val q45Sql: String =
+    """SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q41_approx_stats" -> q41ApproxStats,
+    "q44_rollup" -> q44Rollup,
+    "q45_pivot" -> q45Pivot,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_top_revenue" -> q02TopRevenue,
     "q03_broadcast_join" -> q03BroadcastJoin,
@@ -464,6 +511,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q44_rollup" -> q44Sql,
+    "q45_pivot" -> q45Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_top_revenue" -> q02Sql,
     "q03_broadcast_join" -> q03Sql,
