@@ -29,11 +29,19 @@ def norm(v):
         return v
     return v
 
+import os
+# GRAFT_EXACT=1: bit-level float equality, mimicking the driver's hash
+# compare exactly (the default tolerance is a debugging aid only — a query
+# that needs it would FAIL the driver gate)
+EXACT = os.environ.get("GRAFT_EXACT", "") == "1"
+
 def values_equal(a, b):
     a, b = norm(a), norm(b)
     if isinstance(a, float) and isinstance(b, float):
         if a == b:
             return True
+        if EXACT:
+            return False
         # tolerate last-ulp drift only; flag anything bigger
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
