@@ -40,6 +40,34 @@ object Steered {
 
   def clear(): Unit = learned.clear()
 
+  /** Persist the registry as one JSON object {fingerprint: strategy} —
+    * learned hints survive across sessions/deploys (the reference's
+    * equivalent artifact is the per-round trace JSON; ours is the final
+    * decision table). */
+  def save(path: java.nio.file.Path): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
+    val body = learned.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{\n  ", ",\n  ", "\n}")
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(path, body)
+  }
+
+  /** Load (merge) a registry saved by [[save]]. */
+  def load(path: java.nio.file.Path): Int = {
+    val text = java.nio.file.Files.readString(path)
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    var n = 0
+    entry.findAllMatchIn(text).foreach { m =>
+      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      learned.put(unesc(m.group(1)), unesc(m.group(2)))
+      n += 1
+    }
+    n
+  }
+
   /** Execute `action` on `df` under its learned strategy (no-op for
     * unknown templates). The steering conf is session-scoped, so learned
     * hints for concurrently-running distinct templates should use separate

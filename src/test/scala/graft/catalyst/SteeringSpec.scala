@@ -102,6 +102,21 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("registry round-trips through save/load") {
+    Steered.clear()
+    try {
+      val df = joinDF
+      Steered.learn(df, "shuffle_hash")
+      val p = java.nio.file.Files.createTempFile("steered", ".json")
+      Steered.save(p)
+      Steered.clear()
+      assert(Steered.strategyFor(df).isEmpty)
+      assert(Steered.load(p) == 1)
+      assert(Steered.strategyFor(df).contains("shuffle_hash"))
+      java.nio.file.Files.delete(p)
+    } finally Steered.clear()
+  }
+
   test("steer() end-to-end on a live session improves or matches the default") {
     val queries: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
       "join_agg" -> (s => {
