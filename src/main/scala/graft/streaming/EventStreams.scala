@@ -41,6 +41,26 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases within `windowSeconds` AFTER the click. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state on each side is evicted once the watermark passes the interval
+    * — the only formulation where stream-stream join state stays bounded.
+    * Works identically in batch (inner join with the same predicate). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        windowSeconds: Long = 3600): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+  }
+
   /** Stream-static enrichment: left-join the stream against a broadcast
     * dimension on `key`. The static side is re-resolved every micro-batch
     * (so a slowly-changing dimension table picks up updates between

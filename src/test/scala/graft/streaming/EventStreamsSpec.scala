@@ -58,6 +58,28 @@ class EventStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(ids.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.clickPurchaseJoin(
+      clicks.toDF(), purchases.toDF(), windowSeconds = 1800)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, t(0), 1, "click", 0.0), Ev(2, t(100), 1, "click", 0.0))
+    purchases.addData(
+      Ev(10, t(10), 1, "purchase", 9.99),  // within 30 min of click 1 only
+      Ev(11, t(105), 1, "purchase", 5.0),  // within 30 min of click 2 only
+      Ev(12, t(10), 2, "purchase", 1.0))   // different user — no match
+    q.processAllAvailable()
+    q.stop()
+    val pairs = sp.table("ssj").select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (2L, 11L)), pairs.toString)
+  }
+
   test("enrich: stream-static broadcast join carries dimension columns") {
     val sp = spark
     import sp.implicits._
