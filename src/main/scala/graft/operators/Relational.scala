@@ -485,10 +485,31 @@ object Relational {
       |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin
 
+  /** q46: CUBE — all 2^k grouping combinations in one shuffle (rollup's
+    * hierarchical subset is q44); the cross-dimensional subtotal table
+    * OLAP dashboards page through. */
+  val q46Cube: Q = (s, d) => {
+    orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status")
+  }
+  val q46Sql: String =
+    s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COUNT(*) AS n, ${dsql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       |ORDER BY priority, status""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q41_approx_stats" -> q41ApproxStats,
     "q44_rollup" -> q44Rollup,
     "q45_pivot" -> q45Pivot,
+    "q46_cube" -> q46Cube,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_top_revenue" -> q02TopRevenue,
     "q03_broadcast_join" -> q03BroadcastJoin,
@@ -513,6 +534,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q44_rollup" -> q44Sql,
     "q45_pivot" -> q45Sql,
+    "q46_cube" -> q46Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_top_revenue" -> q02Sql,
     "q03_broadcast_join" -> q03Sql,

@@ -171,6 +171,41 @@ object TextOps {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** q47: corpus cleaning — the canonical pre-training normalization pass:
+    * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    * then keep-filter on minimum token count and alphabetic ratio. One
+    * narrow codegen'd projection + filter over the scan; at 100 TB this is
+    * the first stage of every text pipeline and runs at scan speed. */
+  val q47CleanCorpus: Q = (s, d) => {
+    val cleaned = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val nTok = size(split(cleaned, " "))
+    val alphaChars = length(regexp_replace(cleaned, "[^a-z]", ""))
+    documents(s, d)
+      .select(col("doc_id"),
+        length(cleaned).as("clean_len"),
+        nTok.as("n_clean_tokens"),
+        round(alphaChars.cast("double") / greatest(length(cleaned), lit(1)), 6)
+          .as("alpha_ratio"),
+        (nTok >= 10 &&
+          alphaChars.cast("double") / greatest(length(cleaned), lit(1)) >= 0.25)
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+  val q47Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS cleaned
+      |  FROM documents)
+      |SELECT doc_id,
+      |  LENGTH(cleaned) AS clean_len,
+      |  LEN(string_split(cleaned, ' ')) AS n_clean_tokens,
+      |  ROUND(CAST(LENGTH(regexp_replace(cleaned, '[^a-z]', '', 'g')) AS DOUBLE)
+      |        / GREATEST(LENGTH(cleaned), 1), 6) AS alpha_ratio,
+      |  (LEN(string_split(cleaned, ' ')) >= 10
+      |   AND CAST(LENGTH(regexp_replace(cleaned, '[^a-z]', '', 'g')) AS DOUBLE)
+      |       / GREATEST(LENGTH(cleaned), 1) >= 0.25) AS kept
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
@@ -178,6 +213,7 @@ object TextOps {
     "q23_fingerprint" -> q23Fingerprint,
     "q39_vocab_topk" -> q39VocabTopK,
     "q40_hash_split" -> q40HashSplit,
+    "q47_clean_corpus" -> q47CleanCorpus,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
@@ -186,5 +222,6 @@ object TextOps {
     "q23_fingerprint" -> q23Sql,
     "q39_vocab_topk" -> q39Sql,
     "q40_hash_split" -> q40Sql,
+    "q47_clean_corpus" -> q47Sql,
   )
 }
