@@ -45,8 +45,16 @@ object Steered {
     * equivalent artifact is the per-round trace JSON; ours is the final
     * decision table). */
   def save(path: java.nio.file.Path): Unit = {
+    // full JSON string escape incl. control chars — a tab/newline in a
+    // strategy name must not produce an unparseable artifact
     def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
     val body = learned.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
@@ -59,9 +67,23 @@ object Steered {
   def load(path: java.nio.file.Path): Int = {
     val text = java.nio.file.Files.readString(path)
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => sb += c; i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
     var n = 0
     entry.findAllMatchIn(text).foreach { m =>
-      def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
       learned.put(unesc(m.group(1)), unesc(m.group(2)))
       n += 1
     }

@@ -440,27 +440,30 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** q44: ROLLUP — hierarchical subtotals (priority, status) → priority →
-    * grand total in ONE pass (Catalyst expands the grouping sets into a
-    * single shuffle; at scale this beats three separate aggregations by
-    * sharing the scan and the exchange). Null grouping keys are the
+  /** Shared subtotal shape for ROLLUP/CUBE over orders: one grouping-sets
+    * pass (single shuffle — at scale this beats separate aggregations by
+    * sharing the scan and the exchange); null grouping keys are the
     * subtotal markers, replaced with 'ALL' for a total ORDER BY. */
-  val q44Rollup: Q = (s, d) => {
-    orders(s, d)
-      .rollup("o_orderpriority", "o_orderstatus")
+  private def subtotals(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         col("n"), col("sum_price"))
       .orderBy("priority", "status")
-  }
-  val q44Sql: String =
+  private def subtotalsSql(keyword: String): String =
     s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
        |  COALESCE(o_orderstatus, 'ALL') AS status,
        |  COUNT(*) AS n, ${dsql("o_totalprice")} AS sum_price
-       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       |FROM orders GROUP BY $keyword (o_orderpriority, o_orderstatus)
        |ORDER BY priority, status""".stripMargin
+
+  /** q44: ROLLUP — hierarchical subtotals (priority, status) → priority →
+    * grand total. */
+  val q44Rollup: Q = (s, d) =>
+    subtotals(orders(s, d).rollup("o_orderpriority", "o_orderstatus"))
+  val q44Sql: String = subtotalsSql("ROLLUP")
 
   /** q45: PIVOT — event counts per hour-of-day with one column per event
     * type. Spark's relational pivot compiles to a single hash aggregate
@@ -488,22 +491,9 @@ object Relational {
   /** q46: CUBE — all 2^k grouping combinations in one shuffle (rollup's
     * hierarchical subset is q44); the cross-dimensional subtotal table
     * OLAP dashboards page through. */
-  val q46Cube: Q = (s, d) => {
-    orders(s, d)
-      .cube("o_orderpriority", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-      .select(
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        col("n"), col("sum_price"))
-      .orderBy("priority", "status")
-  }
-  val q46Sql: String =
-    s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-       |  COALESCE(o_orderstatus, 'ALL') AS status,
-       |  COUNT(*) AS n, ${dsql("o_totalprice")} AS sum_price
-       |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-       |ORDER BY priority, status""".stripMargin
+  val q46Cube: Q = (s, d) =>
+    subtotals(orders(s, d).cube("o_orderpriority", "o_orderstatus"))
+  val q46Sql: String = subtotalsSql("CUBE")
 
   val queries: Map[String, Q] = Map(
     "q41_approx_stats" -> q41ApproxStats,

@@ -28,6 +28,14 @@ object SteeringDemo {
       "q04_semi_join" -> ((s: SparkSession) => Relational.q04SemiJoin(s, sfDir)),
       "q05_anti_join" -> ((s: SparkSession) => Relational.q05AntiJoin(s, sfDir)))
 
+    // warm-start from a previous demo run's registry, if present
+    val registryPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_STEERING_REGISTRY", "/tmp/graft_steering.json"))
+    if (java.nio.file.Files.exists(registryPath)) {
+      val n = Steered.load(registryPath)
+      println(s"loaded $n learned hints from $registryPath")
+    }
+
     val res = SteeringLoop.steer(spark, queries,
       configs = SteeringLoop.defaultConfigs, batch = 3, rounds = rounds, learn = true)
 
@@ -42,6 +50,8 @@ object SteeringDemo {
       println(f"  ${r.queryName}%-18s -> ${r.configName}%-12s " +
         f"(${r.observedSeconds}%.3f s vs default ${r.defaultSeconds}%.3f s)")
     }
+    Steered.save(registryPath)
+    println(s"registry saved to $registryPath")
     spark.stop()
   }
 }

@@ -39,6 +39,9 @@ def values_equal(a, b):
     a, b = norm(a), norm(b)
     if isinstance(a, float) and isinstance(b, float):
         if a == b:
+            # IEEE == treats -0.0 == 0.0; a bit-hashing driver does not
+            if EXACT:
+                return math.copysign(1.0, a) == math.copysign(1.0, b)
             return True
         if EXACT:
             return False
