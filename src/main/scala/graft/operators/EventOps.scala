@@ -58,7 +58,9 @@ object EventOps {
         max(unix_micros(col("ts"))).as("end_us"),
         dsum(col("value")).as("sum_value"))
       .select(col("user_id"), col("session_idx"), col("n_events"),
-        round((col("end_us") - col("start_us")) / 1e6, 6).as("duration_s"),
+        // exact integer microseconds: ROUND(double) has cross-engine
+        // last-ulp latitude (scaled-multiply vs BigDecimal), BIGINT does not
+        (col("end_us") - col("start_us")).as("duration_us"),
         col("sum_value"))
       .orderBy("user_id", "session_idx")
   }
@@ -78,7 +80,7 @@ object EventOps {
        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
        |  FROM flags)
        |SELECT user_id, session_idx, COUNT(*) AS n_events,
-       |  ROUND((MAX(us) - MIN(us)) / 1e6, 6) AS duration_s,
+       |  MAX(us) - MIN(us) AS duration_us,
        |  ${dsql("value")} AS sum_value
        |FROM sess GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
@@ -158,7 +160,7 @@ object EventOps {
       .filter(col("tag") === 1)
       .select(col("click_id").as("event_id"), col("user_id"),
         col("last_purchase_id").as("purchase_id"),
-        round((col("us") - col("last_purchase_us")) / 1e6, 6).as("lag_s"),
+        (col("us") - col("last_purchase_us")).as("lag_us"),
         col("last_purchase_value").as("purchase_value"))
       .orderBy("event_id")
   }
@@ -175,7 +177,7 @@ object EventOps {
       |      FROM purchases),
       |clicks AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click')
       |SELECT c.event_id, c.user_id, p.purchase_id,
-      |  ROUND((c.us - p.us) / 1e6, 6) AS lag_s,
+      |  c.us - p.us AS lag_us,
       |  p.purchase_value
       |FROM clicks c ASOF LEFT JOIN p
       |  ON c.user_id = p.user_id AND c.us >= p.us

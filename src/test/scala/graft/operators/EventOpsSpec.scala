@@ -15,7 +15,7 @@ class EventOpsSpec extends AnyFunSuite with SharedSpark {
     val sess = EventOps.q34Sessionize(spark, sf).cache()
     val nEvents = graft.Tables.events(spark, sf).count()
     assert(sess.agg(sum("n_events")).head().getLong(0) == nEvents)
-    assert(sess.filter(col("duration_s") < 0).count() == 0)
+    assert(sess.filter(col("duration_us") < 0).count() == 0)
     // session indices are 1..k contiguous per user
     val bad = sess.groupBy("user_id")
       .agg(max("session_idx").as("mx"), count(lit(1)).as("n"))
@@ -36,7 +36,7 @@ class EventOpsSpec extends AnyFunSuite with SharedSpark {
   test("q35 asof: every matched purchase precedes its click") {
     val df = EventOps.q35AsofJoin(spark, sf).cache()
     assert(df.count() > 0)
-    assert(df.filter(col("purchase_id").isNotNull && col("lag_s") < 0).count() == 0)
+    assert(df.filter(col("purchase_id").isNotNull && col("lag_us") < 0).count() == 0)
     // click count preserved (left join semantics)
     val clicks = graft.Tables.events(spark, sf)
       .filter(col("event_type") === "click").count()
