@@ -22,11 +22,13 @@ object SparkEntry {
     * LLM-data-pipeline extensions (dedup, similarity, text, multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ EventOps.queries
+      SimilarityOps.queries ++ MultimodalOps.queries ++ EventOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ MultimodalOps.oracle ++ EventOps.oracle
+      SimilarityOps.oracle ++ MultimodalOps.oracle ++ EventOps.oracle ++
+      PipelineOps.oracle
 }

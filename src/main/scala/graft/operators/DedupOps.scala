@@ -335,6 +335,49 @@ object DedupOps {
        |SELECT n AS doc_id, MIN(m) AS component
        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  /** q49: benchmark decontamination — the training-pipeline op that removes
+    * eval-set leakage: flag every training document sharing ≥1 word-3-gram
+    * shingle with the benchmark set (here: `doc_id % 97 == 0`, a
+    * deterministic stand-in for a held-out eval corpus).
+    *
+    * Shape: the benchmark's distinct shingles are a FEW rows vs the corpus —
+    * broadcast them, so contamination detection is a broadcast semi-join-
+    * with-count over the exploded train shingles: zero shuffle for the
+    * probe itself (the only exchanges are the per-doc count agg and the
+    * output sort). At 100 TB the eval set stays ~MB-scale, so the broadcast
+    * holds, and the probe runs at scan speed — this is exactly how
+    * production decontamination passes are built. */
+  val q49Decontaminate: Q = (s, d) => {
+    val sh = shingles(s, d, withSource = false)
+    val bench = broadcast(
+      sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct())
+    val sizes = sh.filter(col("doc_id") % 97 =!= 0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+  val q49Sql: String =
+    s"""WITH $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
+       |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 97 = 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh
+       |          WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+       |hits AS (
+       |  SELECT d.doc_id, COUNT(*) AS n_hits
+       |  FROM dsh d JOIN bench b ON d.sh = b.sh
+       |  WHERE d.doc_id % 97 <> 0 GROUP BY d.doc_id)
+       |SELECT s.doc_id, s.n_sh,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q24_dedup_exact" -> q24DedupExact,
     "q25_ngram_jaccard" -> q25NgramJaccard,
@@ -342,6 +385,7 @@ object DedupOps {
     "q27_lsh_pairs" -> q27LshPairs,
     "q28_simhash" -> q28Simhash,
     "q42_dedup_clusters" -> q42DedupClusters,
+    "q49_decontaminate" -> q49Decontaminate,
   )
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,
@@ -350,5 +394,6 @@ object DedupOps {
     "q27_lsh_pairs" -> q27Sql,
     "q28_simhash" -> q28Sql,
     "q42_dedup_clusters" -> q42Sql,
+    "q49_decontaminate" -> q49Sql,
   )
 }

@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Round-3 surface widening: the window-function family beyond rank
+  * (lead/lag/ntile/percent_rank), full-outer joins, correlated subqueries
+  * through the SQL front-end, higher-order array functions, and the
+  * remaining training-pipeline staples (stratified sampling, repetition
+  * scoring, histogramming, funnel analysis).
+  *
+  * Determinism policy is the shared one (EventOps): integer microseconds
+  * for time arithmetic, DECIMAL(38,6) for float sums, 6dp rounding for
+  * small-magnitude ratios, total ORDER BY with a unique trailing key.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q48: the navigation/distribution window family over per-customer order
+    * history: lag/lead prices, ntile quartile, percent_rank. One window
+    * spec → ONE shuffle on o_custkey; all four functions evaluate in a
+    * single WindowExec pass. o_custkey is high-cardinality at scale so the
+    * window parallelizes; no global sort besides the output ORDER BY. */
+  val q48WindowSuite: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag("o_totalprice", 1).over(w).as("prev_price"),
+      lead("o_totalprice", 1).over(w).as("next_price"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val q48Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_totalprice) OVER w AS prev_price,
+      |  LEAD(o_totalprice) OVER w AS next_price,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q50: stratified content-addressed sampling — per-language keep rates
+    * (en 50%, zh/es 25%, de/fr 12.5%) decided by the first hex digit of
+    * md5(doc_id). Like q40's split this is the production sampling shape:
+    * stateless, engine-portable, and stable under corpus growth (a doc's
+    * fate never depends on what else is in the corpus). Pure filter —
+    * runs at scan speed, no shuffle but the output sort. */
+  val q50StratifiedSample: Q = (s, d) => {
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val thr = when(col("lang") === "en", "8")
+      .when(col("lang").isin("zh", "es"), "4").otherwise("2")
+    documents(s, d)
+      .filter(h1 < thr)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+  val q50Sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      |  CASE WHEN lang = 'en' THEN '8'
+      |       WHEN lang IN ('zh', 'es') THEN '4' ELSE '2' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** q51: repetition scoring (the Gopher-style quality signal): fraction of
+    * word-3-grams that are repeats of an earlier 3-gram in the same doc.
+    * Per-row array arithmetic — total 3-grams is size-2, distinct comes
+    * from the shared shingle kernel — so the op is a narrow codegen'd
+    * projection; no shuffle at any scale. */
+  val q51Repetition: Q = (s, d) => {
+    val l = split(trim(col("text")), "\\s+")
+    documents(s, d)
+      .select(col("doc_id"), l.as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        (size(col("l")) - 2).as("n_ngrams"),
+        size(graft.functions.HashKernels.shingles3(col("l"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        (col("n_ngrams") - col("n_distinct")).as("n_repeated"),
+        round((col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+  val q51Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, LEN(l) - 2 AS n_ngrams,
+      |    LEN(list_distinct(list_transform(range(1, len(l) - 1),
+      |        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS n_distinct
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents)
+      |  WHERE LEN(l) >= 3)
+      |SELECT doc_id, n_ngrams, n_distinct,
+      |  n_ngrams - n_distinct AS n_repeated,
+      |  ROUND(CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams, 6) AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** q52: token-count histogram — fixed-width buckets of 50 tokens capped
+    * at bucket 9. The length-distribution profile every corpus audit runs:
+    * one narrow projection + a 10-key partial agg (each map task emits ≤10
+    * rows before the exchange, so the shuffle is negligible at any scale). */
+  val q52TokenHistogram: Q = (s, d) => {
+    val n = size(split(trim(col("text")), "\\s+"))
+    documents(s, d)
+      .select(least(floor(n / 50).cast("long"), lit(9L)).as("bucket"),
+        n.as("n_tokens"), col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("bucket")
+  }
+  val q52Sql: String =
+    """WITH t AS (
+      |  SELECT LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens, n_chars
+      |  FROM documents)
+      |SELECT LEAST(CAST(FLOOR(n_tokens / 50) AS BIGINT), 9) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q53: full-outer join — per-nation supplier vs customer presence with
+    * coalesced counts and exact decimal balance sums. The two per-nation
+    * aggregates are tiny (≤|nations| rows) so the outer join broadcasts;
+    * at scale both inputs arrive pre-aggregated (partial aggs collapse the
+    * fact tables map-side) and the join stays dimension-sized. */
+  val q53FullOuter: Q = (s, d) => {
+    val sup = supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(DecimalType(38, 6))).cast(DoubleType).as("sup_bal"))
+    val cust = customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(38, 6))).cast(DoubleType).as("cust_bal"))
+    sup.join(cust, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("sup_bal"), lit(0.0)).as("sup_bal"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"))
+      .orderBy("nationkey")
+  }
+  val q53Sql: String =
+    """WITH sup AS (
+      |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+      |    CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sup_bal
+      |  FROM supplier GROUP BY 1),
+      |cust AS (
+      |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS cust_bal
+      |  FROM customer GROUP BY 1)
+      |SELECT COALESCE(sup.nationkey, cust.nationkey) AS nationkey,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(sup_bal, 0.0) AS sup_bal,
+      |  COALESCE(cust_bal, 0.0) AS cust_bal
+      |FROM sup FULL OUTER JOIN cust ON sup.nationkey = cust.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** q54: correlated subqueries through the SQL front-end — EXISTS and
+    * NOT EXISTS per customer, aggregated by market segment. Catalyst
+    * decorrelates both into left-semi / left-anti hash joins (verify with
+    * explain: no per-row subquery execution survives), which is the whole
+    * point of declaring them declaratively: at scale they run as two
+    * shuffled-hash/broadcast joins, not |customers| probes. */
+  val q54ExistsSubquery: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("graft_customer")
+    orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  COUNT(CASE WHEN EXISTS (
+        |    SELECT 1 FROM graft_orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |    THEN 1 END) AS n_with_big_order,
+        |  COUNT(CASE WHEN NOT EXISTS (
+        |    SELECT 1 FROM graft_orders o WHERE o.o_custkey = c.c_custkey)
+        |    THEN 1 END) AS n_inactive
+        |FROM graft_customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+  val q54Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  COUNT(CASE WHEN EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |    THEN 1 END) AS n_with_big_order,
+      |  COUNT(CASE WHEN NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |    THEN 1 END) AS n_inactive
+      |FROM customer c
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q55: higher-order array functions over the embedding column —
+    * filter (positive-component count), array_max, and an order-free exact
+    * sum via a DECIMAL(38,6) fold. All lambda evaluation happens inside
+    * codegen on the unexploded array: per-row work, zero shuffle, and no
+    * 64×-row blow-up (the q29 explode detour exists only where the oracle
+    * needs element rows). */
+  val q55ArrayFuncs: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(DoubleType).cast(DecimalType(38, 6))
+    embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+      array_max(col("embedding")).cast(DoubleType).as("max_val"),
+      aggregate(col("embedding"), lit(BigDecimal(0)).cast(DecimalType(38, 6)),
+        (acc, v) => acc + dec(v)).cast(DoubleType).as("sum_val"))
+      .orderBy("vec_id")
+  }
+  val q55Sql: String =
+    """SELECT vec_id,
+      |  LEN(embedding) AS dim,
+      |  LEN(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+      |  CAST(list_sum(list_transform(embedding,
+      |       x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6)))) AS DOUBLE) AS sum_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** q56: funnel analysis — per user: first view, first click at-or-after
+    * that view, first purchase at-or-after that click, and the funnel stage
+    * reached. Three conditional-min aggregations chained on user_id; all
+    * three shuffles land on the SAME key so Catalyst reuses one exchange
+    * partitioning (and at scale a bucketed-by-user events table makes them
+    * all zero-exchange). Time arithmetic in exact integer microseconds. */
+  val q56Funnel: Q = (s, d) => {
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") >= col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+        (lit(1)
+          + when(col("c_us").isNotNull, 1).otherwise(0)
+          + when(col("p_us").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy("user_id")
+  }
+  val q56Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(us) AS v_us FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(us) AS c_us
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND us >= v_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(us) AS p_us
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY e.user_id)
+      |SELECT v.user_id, v_us, c_us, p_us,
+      |  1 + CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q48_window_suite" -> q48WindowSuite,
+    "q50_stratified_sample" -> q50StratifiedSample,
+    "q51_repetition" -> q51Repetition,
+    "q52_token_histogram" -> q52TokenHistogram,
+    "q53_full_outer" -> q53FullOuter,
+    "q54_exists_subquery" -> q54ExistsSubquery,
+    "q55_array_funcs" -> q55ArrayFuncs,
+    "q56_funnel" -> q56Funnel,
+  )
+  val oracle: Map[String, String] = Map(
+    "q48_window_suite" -> q48Sql,
+    "q50_stratified_sample" -> q50Sql,
+    "q51_repetition" -> q51Sql,
+    "q52_token_histogram" -> q52Sql,
+    "q53_full_outer" -> q53Sql,
+    "q54_exists_subquery" -> q54Sql,
+    "q55_array_funcs" -> q55Sql,
+    "q56_funnel" -> q56Sql,
+  )
+}

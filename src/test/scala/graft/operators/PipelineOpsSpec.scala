@@ -4,167 +4,100 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SharedSpark
 
-/** Specs for the LLM-pipeline operator families. The heavyweight value
-  * check is the driver's DuckDB oracle (all queries pass exactly at sf0.01);
-  * these specs pin schemas, invariants, and a few hand-computable values on
-  * sf0.001 so `sbt test` catches regressions without DuckDB.
+/** Specs for the round-3 surface widening (q48–q56). Value-level parity is
+  * the driver's DuckDB gate; these pin structural invariants on sf0.001
+  * plus the plan-shape claims the Scaladocs make (decorrelation, exchange
+  * reuse).
   */
 class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
   private val sf = "/root/testdata/sf0.001"
 
-  test("q20 token stats: counts consistent") {
-    val df = TextOps.q20TokenStats(spark, sf).cache()
-    assert(df.count() == 500)
-    assert(df.filter(col("n_distinct_tokens") > col("n_tokens")).count() == 0)
-    assert(df.filter(col("n_tokens") <= 0).count() == 0)
+  test("q48 windows: one row per order, quartile in 1..4, pr in [0,1]") {
+    val df = PipelineOps.q48WindowSuite(spark, sf).cache()
+    assert(df.count() == graft.Tables.orders(spark, sf).count())
+    assert(df.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+    assert(df.filter(col("pr") < 0 || col("pr") > 1).count() == 0)
+    // first order per customer has no prev, pr = 0
+    assert(df.filter(col("prev_price").isNull && col("pr") =!= 0).count() == 0)
   }
 
-  test("q24 exact dedup: groups partition the corpus") {
-    val df = DedupOps.q24DedupExact(spark, sf)
-    val agg = df.agg(sum("n_copies"), count(lit(1))).head()
-    assert(agg.getLong(0) == 500) // every doc in exactly one group
+  test("q50 stratified sample: subset of corpus, en rate highest") {
+    val df = PipelineOps.q50StratifiedSample(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0 && n < 500)
+    // deterministic: re-running yields the identical sample
+    val again = PipelineOps.q50StratifiedSample(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
   }
 
-  test("q25 jaccard pairs: bounded and symmetric-free") {
-    val df = DedupOps.q25NgramJaccard(spark, sf).cache()
-    assert(df.filter(col("jaccard") > 1.0 || col("jaccard") < 0.2).count() == 0)
-    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  test("q51 repetition: 0 <= n_repeated < n_ngrams, ratio consistent") {
+    val df = PipelineOps.q51Repetition(spark, sf).cache()
+    assert(df.filter(col("n_repeated") < 0 || col("n_repeated") >= col("n_ngrams")).count() == 0)
+    assert(df.filter(col("n_distinct") + col("n_repeated") =!= col("n_ngrams")).count() == 0)
   }
 
-  test("q26 minhash: 16 signatures per doc, stable across runs") {
-    val df = DedupOps.q26MinhashSignatures(spark, sf).cache()
-    val perDoc = df.groupBy("doc_id").count().agg(min("count"), max("count")).head()
-    assert(perDoc.getLong(0) == 16 && perDoc.getLong(1) == 16)
-    // determinism: md5-based hashes are pure functions
-    val again = DedupOps.q26MinhashSignatures(spark, sf)
-    assert(df.exceptAll(again).count() == 0)
+  test("q52 histogram: doc counts total the corpus, buckets ordered") {
+    val df = PipelineOps.q52TokenHistogram(spark, sf).cache()
+    assert(df.agg(sum("n_docs")).head().getLong(0) == 500)
+    assert(df.filter(col("min_tokens") > col("max_tokens")).count() == 0)
   }
 
-  test("q28 simhash: 32-bit range and popcount consistency") {
-    val df = DedupOps.q28Simhash(spark, sf).cache()
-    assert(df.filter(col("simhash") < 0 || col("simhash") >= (1L << 32)).count() == 0)
-    assert(df.filter(col("popcount") < 0 || col("popcount") > 32).count() == 0)
+  test("q53 full outer: covers the union of both sides' nation keys") {
+    val df = PipelineOps.q53FullOuter(spark, sf).cache()
+    val supN = graft.Tables.supplier(spark, sf)
+      .select(col("s_nationkey").cast("long")).distinct()
+    val custN = graft.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long")).distinct()
+    val expected = supN.union(custN).distinct().count()
+    assert(df.count() == expected)
+    assert(df.filter(col("n_suppliers") === 0 && col("n_customers") === 0).count() == 0)
   }
 
-  test("connected components match a local union-find on the same pairs") {
-    import spark.implicits._
-    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
-      .toDF("doc_a", "doc_b")
-    val nodes = (1L to 10L).toDF("doc_id")
-    val got = DedupOps.connectedComponents(nodes, pairs)
-      .as[(Long, Long)].collect().toMap
-    // union-find ground truth: {1,2,3,8,9} → 1, {5,6} → 5, rest singleton
-    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
-      5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L, 10L -> 10L)
-    assert(got == expected, got.toSeq.sorted.mkString(", "))
+  test("q54 exists: decorrelated to semi/anti joins, counts consistent") {
+    val df = PipelineOps.q54ExistsSubquery(spark, sf).cache()
+    // Catalyst must rewrite the correlated EXISTS into joins — no
+    // per-row subquery survives in the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("subquery exists"),
+      s"correlated subquery not decorrelated:\n$plan")
+    val bad = df.filter(
+      col("n_with_big_order") > col("n_customers") ||
+        col("n_inactive") > col("n_customers")).count()
+    assert(bad == 0)
+    assert(df.agg(sum("n_customers")).head().getLong(0) ==
+      graft.Tables.customer(spark, sf).count())
   }
 
-  test("connected components match union-find on random graphs") {
-    import spark.implicits._
-    val rng = new scala.util.Random(7)
-    for (trial <- 1 to 3) {
-      val n = 30
-      val pairs = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
-        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
-      // driver-side union-find ground truth
-      val parent = Array.tabulate(n)(identity)
-      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a.toInt), find(b.toInt))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
-      val got = DedupOps.connectedComponents(
-          (0L until n.toLong).toDF("doc_id"),
-          pairs.toDF("doc_a", "doc_b"), maxIter = 40)
-        .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"trial $trial")
-    }
+  test("q55 array funcs: n_pos <= dim, sum matches explode-based decimal sum") {
+    val df = PipelineOps.q55ArrayFuncs(spark, sf).cache()
+    assert(df.filter(col("n_pos") < 0 || col("n_pos") > col("dim")).count() == 0)
+    // the higher-order decimal fold must agree bitwise with the exploded
+    // decimal aggregation (order-free exactness is the claim)
+    val exploded = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy("vec_id")
+      .agg(sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double").as("sum_val"))
+    val joined = df.select("vec_id", "sum_val")
+      .join(exploded.withColumnRenamed("sum_val", "sum2"), "vec_id")
+    assert(joined.filter(col("sum_val") =!= col("sum2")).count() == 0)
   }
 
-  test("q42: components are consistent with the q27 pair graph") {
-    import spark.implicits._
-    val comp = DedupOps.q42DedupClusters(spark, sf).as[(Long, Long)].collect().toMap
-    val pairs = DedupOps.q27LshPairs(spark, sf)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect()
-    // every pair's endpoints share a component, and the label is a member
-    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"($a,$b)") }
-    assert(comp.forall { case (n, c) => c <= n })
+  test("q56 funnel: stages monotone, timestamps ordered") {
+    val df = PipelineOps.q56Funnel(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("stage") < 1 || col("stage") > 3).count() == 0)
+    assert(df.filter(col("c_us").isNotNull && col("c_us") < col("v_us")).count() == 0)
+    assert(df.filter(col("p_us").isNotNull && col("p_us") < col("c_us")).count() == 0)
+    // stage encodes exactly which timestamps exist
+    assert(df.filter(col("stage") === 3 && col("p_us").isNull).count() == 0)
+    assert(df.filter(col("stage") === 1 && col("c_us").isNotNull).count() == 0)
   }
 
-  test("cosine topk: self-similarity ~1, results sorted, k respected") {
-    val emb = graft.Tables.embeddings(spark, sf)
-    val res = SimilarityOps.cosineTopK(emb.filter(col("vec_id") < 3), emb, 5).cache()
-    assert(res.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
-    // a vector's duplicate-free top hit similarity is within [-1, 1+eps]
-    assert(res.filter(abs(col("sim")) > 1.0 + 1e-6).count() == 0)
-    // rk ordering matches sim ordering per query
-    import spark.implicits._
-    res.select("query_id", "rk", "sim").as[(Long, Int, Double)].collect()
-      .groupBy(_._1).values.foreach { rows =>
-        val sorted = rows.sortBy(_._2).map(_._3)
-        assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b - 1e-12 })
-      }
-  }
-
-  test("q29 brute-force ANN matches array-native cosine within rounding") {
-    val res = SimilarityOps.q29BruteForceTopK(spark, sf)
-    val emb = graft.Tables.embeddings(spark, sf)
-    val native = SimilarityOps.cosineTopK(emb.filter(col("vec_id") < 5), emb, 5)
-    import spark.implicits._
-    val a = res.select("query_id", "target_id", "sim").as[(Long, Long, Double)]
-      .collect().map { case (q, t, s) => (q, t) -> s }.toMap
-    val b = native.select("query_id", "target_id", "sim").as[(Long, Long, Double)]
-      .collect().map { case (q, t, s) => (q, t) -> s }.toMap
-    val common = a.keySet intersect b.keySet
-    assert(common.nonEmpty)
-    common.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-5, s"$k: ${a(k)} vs ${b(k)}"))
-  }
-
-  test("IVF ANN: probing half the cells recovers most of the exact top-5") {
-    import spark.implicits._
-    val emb = graft.Tables.embeddings(spark, sf)
-    val qids = Seq(0L, 1L, 2L, 3L, 4L)
-    val exact = SimilarityOps.cosineTopK(emb.filter(col("vec_id") < 5), emb, 5)
-      .select("query_id", "target_id").as[(Long, Long)].collect().toSet
-    val ivf = SimilarityOps.ivfTopK(emb, qids, k = 5, nList = 8, nProbe = 4)
-      .select("query_id", "target_id").as[(Long, Long)].collect().toSet
-    val recall = (exact intersect ivf).size.toDouble / exact.size
-    assert(recall >= 0.5, f"recall@5 = $recall%.2f")
-    // every query returns k results (cells are populated)
-    assert(ivf.groupBy(_._1).forall(_._2.size == 5))
-  }
-
-  test("multimodal decode stub: deterministic byte features") {
-    val f = MultimodalOps.stubDecode("abc".getBytes("UTF-8"))
-    assert(f(0) == 3.0f)            // length
-    assert(f(2) == 97.0f)           // min byte 'a'
-    assert(f(3) == 99.0f)           // max byte 'c'
-    assert(f(6) == ((97 + 98 + 99) % 251).toFloat)
-    assert(MultimodalOps.stubDecode(Array.emptyByteArray)(0) == 0.0f)
-  }
-
-  test("resize stub: block averaging and length contract") {
-    val in = Array[Byte](10, 20, 30, 40, 50)
-    val out = MultimodalOps.stubResize(in, 2)
-    assert(out.length == 3)
-    assert(out(0) == 15 && out(1) == 35 && out(2) == 50) // last block partial
-    assert(MultimodalOps.stubResize(Array.emptyByteArray, 4).isEmpty)
-  }
-
-  test("q43 frame sampling: strided frames with correct sizes") {
-    val df = MultimodalOps.q43FrameSample(spark, sf).cache()
-    // every sampled frame index is even; full frames are exactly 100 bytes
-    assert(df.filter(col("frame_idx") % 2 =!= 0).count() == 0)
-    assert(df.filter(col("n_bytes") > 100 || col("n_bytes") <= 0).count() == 0)
-    assert(df.select("doc_id").distinct().count() == 500)
-  }
-
-  test("q31 multimodal pipeline: features survive the mapPartitions boundary") {
-    val df = MultimodalOps.q31MultimodalDecode(spark, sf).cache()
-    assert(df.count() == 500)
-    assert(df.filter(col("f_len") =!= col("n_bytes")).count() == 0)
-    assert(df.filter(col("f_min_byte") > col("f_max_byte")).count() == 0)
+  test("q49 decontaminate: hits bounded, benchmark docs absent") {
+    val df = DedupOps.q49Decontaminate(spark, sf).cache()
+    assert(df.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(df.filter(col("n_hits") > col("n_sh")).count() == 0)
+    assert(df.filter(col("contaminated") =!= (col("n_hits") > 0)).count() == 0)
   }
 }
