@@ -49,6 +49,46 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("q48: all four window functions evaluate in one Window operator") {
+    val plan = physicalPlan(PipelineOps.q48WindowSuite(spark, sf))
+    // lag/lead/ntile/percent_rank share a window spec → ONE WindowExec
+    // (a second would mean a second sort or shuffle of the fact table)
+    assert("(?m)^(?!.*Sort).*Window\\b".r.findAllIn(plan).size == 1,
+      s"window functions split across operators:\n$plan")
+  }
+
+  test("q49: decontamination probe has no join and no agg exchange") {
+    val plan = physicalPlan(DedupOps.q49Decontaminate(spark, sf))
+    assert(!plan.contains("Join"), s"probe joins instead of broadcast set:\n$plan")
+    // only exchanges: the parallelize repartition + the output sort
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n$plan")
+  }
+
+  test("q54: EXISTS/NOT EXISTS decorrelate to existence hash joins") {
+    val plan = physicalPlan(PipelineOps.q54ExistsSubquery(spark, sf))
+    // EXISTS under a projection decorrelates to ExistenceJoin (a hash join
+    // emitting an exists flag) — the point is that NO per-row subquery
+    // survives; both subqueries become joins
+    assert("ExistenceJoin".r.findAllIn(plan).size == 2,
+      s"correlated subqueries not decorrelated to joins:\n$plan")
+    assert(!plan.toLowerCase.contains("subqueryexec"),
+      s"per-row subquery survived:\n$plan")
+  }
+
+  test("q55: array lambdas run on the unexploded array (no Generate)") {
+    val plan = physicalPlan(PipelineOps.q55ArrayFuncs(spark, sf))
+    assert(!plan.contains("Generate"), s"array ops exploded:\n$plan")
+    // one narrow pass: no exchange before the output sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"unexpected aggregation shuffle:\n$plan")
+  }
+
+  test("q52: histogram aggregates map-side before the 10-key exchange") {
+    val plan = physicalPlan(PipelineOps.q52TokenHistogram(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead
