@@ -268,6 +268,52 @@ object PipelineOps {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** q57: entity redaction — the PII-masking pass of a corpus pipeline:
+    * count then globally replace a sensitive-term pattern, and re-fingerprint
+    * the masked text (downstream dedup keys must be computed AFTER masking
+    * or near-dups diverge on the masked spans). The pattern here is a
+    * stand-in marker set; production swaps in email/phone/ID regexes —
+    * the plan shape (one codegen'd projection, no shuffle) is identical. */
+  val q57Redact: Q = (s, d) => {
+    val pat = "\\b(customer|value)\\b"
+    val masked = regexp_replace(col("text"), pat, "<ENT>")
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(pat)).as("n_masked"),
+      length(masked).as("masked_len"),
+      md5(masked).as("masked_hash"))
+      .orderBy("doc_id")
+  }
+  val q57Sql: String =
+    """SELECT doc_id,
+      |  LEN(regexp_extract_all(text, '\b(customer|value)\b')) AS n_masked,
+      |  LENGTH(regexp_replace(text, '\b(customer|value)\b', '<ENT>', 'g')) AS masked_len,
+      |  md5(regexp_replace(text, '\b(customer|value)\b', '<ENT>', 'g')) AS masked_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q58: per-source quota sampling (data mixing): keep at most 10 docs per
+    * source, prioritized content-addressed (md5 of doc_id) so the selection
+    * is stable under corpus growth — the shape behind "cap source X at N
+    * documents" mixture rules. One shuffle on source for the window; at
+    * scale source cardinality is high and the per-group sort is bounded by
+    * the quota's TakeOrdered behavior. */
+  val q58SourceQuota: Q = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 10)
+      .orderBy("source", "rn")
+  }
+  val q58Sql: String =
+    """SELECT doc_id, source, rn FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_window_suite" -> q48WindowSuite,
     "q50_stratified_sample" -> q50StratifiedSample,
@@ -277,6 +323,8 @@ object PipelineOps {
     "q54_exists_subquery" -> q54ExistsSubquery,
     "q55_array_funcs" -> q55ArrayFuncs,
     "q56_funnel" -> q56Funnel,
+    "q57_redact" -> q57Redact,
+    "q58_source_quota" -> q58SourceQuota,
   )
   val oracle: Map[String, String] = Map(
     "q48_window_suite" -> q48Sql,
@@ -287,5 +335,7 @@ object PipelineOps {
     "q54_exists_subquery" -> q54Sql,
     "q55_array_funcs" -> q55Sql,
     "q56_funnel" -> q56Sql,
+    "q57_redact" -> q57Sql,
+    "q58_source_quota" -> q58Sql,
   )
 }

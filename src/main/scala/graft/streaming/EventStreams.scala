@@ -83,6 +83,52 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  final case class FunnelUpdate(userId: Long, stage: Int,
+                                vUs: Long, cUs: Option[Long], pUs: Option[Long])
+  // not `private`: the state encoder's generated code must access the class
+  final case class FunnelState(vUs: Long, cUs: Long, pUs: Long) // -1 = unset
+
+  /** Streaming funnel (the continuous counterpart of
+    * [[graft.operators.PipelineOps.q56Funnel]]): per user, track first
+    * view → first click at-or-after it → first purchase at-or-after that,
+    * via `flatMapGroupsWithState`. Emits an update whenever a user's stage
+    * advances (Append mode; suppress non-advancing batches).
+    *
+    * State is three longs per user — bounded by user cardinality, not
+    * event volume; add a timeout eviction policy for abandonment-window
+    * semantics in production. Rows are processed in event-time order
+    * within each batch, so on a single batch (or in-order arrival) the
+    * result matches the batch q56 exactly (asserted in EventStreamsSpec);
+    * under cross-batch out-of-order arrival the funnel is best-effort by
+    * design — a stage, once reached, is never retracted. */
+  def funnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val before = st
+          rows.toVector.sortBy(_._3).foreach { case (_, et, us) =>
+            if (et == "view" && st.vUs < 0) st = st.copy(vUs = us)
+            else if (et == "click" && st.vUs >= 0 && st.cUs < 0 && us >= st.vUs)
+              st = st.copy(cUs = us)
+            else if (et == "purchase" && st.cUs >= 0 && st.pUs < 0 && us >= st.cUs)
+              st = st.copy(pUs = us)
+          }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            val stage = 1 + (if (st.cUs >= 0) 1 else 0) + (if (st.pUs >= 0) 1 else 0)
+            Iterator(FunnelUpdate(userId, stage, st.vUs,
+              Option(st.cUs).filter(_ >= 0), Option(st.pUs).filter(_ >= 0)))
+          }
+      }.toDF()
+  }
+
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
                                  startMs: Long, endMs: Long, closed: Boolean)
   private final case class SessionState(nEvents: Long, totalValue: Double,

@@ -127,4 +127,38 @@ class EventStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(out.contains((7L, 1L, 3.0, false)))
     assert(out.contains((8L, 1L, 4.0, false)))
   }
+
+  test("funnel: batch execution matches q56 on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+    val streamed = EventStreams.funnel(spark, ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val batch = graft.operators.PipelineOps.q56Funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"diff: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+  }
+
+  test("funnel: stage advances across micro-batches, never retracts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.funnel(sp, stream.toDF())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    stream.addData(Ev(1, t(0), 1, "view", 0.0), Ev(2, t(1), 1, "click", 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(3, t(2), 1, "purchase", 0.0),
+      Ev(4, t(3), 1, "click", 0.0),         // later click must not replace first
+      Ev(5, t(0), 2, "purchase", 0.0))      // purchase before any view: no funnel
+    q.processAllAvailable()
+    q.stop()
+    val rows = sp.table("funnel")
+      .select("userId", "stage").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSet == Set((1L, 2), (1L, 3)), rows.mkString(", "))
+  }
 }
