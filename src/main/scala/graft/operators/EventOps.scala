@@ -76,8 +76,10 @@ object EventOps {
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
        |sess AS (
        |  SELECT user_id, event_id, value, us,
-       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |    -- DuckDB windowed SUM(BIGINT) widens to HUGEINT (arrow decimal128);
+       |    -- Spark's stays BIGINT — cast so the typed driver hash agrees
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
        |  FROM flags)
        |SELECT user_id, session_idx, COUNT(*) AS n_events,
        |  MAX(us) - MIN(us) AS duration_us,

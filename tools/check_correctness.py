@@ -35,6 +35,28 @@ import os
 # that needs it would FAIL the driver gate)
 EXACT = os.environ.get("GRAFT_EXACT", "") == "1"
 
+import pyarrow as _pa
+
+def types_compatible(dt, st):
+    """True iff the driver's typed hash would treat columns of these arrow
+    types identically. Calibrated against CORRECTNESS_r03: int64-vs-int32
+    columns (q15 rk, q47 clean_len, ...) hash GREEN at the driver, so
+    integer WIDTH is normalized; decimal128(5,2)-vs-double (q21 quality)
+    hashes GREEN, so decimals coerce to float; decimal128-vs-int64
+    (q34 session_idx) hashes RED, so int-vs-float KIND is not normalized.
+    String/binary offset width (large_string vs string) is a writer
+    detail, also normalized."""
+    if dt.equals(st):
+        return True
+    def canon(t):
+        if _pa.types.is_integer(t):
+            return "int"
+        if _pa.types.is_floating(t) or _pa.types.is_decimal(t):
+            return "float"
+        s = str(t)
+        return {"large_string": "string", "large_binary": "binary"}.get(s, s)
+    return canon(dt) == canon(st)
+
 def values_equal(a, b):
     a, b = norm(a), norm(b)
     if isinstance(a, float) and isinstance(b, float):
@@ -72,6 +94,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ duck={dcols} spark={scols}")
             n_fail += 1
             continue
+        # The driver hashes TYPED values: a decimal128 session_idx vs an
+        # int64 one fails its hash even when every value matches (this is
+        # exactly how q34 stayed red for two rounds while this checker said
+        # PASS). Compare arrow types after the name sort; hard-fail in
+        # EXACT mode, warn otherwise.
+        type_bad = [
+            (c, str(duck.schema.field(c).type), str(ours.schema.field(c).type))
+            for c in dcols
+            if not types_compatible(duck.schema.field(c).type, ours.schema.field(c).type)
+        ]
+        if type_bad:
+            c, dt, st = type_bad[0]
+            msg = f"{name}: col {c} type duck={dt} spark={st}"
+            if EXACT:
+                print(f"FAIL {msg} (typed driver hash would differ)")
+                n_fail += 1
+                continue
+            print(f"WARN {msg}")
         if duck.num_rows != ours.num_rows:
             print(f"FAIL {name}: rows duck={duck.num_rows} spark={ours.num_rows}")
             n_fail += 1
