@@ -7,6 +7,13 @@ class WorkloadSpec extends AnyFunSuite with graft.SharedSpark {
   private val ref = "/root/reference/dataset"
   private lazy val job = Workloads.matrixFromCsv(s"$ref/job-matrix.csv")
 
+  // shared session: drop cached plans so they can't be substituted into
+  // other suites' physical plans by CacheManager
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
   test("distributed CSV melt agrees with the driver-side parse") {
     import org.apache.spark.sql.functions._
     val cells = Workloads.cellsFromCsvDistributed(spark, s"$ref/job-matrix.csv").cache()

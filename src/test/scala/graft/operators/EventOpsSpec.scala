@@ -11,6 +11,13 @@ import graft.SharedSpark
 class EventOpsSpec extends AnyFunSuite with SharedSpark {
   private val sf = "/root/testdata/sf0.001"
 
+  // shared session: cached gate-query plans leak into other suites'
+  // physical plans via CacheManager unless dropped here
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
   test("q34 sessionize: sessions partition events, durations non-negative") {
     val sess = EventOps.q34Sessionize(spark, sf).cache()
     val nEvents = graft.Tables.events(spark, sf).count()

@@ -12,6 +12,14 @@ import graft.SharedSpark
 class PipelineOpsSpec extends AnyFunSuite with SharedSpark {
   private val sf = "/root/testdata/sf0.001"
 
+  // The session is shared across suites: anything cached here would be
+  // substituted (as InMemoryRelation) into OTHER suites' physical plans by
+  // CacheManager — the round-3 PlanShapeSpec order-dependent failure.
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
   test("q48 windows: one row per order, quartile in 1..4, pr in [0,1]") {
     val df = PipelineOps.q48WindowSuite(spark, sf).cache()
     assert(df.count() == graft.Tables.orders(spark, sf).count())
