@@ -112,7 +112,12 @@ object EventStreams {
         case (userId, rows, state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val before = st
-          rows.toVector.sortBy(_._3).foreach { case (_, et, us) =>
+          // secondary sort by funnel-stage priority: the batch q56 accepts
+          // click/purchase at us >= the prior stage's us (inclusive), so on
+          // a timestamp TIE the earlier stage must be applied first or the
+          // later-stage event is silently dropped
+          val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          rows.toVector.sortBy(r => (r._3, stageRank.getOrElse(r._2, 3))).foreach { case (_, et, us) =>
             if (et == "view" && st.vUs < 0) st = st.copy(vUs = us)
             else if (et == "click" && st.vUs >= 0 && st.cUs < 0 && us >= st.vUs)
               st = st.copy(cUs = us)

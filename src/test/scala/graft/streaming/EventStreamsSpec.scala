@@ -143,6 +143,25 @@ class EventStreamsSpec extends AnyFunSuite with SharedSpark {
       s"diff: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
   }
 
+  test("funnel: timestamp ties resolve in stage order (view before click)") {
+    val sp = spark
+    import sp.implicits._
+    // view/click tie at t(0), click/purchase tie at t(1): batch q56 accepts
+    // us >= the prior stage's us, so the single-batch funnel must too —
+    // arrival order inside the batch deliberately lists later stages first
+    val data = Seq(
+      Ev(3, t(1), 1, "purchase", 0.0),
+      Ev(2, t(0), 1, "click", 0.0),
+      Ev(1, t(0), 1, "view", 0.0),
+      Ev(4, t(1), 1, "click", 0.0))
+    val out = EventStreams.funnel(sp, data.toDF()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // click matches AT the view's timestamp; purchase at t(1) follows the
+    // t(0) click (the t(1) click is too late to matter)
+    assert(out.toSeq == Seq((1L, 3, t(0).getTime * 1000, t(0).getTime * 1000, t(1).getTime * 1000)),
+      out.mkString(", "))
+  }
+
   test("funnel: stage advances across micro-batches, never retracts") {
     val sp = spark
     import sp.implicits._
