@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.report.Report
+import graft.sources.Workloads
+import graft.strategy._
+
+/** Full experiment-grid driver — the one-command counterpart of the
+  * reference's `src/run_experiment.py:27-63`: Oracle ×1, QO-Advisor ×1,
+  * Random ×N, Greedy ×N, LimeQO ×N, LimeQO+ ×M, writing each per-round
+  * JSON trace in the reference artifact layout
+  * (`experiment/<ds>/<strategy>/<i>.json`), then regenerating the
+  * `result/<ds>.csv` checkpoint table from the FRESH traces through
+  * [[graft.report.Report]] — the full paper loop end-to-end.
+  *
+  * Faithful-to-artifact details:
+  *  - Random / Greedy / QO-Advisor start from the first-hint-only mask
+  *    (the stored JOB traces' round-0 exec_time equals the workload
+  *    default — no init mask).
+  *  - Random / Greedy / LimeQO stop on an exploration-time budget
+  *    (`limeqo.ipynb · cell 7` shape): the stored traces keep exploring
+  *    BELOW the current code's `opt + 20` rule (JOB random runs end at
+  *    total 70.0 with opt+20 = 88.1) and their exploration extents cluster
+  *    at the budget (~720–800 s random/greedy, >1100 s limeqo) — the
+  *    stored artifacts predate `run_experiment.py`'s +20 stop. `--budget 0`
+  *    selects the +20 rule instead (the current reference-code default).
+  *  - LimeQO additionally starts from `--mask` (the stored runs used
+  *    `init_<ds>_mask.npy`: their round-0 exec_time is above default).
+  *  - LimeQO+ needs `--plans` (plan-tree JSONs). The reference repo ships
+  *    without its dataset zips (`dataset/.MISSING_LARGE_BLOBS`), so on a
+  *    pristine checkout this stage is skipped with a notice — same as the
+  *    reference itself, which cannot run it either.
+  *  - The grid is embarrassingly parallel across (strategy, seed); it runs
+  *    sequentially here to keep trace RNG streams independent of scheduling,
+  *    matching the reference's sequential loop.
+  *
+  * Usage:
+  *   graft.ExperimentRunner <matrix.csv> <outDir>
+  *     [--mask m.npy] [--seeds 20] [--plus-seeds 5] [--plans "glob"]
+  *     [--batch 8] [--plus-batch 32] [--rank 5] [--alpha 1.0] [--beta 15.0]
+  *     [--budget 720] [--limeqo-budget 1200] [--limeqo-max-rounds 200]
+  *     [--checkpoints 45,90,180,360,720] [--skip random,greedy,...]
+  */
+object ExperimentRunner {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: ExperimentRunner <matrix.csv> <outDir> [--mask m.npy] [--seeds 20] " +
+        "[--plus-seeds 5] [--plans glob] [--batch 8] [--plus-batch 32] [--rank 5] " +
+        "[--alpha 1.0] [--beta 15.0] [--budget 720] [--limeqo-budget 1200] [--limeqo-max-rounds 200] " +
+        "[--checkpoints 45,90,180,360,720] [--skip s1,s2]")
+      sys.exit(2)
+    }
+    val Array(matrixPath, outDir) = args.take(2)
+    val opts = args.drop(2).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+    val seeds = opts.getOrElse("seeds", "20").toInt
+    val plusSeeds = opts.getOrElse("plus-seeds", "5").toInt
+    val batch = opts.getOrElse("batch", "8").toInt
+    val plusBatch = opts.getOrElse("plus-batch", "32").toInt
+    val rank = opts.getOrElse("rank", "5").toInt
+    val alpha = opts.getOrElse("alpha", "1.0").toDouble
+    val beta = opts.getOrElse("beta", "15.0").toDouble
+    // 0 = use the +20 stop rule instead of a budget
+    val budget = Some(opts.getOrElse("budget", "720").toDouble).filter(_ > 0)
+    val limeqoBudget = Some(opts.getOrElse("limeqo-budget", "1200").toDouble).filter(_ > 0)
+    val maxRounds = opts.getOrElse("limeqo-max-rounds", "200").toInt
+    val checkpoints = opts.getOrElse("checkpoints", "45,90,180,360,720")
+      .split(",").toSeq.map(_.trim.toDouble)
+    val skip = opts.get("skip").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+
+    val w = Workloads.matrixFromCsv(matrixPath)
+    val mask = opts.get("mask").map(Workloads.initMask(_, w))
+    Files.createDirectories(Paths.get(outDir))
+
+    def stage(name: String)(body: => Unit): Unit =
+      if (skip(name)) println(s"-- $name: skipped")
+      else {
+        val t0 = System.nanoTime()
+        body
+        println(f"-- $name: done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+
+    stage("oracle") {
+      new OracleStrategy().run(w, None, Some(Paths.get(s"$outDir/oracle.json")))
+    }
+    stage("qo_advisor") {
+      new QOAdvisorStrategy(batch).run(w, None, Some(Paths.get(s"$outDir/qo_advisor/1.json")))
+    }
+    stage("random") {
+      for (i <- 1 to seeds)
+        new RandomStrategy(batch, seed = i, maxRounds = maxRounds, budgetSeconds = budget)
+          .run(w, None, Some(Paths.get(s"$outDir/random/$i.json")))
+    }
+    stage("greedy") {
+      for (i <- 1 to seeds)
+        new GreedyStrategy(batch, seed = i, maxRounds = maxRounds, budgetSeconds = budget)
+          .run(w, None, Some(Paths.get(s"$outDir/greedy/$i.json")))
+    }
+    stage("limeqo") {
+      for (i <- 1 to seeds)
+        new LimeQOStrategy(rank = rank, alpha = alpha, beta = beta,
+          newObserveSize = batch, seed = i, maxRounds = maxRounds,
+          budgetSeconds = limeqoBudget)
+          .run(w, mask, Some(Paths.get(s"$outDir/limeqo/$i.json")))
+    }
+
+    // Spark is only needed for plan loading and the report regeneration;
+    // the strategy loops are deliberately driver-local (SURVEY §1.3: the
+    // dense workload matrix is ≤2.4 MB, under the collect boundary).
+    // When an embedding caller (a spec) already owns a session, getOrCreate
+    // reuses it and we must NOT stop it on their behalf.
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    var sparkStarted = false
+    lazy val spark = {
+      sparkStarted = true
+      SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .appName("graft-experiment")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+
+    var ranPlus = false
+    stage("limeqo_plus") {
+      opts.get("plans") match {
+        case None =>
+          println("   no --plans glob: the reference distribution is missing its " +
+            "plan-tree blobs (dataset/.MISSING_LARGE_BLOBS); skipping LimeQO+ " +
+            "like a pristine reference checkout must")
+        case Some(glob) =>
+          val plans = graft.plans.PlanFeaturizer.loadPlans(spark, glob)
+          val fz = graft.plans.PlanFeaturizer.fit(plans)
+          val rowOf = w.queryIds.zipWithIndex.toMap
+          for (i <- 1 to plusSeeds)
+            new LimeQOPlusStrategy(plans, fz, rowOf, rank, alpha, beta,
+              newObserveSize = plusBatch, seed = i, maxRounds = maxRounds)
+              .run(w, mask, Some(Paths.get(s"$outDir/limeqo+/$i.json")))
+          ranPlus = true
+      }
+    }
+
+    stage("report") {
+      // include every strategy whose traces exist on disk — a stage skipped
+      // THIS invocation may have produced its artifacts in a previous one
+      // (the skip flags mean "don't re-run", not "exclude from the table")
+      val strategies = Seq(
+        "Random" -> "random", "Greedy" -> "greedy", "LimeQO" -> "limeqo",
+        "LimeQO+" -> "limeqo+")
+      val present = strategies
+        .filter { case (_, dir) =>
+          val p = Paths.get(outDir, dir)
+          Files.isDirectory(p) && Files.list(p).anyMatch(_.toString.endsWith(".json"))
+        }
+        .map { case (n, dir) => n -> s"$outDir/$dir/*.json" }
+      val labels = checkpoints.map(c =>
+        if (c == c.floor) s"${c.toLong}s" else s"${c}s")
+      val csv = Report.checkpointCsv(spark, present, w.defaultTime, checkpoints, labels)
+      Files.writeString(Paths.get(s"$outDir/result.csv"), csv)
+      println(s"   wrote $outDir/result.csv:")
+      print(csv)
+    }
+
+    if (sparkStarted && preExisting.isEmpty) spark.stop()
+  }
+}

@@ -126,8 +126,15 @@ final class QOAdvisorStrategy(newObserveSize: Int = 8) extends Strategy {
 }
 
 /** Random: uniform unobserved (row, col) picks with the min-observed
-  * timeout rule (`random.py:12-67`). Seeded. */
-final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Strategy {
+  * timeout rule (`random.py:12-67`). Seeded.
+  *
+  * Stop condition: by default the code's `Σ min_observed ≤ opt + 20`
+  * (`random.py:32`); with `budgetSeconds` set, the exploration-time budget
+  * the STORED experiment traces were generated with — they keep exploring
+  * well below opt+20 (e.g. JOB random runs end at total 70.0 with opt+20 =
+  * 88.1) and all end near x ≈ 720–800 s, the budget signature. */
+final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42,
+    maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None) extends Strategy {
   val name = "random"
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
           tracePath: Option[Path]): Vector[RoundMetrics] = {
@@ -137,16 +144,37 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
     while (i < w.nRows) { st.observe(i, 0); i += 1 }
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
 
+    def anyAvailable: Boolean = {
+      var r = 0
+      while (r < w.nRows) {
+        var c = 0
+        while (c < w.nCols) {
+          if (!st.mask(r)(c) && st.timeoutM(r)(c) == 0.0) return true
+          c += 1
+        }
+        r += 1
+      }
+      false
+    }
+
     // while condition tests the PRE-pick value from the previous body top
     // (`random.py:32-35`) — one extra converged round, as the reference
     var minObs = st.minObserved
-    while (minObs.sum > w.optTime + 20) {
+    var round = 0
+    def keepGoing: Boolean = budgetSeconds match {
+      case Some(b) => st.execTime + st.timeout - w.defaultTime < b
+      case None => minObs.sum > w.optTime + 20
+    }
+    var exhausted = false
+    while (keepGoing && round < maxRounds && !exhausted) {
       minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
       var cnt = 0
       // reference quirk: `while cnt <= size` observes size+1 per round
-      // (`random.py:55`) — preserved for envelope parity
-      while (cnt <= newObserveSize) {
+      // (`random.py:55`) — preserved for envelope parity. The availability
+      // check (not in the reference) keeps a budget-stopped run from
+      // spinning forever once every cell is observed or timed out.
+      while (cnt <= newObserveSize && anyAvailable) {
         val row = rng.nextInt(w.nRows)
         val col = rng.nextInt(w.nCols)
         if (!st.mask(row)(col) && st.timeoutM(row)(col) == 0.0) {
@@ -162,14 +190,21 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
           }
         }
       }
+      exhausted = cnt <= newObserveSize // only anyAvailable can break early
+      round += 1
     }
     results.toVector
   }
 }
 
 /** Greedy: worst queries by min-observed, random unexplored hint within the
-  * row, timeout rule as Random (`greedy.py:12-82`). Seeded. */
-final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Strategy {
+  * row, timeout rule as Random (`greedy.py:12-82`). Seeded.
+  *
+  * Stop condition: default `Σ min_observed ≤ opt + 20`; `budgetSeconds`
+  * selects the exploration-budget variant the stored traces used (see
+  * [[RandomStrategy]]). */
+final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42,
+    maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None) extends Strategy {
   val name = "greedy"
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
           tracePath: Option[Path]): Vector[RoundMetrics] = {
@@ -185,9 +220,16 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
     // while condition tests the PRE-pick value from the previous body top
     // (`greedy.py`) — one extra converged round, as the reference
     var minObs = st.minObserved
-    while (minObs.sum > w.optTime + 20) {
+    var round = 0
+    def keepGoing: Boolean = budgetSeconds match {
+      case Some(b) => st.execTime + st.timeout - w.defaultTime < b
+      case None => minObs.sum > w.optTime + 20
+    }
+    var progressed = true // false once a full pass picks nothing: exhausted
+    while (keepGoing && round < maxRounds && progressed) {
       minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
+      val timeoutBefore = st.timeout
       var cnt = 0
       val order = (0 until w.nRows).sortBy(r => (-minObs(r), r))
       val it = order.iterator
@@ -213,6 +255,8 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42) extends Str
           }
         }
       }
+      progressed = cnt > 0 || st.timeout != timeoutBefore
+      round += 1
     }
     results.toVector
   }
