@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.HashKernels
@@ -14,7 +15,9 @@ import graft.functions.HashKernels
   *  - MinHash/LSH: candidate generation never compares all pairs — docs
   *    shuffle once per band on the band-signature key, and only
   *    bucket-colliding pairs are emitted. Band-bucket skew (huge clusters of
-  *    near-identical docs) is the thing to watch; cap bucket size or salt.
+  *    near-identical docs) is bounded by the per-bucket candidate window
+  *    ([[DedupOps.DefaultCandidateCap]]): O(N·cap) candidates, component
+  *    connectivity preserved via the in-bucket chain.
   *  - SimHash: per-doc 32-bit signature, one narrow pass; near-dup = small
   *    Hamming distance, joinable on rotated prefixes at scale.
   *
@@ -35,10 +38,10 @@ object DedupOps {
     * shingle transform: inlining `split(trim(text))` into the lambda
     * defeats common-subexpression elimination (measured 164 s → 4.6 s).
     */
-  private def docShingles(s: SparkSession, d: String, withSource: Boolean): DataFrame = {
+  private def docShinglesOf(docs: DataFrame, withSource: Boolean): DataFrame = {
     val keep = if (withSource) Seq(col("doc_id"), col("source")) else Seq(col("doc_id"))
-    val nPar = s.sparkContext.defaultParallelism
-    documents(s, d)
+    val nPar = docs.sparkSession.sparkContext.defaultParallelism
+    docs
       // a small corpus arrives as ONE parquet split; without this the whole
       // hashing pipeline runs on a single core. At 100 TB the scan has
       // thousands of splits and this is a cheap doc_id-hash shuffle of
@@ -52,11 +55,24 @@ object DedupOps {
       .select(keep :+ HashKernels.shingles3(col("l")).as("shs"): _*)
   }
 
+  private def docShingles(s: SparkSession, d: String, withSource: Boolean): DataFrame =
+    docShinglesOf(documents(s, d), withSource)
+
   /** Exploded view (doc_id[, source], sh) for the shingle self-join (q25). */
-  private def shingles(s: SparkSession, d: String, withSource: Boolean): DataFrame = {
+  private def shinglesOf(docs: DataFrame, withSource: Boolean): DataFrame = {
     val keep = if (withSource) Seq(col("doc_id"), col("source")) else Seq(col("doc_id"))
-    docShingles(s, d, withSource).select(keep :+ explode(col("shs")).as("sh"): _*)
+    docShinglesOf(docs, withSource).select(keep :+ explode(col("shs")).as("sh"): _*)
   }
+
+  /** Per-block / per-bucket candidate cap (q25/q27): within a block, each
+    * doc pairs only with the next `DefaultCandidateCap` docs in doc_id
+    * order. Chosen far above the largest block the gate corpora produce
+    * (max 6 at sf0.1, measured) so gate output is bit-identical to the
+    * uncapped formulation, while an adversarial corpus of N near-identical
+    * docs generates O(N·cap) candidates instead of O(N²) — and the pair
+    * CHAIN inside an over-full block keeps its connected component intact,
+    * so q42's clustering still groups the whole block (DedupCapSpec). */
+  val DefaultCandidateCap = 32
 
   /** DuckDB equivalent of shingleExpr as a CTE over `documents`:
     * (doc_id, sh) — one row per shingle. DuckDB lists are 1-based. */
@@ -98,12 +114,26 @@ object DedupOps {
     * 20× candidate reduction here; at 100 TB the block key becomes the
     * shuffle partition key, and blocks are independently parallel).
     */
-  val q25NgramJaccard: Q = (s, d) => {
-    val sh = shingles(s, d, withSource = true)
+  /** Reusable Jaccard-pair kernel over any (doc_id, source, text) frame.
+    * `blockCap`: per-(source, shingle) candidate window — each shingle
+    * occurrence pairs with at most `blockCap` following docs (doc_id
+    * order). Blocks at-or-under the cap are EXACT (every pair survives
+    * with its full intersection count, so gate output is unchanged as long
+    * as the cap exceeds the largest observed block); over-full blocks —
+    * stopword-like shingles on an adversarial corpus — degrade gracefully
+    * to a bounded candidate chain instead of re-quadratizing the join.
+    * The rank window shuffles on the same (source, sh) key the self-join
+    * clusters on, so it adds a sort but NO extra exchange. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double,
+                   blockCap: Int = DefaultCandidateCap): DataFrame = {
+    val w = Window.partitionBy("source", "sh").orderBy("doc_id")
+    val sh = shinglesOf(docs, withSource = true)
+      .withColumn("rn", row_number().over(w).cast("long"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && col("b.rn") <= col("a.rn") + lit(blockCap.toLong))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
@@ -112,9 +142,11 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         round(col("n_common").cast("double")
           / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
-      .orderBy("doc_a", "doc_b")
+      .filter(col("jaccard") >= minJaccard)
   }
+
+  val q25NgramJaccard: Q = (s, d) =>
+    jaccardPairs(documents(s, d), minJaccard = 0.2).orderBy("doc_a", "doc_b")
   val q25Sql: String =
     s"""WITH $duckShinglesWithSource,
        |dsh AS (SELECT DISTINCT doc_id, source, sh FROM shing),
@@ -163,24 +195,39 @@ object DedupOps {
     * near-identical docs) is the thing to watch at 100 TB — AQE skew-join
     * handles moderate cases; degenerate ones get a bucket-size cap upstream.
     */
-  val q27LshPairs: Q = (s, d) => {
-    val nPar = s.sparkContext.defaultParallelism
-    val bands = docShingles(s, d, withSource = false)
+  /** Reusable LSH candidate kernel over any (doc_id, text) frame.
+    * `bucketCap`: per-(band, band_key) candidate window, same contract as
+    * [[jaccardPairs]]'s blockCap — exact for buckets at-or-under the cap,
+    * bounded chain for degenerate buckets (N near-identical docs), which
+    * preserves the bucket's connected component for clustering (q42).
+    * Trade-off: the chain raises the component's DIAMETER, so downstream
+    * label propagation needs ~N/cap rounds on a degenerate bucket — size
+    * [[connectedComponents]]'s maxIter accordingly (DedupCapSpec). */
+  def lshCandidatePairs(docs: DataFrame,
+                        bucketCap: Int = DefaultCandidateCap): DataFrame = {
+    val nPar = docs.sparkSession.sparkContext.defaultParallelism
+    val w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    val bands = docShinglesOf(docs, withSource = false)
       .select(col("doc_id"),
         posexplode(HashKernels.bandKeys(nBands = 4, rowsPerBand = 4)(
           HashKernels.minhash(16)(col("shs")))).as(Seq("band", "band_key")))
       // repartition on the join key: both self-join sides then share ONE
       // exchange (ReusedExchange), so the md5-heavy signature pipeline
-      // runs once, not twice. HashPartitioning(band_key) satisfies the
-      // join's ClusteredDistribution(band, band_key) (subset rule).
+      // runs once, not twice. HashPartitioning(band_key) satisfies both the
+      // rank window's and the join's ClusteredDistribution(band, band_key)
+      // (subset rule) — the cap adds a sort, not an exchange.
       .repartition(nPar, col("band_key"))
+      .withColumn("rn", row_number().over(w).cast("long"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
-          && col("x.doc_id") < col("y.doc_id"))
+          && col("x.doc_id") < col("y.doc_id")
+          && col("y.rn") <= col("x.rn") + lit(bucketCap.toLong))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  val q27LshPairs: Q = (s, d) =>
+    lshCandidatePairs(documents(s, d)).orderBy("doc_a", "doc_b")
   val q27Sql: String =
     s"""WITH $duckShingles,
        |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
@@ -347,27 +394,55 @@ object DedupOps {
     * output sort). At 100 TB the eval set stays ~MB-scale, so the broadcast
     * holds, and the probe runs at scan speed — this is exactly how
     * production decontamination passes are built. */
-  val q49Decontaminate: Q = (s, d) => {
-    // the eval set is ~1% of docs and stays MB-scale at any corpus size, so
-    // its distinct shingles COLLECT to the driver and ship as a broadcast
-    // Set — the probe is then ONE narrow pass over the train shingle arrays
-    // (no explode, no join, no shuffle but the output sort). This replaced
-    // an explode + broadcast-join + re-join shape that evaluated the
-    // shingle pipeline three times (measured 1.29 s → 0.4 s at sf0.1).
-    val benchShingles: Set[String] = docShingles(s, d, withSource = false)
-      .filter(col("doc_id") % 97 === 0)
+  /** Reusable decontamination kernel: flag every non-bench document sharing
+    * ≥1 shingle with the bench partition (`isBench` over doc_id).
+    *
+    * Two plans, picked by measuring the eval set, SAME output either way
+    * (DedupCapSpec drives both paths to identical rows):
+    *  - set-probe (the common case): the eval set stays MB-scale at any
+    *    corpus size, so its distinct shingles COLLECT to the driver and
+    *    ship as a broadcast Set — the probe is ONE narrow pass over the
+    *    train shingle arrays (no explode, no join, no shuffle but the
+    *    output sort). This replaced an explode + broadcast-join + re-join
+    *    shape that evaluated the shingle pipeline three times (measured
+    *    1.29 s → 0.4 s at sf0.1).
+    *  - join fallback: when the collected eval shingles would exceed
+    *    `maxBroadcastShingles`, fall back to exploding the train shingles
+    *    and joining them against the (still broadcast-hinted — Spark
+    *    demotes to shuffle when it truly can't fit) bench-shingle frame,
+    *    counting hits per doc. Driver memory stays bounded by the limit
+    *    probe: `limit(max+1).collect()` never pins more than max+1 rows.
+    */
+  def decontaminate(docs: DataFrame, isBench: Column => Column,
+                    maxBroadcastShingles: Int = 5000000): DataFrame = {
+    val s = docs.sparkSession
+    val withShs = docShinglesOf(docs, withSource = false)
+    val benchSh = withShs.filter(isBench(col("doc_id")))
       .select(explode(col("shs")).as("sh")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val bc = s.sparkContext.broadcast(benchShingles)
-    val nHits = udf { shs: Seq[String] => shs.count(bc.value.contains).toLong }
-    docShingles(s, d, withSource = false)
-      .filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
-        nHits(col("shs")).as("n_hits"))
-      .select(col("doc_id"), col("n_sh"), col("n_hits"),
-        (col("n_hits") > 0).as("contaminated"))
-      .orderBy("doc_id")
+    val train = withShs.filter(!isBench(col("doc_id")))
+
+    val probe = benchSh.limit(maxBroadcastShingles + 1).collect()
+    val flagged =
+      if (probe.length <= maxBroadcastShingles) {
+        val bc = s.sparkContext.broadcast(probe.map(_.getString(0)).toSet)
+        val nHits = udf { shs: Seq[String] => shs.count(bc.value.contains).toLong }
+        train.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+          nHits(col("shs")).as("n_hits"))
+      } else {
+        val hits = train.select(col("doc_id"), explode(col("shs")).as("sh"))
+          .join(broadcast(benchSh), Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        train.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+          .join(hits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      }
+    flagged.select(col("doc_id"), col("n_sh"), col("n_hits"),
+      (col("n_hits") > 0).as("contaminated"))
   }
+
+  val q49Decontaminate: Q = (s, d) =>
+    decontaminate(documents(s, d), _ % 97 === 0).orderBy("doc_id")
   val q49Sql: String =
     s"""WITH $duckShingles,
        |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Adversarial-scale properties of the dedup kernels (VERDICT r3 asks #5
+  * and #6): candidate caps bound the quadratic blow-up on degenerate
+  * corpora without changing gate-scale output, and decontamination's two
+  * plans agree.
+  */
+class DedupCapSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
+  /** N byte-identical documents — every (source, shingle) block and every
+    * LSH band bucket degenerates to the full corpus. */
+  private def identicalDocs(n: Int): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    (1L to n.toLong).map(i => (i, "web", text)).toDF("doc_id", "source", "text")
+  }
+
+  private def chainPairCount(n: Int, cap: Int): Long =
+    (1 to cap).map(d => math.max(0, n - d).toLong).sum
+
+  test("LSH bucket cap: N identical docs yield O(N·cap) candidates, not O(N²)") {
+    val n = 40
+    val cap = 4
+    val capped = DedupOps.lshCandidatePairs(identicalDocs(n), bucketCap = cap).collect()
+    assert(capped.length == chainPairCount(n, cap),
+      s"expected ${chainPairCount(n, cap)} chained candidates, got ${capped.length}")
+    assert(capped.length < n.toLong * (n - 1) / 4, "cap did not bound the pair blow-up")
+    // surviving pairs still collide on all 4 bands
+    assert(capped.forall(_.getLong(2) == 4))
+  }
+
+  test("capped candidate chain keeps the degenerate bucket one component") {
+    val n = 40
+    val docs = identicalDocs(n)
+    val pairs = DedupOps.lshCandidatePairs(docs, bucketCap = 2)
+      .select(col("doc_a"), col("doc_b"))
+    // the cap trades pair volume for component diameter: min-label
+    // propagation now needs ~N/cap rounds on the degenerate chain
+    val comps = DedupOps.connectedComponents(docs.select("doc_id"), pairs, maxIter = 64)
+      .select("component").distinct().collect()
+    assert(comps.length == 1 && comps.head.getLong(0) == 1L,
+      s"chain broke the cluster: ${comps.mkString(", ")}")
+  }
+
+  test("Jaccard block cap: N identical docs yield the chained pair set at J=1") {
+    val n = 30
+    val cap = 3
+    val out = DedupOps.jaccardPairs(identicalDocs(n), minJaccard = 0.2, blockCap = cap).collect()
+    assert(out.length == chainPairCount(n, cap))
+    assert(out.forall(_.getDouble(3) == 1.0), "identical docs must score J=1 exactly")
+  }
+
+  test("default caps leave the gate corpus bit-identical to uncapped") {
+    val docs = graft.Tables.documents(spark, sf)
+    val cappedJ = DedupOps.jaccardPairs(docs, 0.2)
+    val freeJ = DedupOps.jaccardPairs(docs, 0.2, blockCap = Int.MaxValue)
+    assert(cappedJ.exceptAll(freeJ).isEmpty && freeJ.exceptAll(cappedJ).isEmpty)
+    val cappedL = DedupOps.lshCandidatePairs(docs)
+    val freeL = DedupOps.lshCandidatePairs(docs, bucketCap = Int.MaxValue)
+    assert(cappedL.exceptAll(freeL).isEmpty && freeL.exceptAll(cappedL).isEmpty)
+  }
+
+  test("decontaminate: set-probe and join fallback produce identical rows") {
+    val docs = graft.Tables.documents(spark, sf)
+    val isBench = (id: org.apache.spark.sql.Column) => id % 97 === 0
+    val probe = DedupOps.decontaminate(docs, isBench) // default: set-probe
+    val fallback = DedupOps.decontaminate(docs, isBench, maxBroadcastShingles = 1)
+    assert(probe.exceptAll(fallback).isEmpty && fallback.exceptAll(probe).isEmpty)
+    // and the fallback still flags something real on this corpus
+    assert(fallback.filter(col("contaminated")).count() > 0)
+  }
+}
