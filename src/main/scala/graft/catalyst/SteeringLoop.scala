@@ -26,8 +26,12 @@ import graft.linalg.CensoredALS
   */
 object SteeringLoop {
 
-  /** One hint-set column: a value for [[HintSteeringRule.ConfKey]]. */
-  final case class SteeringConfig(name: String, strategy: String)
+  /** One hint-set column: a join-strategy value for
+    * [[HintSteeringRule.ConfKey]] plus any extra session confs to pin
+    * while the cell executes (the second steering dimension — AQE on/off,
+    * shuffle-partition tier, ...). */
+  final case class SteeringConfig(name: String, strategy: String,
+                                  confs: Map[String, String] = Map.empty)
 
   /** Default hint space — the Spark analogue of the reference's 49
     * PostgreSQL hint sets, at the granularity Catalyst exposes. */
@@ -38,6 +42,32 @@ object SteeringLoop {
     SteeringConfig("shuffle_hash", "shuffle_hash"),
     SteeringConfig("no_broadcast", "no_broadcast"))
 
+  /** Cross the join-strategy axis with a second conf axis, enlarging the
+    * workload matrix's column space exactly like the reference enlarges
+    * its hint sets (49 = the cross product of PostgreSQL enable_* flags,
+    * `/root/reference/README.md:10-12`). The first axis entry should be
+    * the empty tier so column 0 stays the unsteered default plan (the
+    * always-observed LimeQO init column). */
+  def crossed(base: Seq[SteeringConfig],
+              axis: Seq[(String, Map[String, String])]): Seq[SteeringConfig] =
+    for {
+      b <- base
+      (aName, confs) <- axis
+    } yield SteeringConfig(
+      if (aName.isEmpty) b.name else s"${b.name}+$aName",
+      b.strategy, b.confs ++ confs)
+
+  /** AQE axis: runtime re-planning on (session default) vs off. */
+  val aqeAxis: Seq[(String, Map[String, String])] = Seq(
+    ("", Map.empty),
+    ("noaqe", Map("spark.sql.adaptive.enabled" -> "false")))
+
+  /** Shuffle-partition tiers: the knob whose best value is query-shaped
+    * (small dims want few partitions, big facts want many). */
+  def partitionTiers(ns: Int*): Seq[(String, Map[String, String])] =
+    ("", Map.empty[String, String]) +:
+      ns.toSeq.map(n => (s"p$n", Map("spark.sql.shuffle.partitions" -> n.toString)))
+
   final case class Observation(query: Int, config: Int, seconds: Double, round: Int)
   final case class Recommendation(queryName: String, configName: String,
                                   observedSeconds: Double, defaultSeconds: Double)
@@ -47,20 +77,23 @@ object SteeringLoop {
   }
 
   /** Measure one query under one steering config: set the session's
-    * steering strategy, force a full materialization (noop sink), restore.
+    * steering strategy plus the config's extra confs, force a full
+    * materialization (noop sink), restore every touched conf.
     * Requires the session to carry [[GraftExtensions]]. */
   def measure(spark: SparkSession, fn: SparkSession => DataFrame,
               config: SteeringConfig): Double = {
-    val prev = spark.conf.getOption(HintSteeringRule.ConfKey)
+    val keys = HintSteeringRule.ConfKey +: config.confs.keys.toSeq
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set(HintSteeringRule.ConfKey, config.strategy)
+    config.confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val t0 = System.nanoTime()
       fn(spark).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set(HintSteeringRule.ConfKey, v)
-        case None => spark.conf.unset(HintSteeringRule.ConfKey)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }

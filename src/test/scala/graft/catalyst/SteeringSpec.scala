@@ -135,4 +135,60 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     res.recommendations.foreach(r => assert(r.observedSeconds <= r.defaultSeconds))
     assert(res.totalExplorationSeconds > 0.0)
   }
+
+  test("crossed() enlarges the config space; column 0 stays the default") {
+    val space = SteeringLoop.crossed(
+      SteeringLoop.defaultConfigs, SteeringLoop.partitionTiers(16, 64))
+    assert(space.length == SteeringLoop.defaultConfigs.length * 3)
+    assert(space.head == SteeringLoop.SteeringConfig("default", "", Map.empty))
+    assert(space.map(_.name).distinct.length == space.length, "names must be unique")
+    val m64 = space.find(_.name == "merge+p64").get
+    assert(m64.strategy == "merge" &&
+      m64.confs == Map("spark.sql.shuffle.partitions" -> "64"))
+  }
+
+  test("loop finds the optimum in the 2-D (strategy × tier) space") {
+    // envelope-style: synthetic cost where BOTH dimensions matter — the
+    // strategy axis dominates (merge 4× cheaper) and the tier axis gives a
+    // further 2× on the right tier; argmin is merge+p64 for every query
+    val space = SteeringLoop.crossed(
+      SteeringLoop.defaultConfigs.take(3), // default, broadcast, merge
+      SteeringLoop.partitionTiers(16, 64)) // "", p16, p64
+    def cost(q: Int, c: Int): Double = {
+      val cfg = space(c)
+      val strat = cfg.strategy match {
+        case "merge" => 1.0
+        case "broadcast" => 2.0
+        case _ => 4.0
+      }
+      val tier = cfg.confs.get("spark.sql.shuffle.partitions") match {
+        case Some("64") => 1.0
+        case Some("16") => 1.5
+        case None => 2.0
+      }
+      (1.0 + q) * strat * tier
+    }
+    val res = SteeringLoop.run(
+      Seq("qa", "qb"), space.map(_.name), cost,
+      batch = 4, rounds = 6, rank = 2)
+    res.recommendations.foreach { r =>
+      assert(r.configName == "merge+p64", r.toString)
+      assert(r.observedSeconds < r.defaultSeconds)
+    }
+  }
+
+  test("measure() applies and restores second-dimension confs") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val cfg = SteeringLoop.SteeringConfig("merge+p64", "merge",
+      Map("spark.sql.shuffle.partitions" -> "64"))
+    SteeringLoop.measure(spark, s => {
+      seen += (("partitions", s.conf.get("spark.sql.shuffle.partitions")))
+      seen += (("strategy", s.conf.get(HintSteeringRule.ConfKey)))
+      graft.Tables.customer(s, sf).groupBy("c_mktsegment").count()
+    }, cfg)
+    assert(seen.toSet == Set("partitions" -> "64", "strategy" -> "merge"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(spark.conf.getOption(HintSteeringRule.ConfKey).isEmpty)
+  }
 }
