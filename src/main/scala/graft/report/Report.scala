@@ -99,17 +99,28 @@ object Report {
   }
 
   /** The reference's `get_y` checkpoint sampler: within the band
-    * (0.6·t, 1.4·t) of grid points, take the middle one. */
-  def sampleCheckpoints(gridStats: DataFrame, checkpoints: Seq[Double]): Seq[(Double, Double, Double)] = {
+    * (bandLo·t, bandHi·t) of grid points, take the middle one. The JOB
+    * notebook uses (0.6, 1.4) — the default here; the ceb/dsb/stack
+    * notebooks tightened it to (0.99, 1.01) (`draw_<ds>_fig1.ipynb ·
+    * get_y`). */
+  def sampleCheckpoints(gridStats: DataFrame, checkpoints: Seq[Double],
+                        bandLo: Double = 0.6, bandHi: Double = 1.4): Seq[(Double, Double, Double)] = {
     val pts = gridStats.select("g", "y_mean", "y_std").orderBy("gi").collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
     checkpoints.map { t =>
-      val band = pts.filter { case (g, _, _) => g > t * 0.6 && g < t * 1.4 }
+      val band = pts.filter { case (g, _, _) => g > t * bandLo && g < t * bandHi }
       require(band.nonEmpty, s"no grid points near checkpoint $t")
       val (g, y, sd) = band(band.length / 2)
       (g, y, sd)
     }
   }
+
+  /** Hour-scaled view of a trajectory frame (x and y seconds → hours) —
+    * the unit the ceb/dsb/stack notebooks interpolate in. Linear
+    * interpolation commutes with the scaling, so sampling in hours matches
+    * the notebooks bit-for-bit up to float rounding. */
+  def inHours(traj: DataFrame): DataFrame =
+    traj.withColumn("x", col("x") / 3600).withColumn("y", col("y") / 3600)
 
   /** End-to-end: traces glob per strategy → checkpoint CSV in the
     * reference's `result/<ds>.csv` layout. */
