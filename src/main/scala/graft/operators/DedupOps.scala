@@ -459,6 +459,74 @@ object DedupOps {
        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** q59: cross-source contamination matrix — for every source pair, the
+    * number of distinct shingles they share. The planning signal behind
+    * "which corpora overlap enough to need joint dedup".
+    *
+    * Shape: distinct (source, sh) first — so each shingle block is ≤
+    * |sources| rows REGARDLESS of how many documents contain it (the
+    * per-source distinct is what bounds the join: a stopword shingle in
+    * every doc still contributes at most sources² pairs) — then a self-join
+    * on sh and one k²-cell aggregate. Two shuffles total at any scale. */
+  val q59SourceOverlap: Q = (s, d) => {
+    val srcSh = shinglesOf(documents(s, d), withSource = true)
+      .select("source", "sh").distinct()
+    srcSh.as("a").join(srcSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+  val q59Sql: String =
+    s"""WITH $duckShinglesWithSource,
+       |ssh AS (SELECT DISTINCT source, sh FROM shing)
+       |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+       |FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  /** q60: chunk-level duplication — split each document into consecutive
+    * 8-token chunks, hash them, and score each document by the fraction of
+    * its chunks appearing ≥2 times corpus-wide (the CCNet/paragraph-hash
+    * dedup signal at sub-document granularity; docs under 8 tokens have no
+    * chunks and drop out).
+    *
+    * Shape: chunk hashes are one narrow codegen'd pass (transform over the
+    * token array, no pair joins anywhere); the only shuffles are the
+    * hash-frequency aggregate and the hash→doc re-join — both keyed on the
+    * 128-bit hash, so shuffle volume ∝ chunk count, never text bytes. */
+  val q60ChunkDedup: Q = (s, d) => {
+    val nPar = s.sparkContext.defaultParallelism
+    val chunks = documents(s, d)
+      .repartition(nPar, col("doc_id"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("l"))
+      .filter(size(col("l")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), (size(col("l")) / lit(8)).cast("int") - 1),
+        i => md5(concat_ws(" ", slice(col("l"), i * lit(8) + 1, lit(8)))))).as("h"))
+    val freq = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    chunks.join(freq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("cnt") >= 2, lit(1))).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_chunks"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+  val q60Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |idx AS (
+      |  SELECT doc_id, l, unnest(range(len(l) // 8)) AS i
+      |  FROM toks WHERE len(l) >= 8),
+      |chunks AS (
+      |  SELECT doc_id, md5(array_to_string(l[i*8+1 : i*8+8], ' ')) AS h FROM idx),
+      |freq AS (SELECT h, COUNT(*) AS cnt FROM chunks GROUP BY h)
+      |SELECT c.doc_id, COUNT(*) AS n_chunks,
+      |  COUNT(*) FILTER (WHERE f.cnt >= 2) AS n_dup,
+      |  ROUND(CAST(COUNT(*) FILTER (WHERE f.cnt >= 2) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+      |FROM chunks c JOIN freq f ON c.h = f.h
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q24_dedup_exact" -> q24DedupExact,
     "q25_ngram_jaccard" -> q25NgramJaccard,
@@ -467,6 +535,8 @@ object DedupOps {
     "q28_simhash" -> q28Simhash,
     "q42_dedup_clusters" -> q42DedupClusters,
     "q49_decontaminate" -> q49Decontaminate,
+    "q59_source_overlap" -> q59SourceOverlap,
+    "q60_chunk_dedup" -> q60ChunkDedup,
   )
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,
@@ -476,5 +546,7 @@ object DedupOps {
     "q28_simhash" -> q28Sql,
     "q42_dedup_clusters" -> q42Sql,
     "q49_decontaminate" -> q49Sql,
+    "q59_source_overlap" -> q59Sql,
+    "q60_chunk_dedup" -> q60Sql,
   )
 }

@@ -363,16 +363,55 @@ object SimilarityOps {
     spark2.createDataFrame(spark2.sparkContext.parallelize(rows.toSeq), out.schema)
   }
 
+  /** q61: embedding outlier score — L2 distance from each vector to its
+    * label's centroid (the quality-filtering signal: far-from-centroid
+    * vectors are mislabeled or junk).
+    *
+    * Shape: centroids are a (labels × dim)-row aggregate — partial
+    * aggregation collapses each map task before the exchange, and the tiny
+    * centroid table broadcasts back, so the distance pass is scan-speed
+    * with zero extra shuffle of the big side. Determinism: centroid =
+    * decimal Σx / n (double division is IEEE-identical both engines),
+    * squared deviations re-summed through DECIMAL(38,12), 6dp round. */
+  val q61EmbeddingOutliers: Q = (s, d) => {
+    val elems = embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+    val cents = elems.groupBy("label", "pos")
+      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) / count(lit(1))).as("c"))
+    elems.join(broadcast(cents), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
+        .cast(DecimalType(38, 12))).cast(DoubleType).as("d2"))
+      .select(col("vec_id"), col("label"), round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy("vec_id")
+  }
+  val q61Sql: String =
+    """WITH elems AS (
+      |  SELECT vec_id, label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM elems GROUP BY 1, 2)
+      |SELECT e.vec_id, e.label,
+      |  ROUND(SQRT(CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+      |FROM elems e JOIN cents c ON e.label = c.label AND e.pos = c.pos
+      |GROUP BY 1, 2 ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
     "q32_embedding_neardup" -> q32EmbeddingNearDup,
     "q33_ann_native" -> q33AnnNative,
+    "q61_embedding_outliers" -> q61EmbeddingOutliers,
   )
   val oracle: Map[String, String] = Map(
     "q29_ann_bruteforce" -> q29Sql,
     "q30_ann_lsh_bucketed" -> q30Sql,
     "q32_embedding_neardup" -> q32Sql,
     "q33_ann_native" -> q33Sql,
+    "q61_embedding_outliers" -> q61Sql,
   )
 }
