@@ -77,4 +77,57 @@ class ExperimentRunnerSpec extends AnyFunSuite with SharedSpark {
       assert(v >= w.optTime - 1e-6 && v <= w.defaultTime + 1e-6, s"latency $v outside [opt, default]")
     }
   }
+
+  test("limeqo+ stage runs from synthetic plan-tree files") {
+    // the reference ships without its dataset zips, so the runner's
+    // LimeQO+ stage can only be driven with generated artifacts: a tiny
+    // matrix CSV plus one reference-format plan JSON per (query,
+    // hint-group), same fixture shape as LimeQOPlusSpec (FIXTURES.md §3)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Files.createTempDirectory("graft_plus")
+    val nRows = 12
+    val nCols = 4
+    val values = Array.tabulate(nRows, nCols) { (i, j) =>
+      math.rint((1.0 + (i % 5) * 2.0) * (0.3 + 0.4 * ((i * 7 + j * 3) % 5)) * 100) / 100.0
+    }
+    val ids = Array.tabulate(nRows)(i => f"q$i%03d")
+    val csv = ("filename" +: (0 until nCols).map(_.toString)).mkString(",") + "\n" +
+      ids.zip(values).map { case (id, row) => (id +: row.map(_.toString)).mkString(",") }.mkString("\n")
+    Files.writeString(dir.resolve("matrix.csv"), csv)
+
+    val plansDir = Files.createDirectory(dir.resolve("plans"))
+    val w = new graft.core.WorkloadMatrix(ids, values)
+    for (i <- 0 until nRows; cols <- (0 until nCols).map(j => w.sameHints(i, j).toList).distinct) {
+      val rt = values(i)(cols.head)
+      val node = (c: Double, r: Double) =>
+        s"""{"Node Type": "Seq Scan", "Total Cost": $c, "Plan Rows": $r, "Plan Width": 4.0}"""
+      val json =
+        s"""{"filename": "${ids(i)}", "hint_list": [${cols.mkString(",")}],
+           |"runtime_list": [${rt * 0.99}, $rt, ${rt * 1.01}],
+           |"plan": [[[{"Plan": {"Node Type": "Hash Join", "Total Cost": ${rt * 100},
+           |"Plan Rows": ${rt * 10}, "Plan Width": 8.0,
+           |"Plans": [${node(rt * 40, rt * 5)}, ${node(rt * 60, rt * 5)}]}}]]]}""".stripMargin
+      Files.writeString(plansDir.resolve(s"${ids(i)}_${cols.head}.json"), json)
+    }
+
+    ExperimentRunner.main(Array(
+      dir.resolve("matrix.csv").toString, dir.resolve("out").toString,
+      "--plans", s"$plansDir/*.json",
+      "--seeds", "1", "--plus-seeds", "2", "--plus-batch", "4",
+      "--limeqo-max-rounds", "30",
+      "--skip", "oracle,qo_advisor,random,greedy,limeqo,report"))
+
+    for (i <- 1 to 2) {
+      val p = dir.resolve(s"out/limeqo+/$i.json")
+      assert(Files.exists(p), s"limeqo+/$i.json missing")
+      val traces = Report.loadTraces(spark, p.toString)
+        .select("round", "total_latency").collect().sortBy(_.getInt(0))
+      assert(traces.nonEmpty)
+      // total latency is monotone non-increasing across rounds
+      traces.map(_.getDouble(1)).sliding(2).foreach {
+        case Array(a, b) => assert(b <= a + 1e-9, s"latency rose: $a -> $b")
+        case _ =>
+      }
+    }
+  }
 }
