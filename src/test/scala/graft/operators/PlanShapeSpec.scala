@@ -133,6 +133,22 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"no partial agg:\n${physicalPlan(df)}")
   }
 
+  test("q61: centroid table joins back broadcast (big side never reshuffles)") {
+    val df = SimilarityOps.q61EmbeddingOutliers(spark, sf)
+    assert(nodes(df) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"centroid join not broadcast:\n${physicalPlan(df)}")
+  }
+
+  test("q59/q60: no nested-loop or cartesian joins in the dedup matrices") {
+    for (df <- Seq(DedupOps.q59SourceOverlap(spark, sf), DedupOps.q60ChunkDedup(spark, sf))) {
+      val bad = nodes(df) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(bad.isEmpty, s"non-equi join shape:\n${physicalPlan(df)}")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead
