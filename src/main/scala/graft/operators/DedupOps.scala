@@ -275,16 +275,19 @@ object DedupOps {
       |  CAST(SUM(bit) AS BIGINT) AS popcount
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Connected components by min-label propagation: each node's label
-    * starts as its own id and each round becomes the min of itself and its
-    * neighbors' labels, until fixpoint — a driver loop of Spark jobs,
-    * converging in O(graph diameter) rounds (near-dup clusters are
-    * small/dense, so diameter is tiny in practice).
+  /** Connected components by min-label propagation WITH pointer jumping:
+    * each round a node's label becomes the min of itself and its
+    * neighbors' labels, then labels are path-compressed (label := label's
+    * label). The compression halves label-chain depth per round, so
+    * convergence is O(log diameter) rounds instead of O(diameter) — which
+    * matters precisely for the capped candidate chains ([[jaccardPairs]] /
+    * [[lshCandidatePairs]]): a degenerate N-doc bucket emits a cap-width
+    * chain of diameter ~N/cap, and plain propagation would need that many
+    * shuffles (DedupCapSpec: a 200-node chain converges in ≤12 rounds).
     *
-    * Scale notes: each round is one shuffle (the edge join + min agg).
-    * Labels are cached per round and unpersisted after the next round is
-    * materialized; at very large scale add periodic `localCheckpoint()`
-    * to truncate the growing plan lineage (the classic iterative-algorithm
+    * Scale notes: each round is two shuffles (edge join + min agg, then
+    * the compression self-join). Rounds are eagerly `localCheckpoint`ed to
+    * truncate the growing plan lineage (the classic iterative-algorithm
     * pattern, same as GraphX's strategy).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -311,8 +314,20 @@ object DedupOps {
       val viaNeighbors = edges
         .join(labels, edges("b") === labels("doc_id"))
         .select(col("a").as("doc_id"), col("component"))
-      val next = labels.select("doc_id", "component").union(viaNeighbors)
+      val propagated = labels.select("doc_id", "component").union(viaNeighbors)
         .groupBy("doc_id").agg(min("component").as("component"))
+      // pointer jump (path compression): component := component's own
+      // label. Every label value IS a paired node's doc_id, so the lookup
+      // is total — the left join + coalesce only guards the invariant.
+      // Deferred to round 3: typical LSH clusters are dense and converge
+      // in ≤2 propagation rounds, so they never pay the extra self-join;
+      // long chains (capped degenerate buckets) still get the O(log)
+      // compression from round 3 on.
+      val next = (if (iter < 2) propagated
+        else propagated
+          .join(propagated.select(col("doc_id").as("component"), col("component").as("_root")),
+            Seq("component"), "left_outer")
+          .select(col("doc_id"), coalesce(col("_root"), col("component")).as("component")))
         .localCheckpoint(true)
       // converged ⇔ no label decreased this round
       val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")

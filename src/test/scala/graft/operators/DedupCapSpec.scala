@@ -41,17 +41,25 @@ class DedupCapSpec extends AnyFunSuite with SharedSpark {
     assert(capped.forall(_.getLong(2) == 4))
   }
 
-  test("capped candidate chain keeps the degenerate bucket one component") {
-    val n = 40
+  test("capped candidate chain keeps the degenerate bucket one component in O(log) rounds") {
+    // cap 1 on 200 identical docs → a pure chain of diameter 199; pointer
+    // jumping must converge in ~log2(199)+C rounds, far under maxIter 12
+    // (plain propagation would need ~199)
+    val n = 200
+    val sp = spark
+    import sp.implicits._
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val docs = identicalDocs(n)
-    val pairs = DedupOps.lshCandidatePairs(docs, bucketCap = 2)
-      .select(col("doc_a"), col("doc_b"))
-    // the cap trades pair volume for component diameter: min-label
-    // propagation now needs ~N/cap rounds on the degenerate chain
-    val comps = DedupOps.connectedComponents(docs.select("doc_id"), pairs, maxIter = 64)
+    val comps = DedupOps.connectedComponents(docs.select("doc_id"), pairs, maxIter = 12)
       .select("component").distinct().collect()
     assert(comps.length == 1 && comps.head.getLong(0) == 1L,
       s"chain broke the cluster: ${comps.mkString(", ")}")
+    // and the real capped LSH pair generator feeds it the same way
+    val lshPairs = DedupOps.lshCandidatePairs(identicalDocs(40), bucketCap = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val lshComps = DedupOps.connectedComponents(identicalDocs(40).select("doc_id"), lshPairs, maxIter = 12)
+      .select("component").distinct().collect()
+    assert(lshComps.length == 1 && lshComps.head.getLong(0) == 1L)
   }
 
   test("Jaccard block cap: N identical docs yield the chained pair set at J=1") {
