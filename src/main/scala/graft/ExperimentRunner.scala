@@ -40,6 +40,7 @@ import graft.strategy._
   *     [--mask m.npy] [--seeds 20] [--plus-seeds 5] [--plans "glob"]
   *     [--batch 8] [--plus-batch 32] [--rank 5] [--alpha 1.0] [--beta 15.0]
   *     [--budget 720] [--limeqo-budget 1200] [--limeqo-max-rounds 200]
+  *     [--distributed-als true]
   *     [--checkpoints 45,90,180,360,720] [--skip random,greedy,...]
   */
 object ExperimentRunner {
@@ -85,6 +86,23 @@ object ExperimentRunner {
         println(f"-- $name: done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
 
+    // Spark is only needed for distributed ALS, plan loading, and the
+    // report regeneration; the strategy loops are deliberately driver-local
+    // (SURVEY §1.3: the dense workload matrix is ≤2.4 MB, under the collect
+    // boundary). When an embedding caller (a spec) already owns a session,
+    // getOrCreate reuses it and we must NOT stop it on their behalf.
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    var sparkStarted = false
+    lazy val spark = {
+      sparkStarted = true
+      SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .appName("graft-experiment")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+
     stage("oracle") {
       new OracleStrategy().run(w, None, Some(Paths.get(s"$outDir/oracle.json")))
     }
@@ -102,28 +120,19 @@ object ExperimentRunner {
           .run(w, None, Some(Paths.get(s"$outDir/greedy/$i.json")))
     }
     stage("limeqo") {
+      // --distributed-als: run each round's matrix completion as Spark jobs
+      // (broadcast column factors, tree-aggregated updates) — the path for
+      // workload matrices that outgrow the driver; semantics identical to
+      // the Breeze kernel (DistributedALSSpec)
+      val alsFactory: (Int, Int, Double, Long) => graft.linalg.MatrixCompletion =
+        if (opts.get("distributed-als").contains("true"))
+          new graft.linalg.DistributedCensoredALS(spark, _, _, _, _)
+        else new graft.linalg.CensoredALS(_, _, _, _)
       for (i <- 1 to seeds)
         new LimeQOStrategy(rank = rank, alpha = alpha, beta = beta,
           newObserveSize = batch, seed = i, maxRounds = maxRounds,
-          budgetSeconds = limeqoBudget)
+          budgetSeconds = limeqoBudget, alsFactory = alsFactory)
           .run(w, mask, Some(Paths.get(s"$outDir/limeqo/$i.json")))
-    }
-
-    // Spark is only needed for plan loading and the report regeneration;
-    // the strategy loops are deliberately driver-local (SURVEY §1.3: the
-    // dense workload matrix is ≤2.4 MB, under the collect boundary).
-    // When an embedding caller (a spec) already owns a session, getOrCreate
-    // reuses it and we must NOT stop it on their behalf.
-    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    var sparkStarted = false
-    lazy val spark = {
-      sparkStarted = true
-      SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-        .appName("graft-experiment")
-        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
     }
 
     var ranPlus = false
