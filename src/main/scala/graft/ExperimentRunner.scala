@@ -41,7 +41,8 @@ import graft.strategy._
   *     [--batch 8] [--plus-batch 32] [--rank 5] [--alpha 1.0] [--beta 15.0]
   *     [--budget 720] [--limeqo-budget 1200] [--limeqo-max-rounds 200]
   *     [--distributed-als true]
-  *     [--checkpoints 45,90,180,360,720] [--skip random,greedy,...]
+  *     [--checkpoints 45,90,180,360,720] [--hours true]
+  *     [--checkpoint-band 0.6,1.4] [--skip random,greedy,...]
   */
 object ExperimentRunner {
 
@@ -55,8 +56,14 @@ object ExperimentRunner {
       sys.exit(2)
     }
     val Array(matrixPath, outDir) = args.take(2)
-    val opts = args.drop(2).sliding(2, 2).collect {
+    // strict flag parsing: every --flag takes exactly one value; a valueless
+    // or unknown-shaped token would silently shift all later options with a
+    // pairwise sliding parse, so fail loudly instead
+    val opts = args.drop(2).grouped(2).map {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case other =>
+        System.err.println(s"bad option pair: ${other.mkString(" ")} (every --flag needs a value)")
+        sys.exit(2)
     }.toMap
 
     val seeds = opts.getOrElse("seeds", "20").toInt
@@ -72,6 +79,11 @@ object ExperimentRunner {
     val maxRounds = opts.getOrElse("limeqo-max-rounds", "200").toInt
     val checkpoints = opts.getOrElse("checkpoints", "45,90,180,360,720")
       .split(",").toSeq.map(_.trim.toDouble)
+    // JOB notebook defaults; the ceb/dsb/stack notebooks use
+    // --hours true --checkpoint-band 0.99,1.01 with hour checkpoints
+    val hours = opts.get("hours").contains("true")
+    val Array(bandLo, bandHi) = opts.getOrElse("checkpoint-band", "0.6,1.4")
+      .split(",").map(_.trim.toDouble)
     val skip = opts.get("skip").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
 
     val w = Workloads.matrixFromCsv(matrixPath)
@@ -93,14 +105,19 @@ object ExperimentRunner {
     // getOrCreate reuses it and we must NOT stop it on their behalf.
     val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     var sparkStarted = false
-    lazy val spark = {
-      sparkStarted = true
-      SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-        .appName("graft-experiment")
-        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    lazy val spark = preExisting match {
+      // reuse the embedder's session UNTOUCHED — getOrCreate would apply
+      // this builder's runtime confs (shuffle.partitions!) to it, mutating
+      // the caller's session for everything that runs after us
+      case Some(s) => s
+      case None =>
+        sparkStarted = true
+        SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .appName("graft-experiment")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
     }
 
     stage("oracle") {
@@ -135,7 +152,6 @@ object ExperimentRunner {
           .run(w, mask, Some(Paths.get(s"$outDir/limeqo/$i.json")))
     }
 
-    var ranPlus = false
     stage("limeqo_plus") {
       opts.get("plans") match {
         case None =>
@@ -150,7 +166,6 @@ object ExperimentRunner {
             new LimeQOPlusStrategy(plans, fz, rowOf, rank, alpha, beta,
               newObserveSize = plusBatch, seed = i, maxRounds = maxRounds)
               .run(w, mask, Some(Paths.get(s"$outDir/limeqo+/$i.json")))
-          ranPlus = true
       }
     }
 
@@ -164,17 +179,22 @@ object ExperimentRunner {
       val present = strategies
         .filter { case (_, dir) =>
           val p = Paths.get(outDir, dir)
-          Files.isDirectory(p) && Files.list(p).anyMatch(_.toString.endsWith(".json"))
+          Files.isDirectory(p) && {
+            val st = Files.list(p)
+            try st.anyMatch(_.toString.endsWith(".json")) finally st.close()
+          }
         }
         .map { case (n, dir) => n -> s"$outDir/$dir/*.json" }
+      val unit = if (hours) "h" else "s"
       val labels = checkpoints.map(c =>
-        if (c == c.floor) s"${c.toLong}s" else s"${c}s")
-      val csv = Report.checkpointCsv(spark, present, w.defaultTime, checkpoints, labels)
+        if (c == c.floor) s"${c.toLong}$unit" else s"$c$unit")
+      val csv = Report.checkpointCsv(spark, present, w.defaultTime, checkpoints, labels,
+        bandLo, bandHi, hours)
       Files.writeString(Paths.get(s"$outDir/result.csv"), csv)
       println(s"   wrote $outDir/result.csv:")
       print(csv)
     }
 
-    if (sparkStarted && preExisting.isEmpty) spark.stop()
+    if (sparkStarted) spark.stop()
   }
 }

@@ -66,12 +66,14 @@ object DedupOps {
 
   /** Per-block / per-bucket candidate cap (q25/q27): within a block, each
     * doc pairs only with the next `DefaultCandidateCap` docs in doc_id
-    * order. Chosen far above the largest block the gate corpora produce
-    * (max 6 at sf0.1, measured) so gate output is bit-identical to the
-    * uncapped formulation, while an adversarial corpus of N near-identical
-    * docs generates O(N·cap) candidates instead of O(N²) — and the pair
-    * CHAIN inside an over-full block keeps its connected component intact,
-    * so q42's clustering still groups the whole block (DedupCapSpec). */
+    * order. Far above the largest block the gate corpora produce (max 6 at
+    * sf0.1, measured) so capped output equals uncapped there, and the
+    * DuckDB oracles express the SAME ROW_NUMBER window — parity holds at
+    * any scale, including corpora with over-full blocks. An adversarial
+    * corpus of N near-identical docs generates O(N·cap) candidates instead
+    * of O(N²), and the pair CHAIN inside an over-full block keeps its
+    * connected component intact, so q42's clustering still groups the
+    * whole block (DedupCapSpec). */
   val DefaultCandidateCap = 32
 
   /** DuckDB equivalent of shingleExpr as a CTE over `documents`:
@@ -118,10 +120,10 @@ object DedupOps {
     * `blockCap`: per-(source, shingle) candidate window — each shingle
     * occurrence pairs with at most `blockCap` following docs (doc_id
     * order). Blocks at-or-under the cap are EXACT (every pair survives
-    * with its full intersection count, so gate output is unchanged as long
-    * as the cap exceeds the largest observed block); over-full blocks —
-    * stopword-like shingles on an adversarial corpus — degrade gracefully
-    * to a bounded candidate chain instead of re-quadratizing the join.
+    * with its full intersection count); over-full blocks — stopword-like
+    * shingles on an adversarial corpus — degrade gracefully to a bounded
+    * candidate chain instead of re-quadratizing the join. The DuckDB
+    * oracle mirrors the window, so parity is scale-independent.
     * The rank window shuffles on the same (source, sh) key the self-join
     * clusters on, so it adds a sort but NO extra exchange. */
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
@@ -150,11 +152,14 @@ object DedupOps {
   val q25Sql: String =
     s"""WITH $duckShinglesWithSource,
        |dsh AS (SELECT DISTINCT doc_id, source, sh FROM shing),
+       |rsh AS (SELECT doc_id, source, sh,
+       |        ROW_NUMBER() OVER (PARTITION BY source, sh ORDER BY doc_id) AS rn FROM dsh),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM dsh a JOIN dsh b
+       |  FROM rsh a JOIN rsh b
        |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |       AND b.rn <= a.rn + $DefaultCandidateCap
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_common,
        |  ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
@@ -239,10 +244,15 @@ object DedupOps {
        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
        |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
        |        ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS band_key
-       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT))
+       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+       |rbands AS (
+       |  SELECT doc_id, band, band_key,
+       |    ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+       |  FROM bands)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-       |FROM bands x JOIN bands y
+       |FROM rbands x JOIN rbands y
        |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |     AND y.rn <= x.rn + $DefaultCandidateCap
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
   /** q28: SimHash — 32-bit signature from the doc's distinct tokens: bit b
@@ -322,12 +332,17 @@ object DedupOps {
       // Deferred to round 3: typical LSH clusters are dense and converge
       // in ≤2 propagation rounds, so they never pay the extra self-join;
       // long chains (capped degenerate buckets) still get the O(log)
-      // compression from round 3 on.
+      // compression from round 3 on. The propagation result is
+      // materialized BEFORE the self-join — joining the raw lineage
+      // against itself would re-execute the union+min aggregate once per
+      // side (ReuseExchange dedups the shuffle, not the agg above it).
       val next = (if (iter < 2) propagated
-        else propagated
-          .join(propagated.select(col("doc_id").as("component"), col("component").as("_root")),
-            Seq("component"), "left_outer")
-          .select(col("doc_id"), coalesce(col("_root"), col("component")).as("component")))
+        else {
+          val p = propagated.localCheckpoint(true)
+          p.join(p.select(col("doc_id").as("component"), col("component").as("_root")),
+              Seq("component"), "left_outer")
+            .select(col("doc_id"), coalesce(col("_root"), col("component")).as("component"))
+        })
         .localCheckpoint(true)
       // converged ⇔ no label decreased this round
       val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
@@ -384,10 +399,15 @@ object DedupOps {
        |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
        |        ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS band_key
        |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+       |rbands AS (
+       |  SELECT doc_id, band, band_key,
+       |    ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+       |  FROM bands),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |  FROM rbands x JOIN rbands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |       AND y.rn <= x.rn + $DefaultCandidateCap),
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(n, m) AS (

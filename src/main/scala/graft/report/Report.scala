@@ -123,13 +123,19 @@ object Report {
     traj.withColumn("x", col("x") / 3600).withColumn("y", col("y") / 3600)
 
   /** End-to-end: traces glob per strategy → checkpoint CSV in the
-    * reference's `result/<ds>.csv` layout. */
+    * reference's `result/<ds>.csv` layout. Defaults reproduce the JOB
+    * notebook (seconds, (0.6, 1.4) band); pass `hours = true` and
+    * `(0.99, 1.01)` for the ceb/dsb/stack notebooks (checkpoints then in
+    * hours — see ReportSpec's cross-dataset golden). */
   def checkpointCsv(spark: SparkSession, strategies: Seq[(String, String)],
                     pgTotal: Double, checkpoints: Seq[Double],
-                    labels: Seq[String]): String = {
+                    labels: Seq[String],
+                    bandLo: Double = 0.6, bandHi: Double = 1.4,
+                    hours: Boolean = false): String = {
     val cols = strategies.map { case (_, glob) =>
-      val traj = trajectories(loadTraces(spark, glob), pgTotal)
-      sampleCheckpoints(interpolated(traj), checkpoints).map(_._2)
+      val traj0 = trajectories(loadTraces(spark, glob), pgTotal)
+      val traj = if (hours) inHours(traj0) else traj0
+      sampleCheckpoints(interpolated(traj), checkpoints, bandLo, bandHi).map(_._2)
     }
     val header = strategies.map(_._1).mkString(",")
     val rows = checkpoints.indices.map { i =>

@@ -173,11 +173,17 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42,
       // reference quirk: `while cnt <= size` observes size+1 per round
       // (`random.py:55`) — preserved for envelope parity. The availability
       // check (not in the reference) keeps a budget-stopped run from
-      // spinning forever once every cell is observed or timed out.
-      while (cnt <= newObserveSize && anyAvailable) {
+      // spinning forever once every cell is observed or timed out; it is
+      // a full-matrix scan, so it only runs after a long streak of missed
+      // random picks (misses reset on any hit) instead of per draw.
+      var misses = 0
+      def stillPickable: Boolean =
+        misses <= 4 * w.nRows * w.nCols || { misses = 0; anyAvailable }
+      while (cnt <= newObserveSize && stillPickable) {
         val row = rng.nextInt(w.nRows)
         val col = rng.nextInt(w.nCols)
         if (!st.mask(row)(col) && st.timeoutM(row)(col) == 0.0) {
+          misses = 0
           // reference compares against the round-top min_observed, not a
           // per-pick recompute (`random.py:60`)
           if (w.values(row)(col) >= minObs(row)) {
@@ -188,7 +194,7 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42,
             cnt += 1
             st.exploreQueries += row
           }
-        }
+        } else misses += 1
       }
       exhausted = cnt <= newObserveSize // only anyAvailable can break early
       round += 1
