@@ -2,6 +2,7 @@ package graft.catalyst
 
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.Literal
 
@@ -18,10 +19,18 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   * registry with its recommendation when asked to learn; [[run]] replays
   * any future execution of that template under its learned strategy by
   * setting the session steering conf that [[HintSteeringRule]] enforces.
+  *
+  * A learned hint is the FULL steering config — join strategy plus any
+  * second-dimension session confs ([[SteeringLoop.crossed]]: AQE toggle,
+  * shuffle-partition tier) — so a `merge+p64` recommendation replays as
+  * `merge` AND 64 shuffle partitions, not just the join hint.
   */
 object Steered {
 
-  private val learned = TrieMap.empty[String, String]
+  /** One learned steering decision. */
+  final case class LearnedHint(strategy: String, confs: Map[String, String] = Map.empty)
+
+  private val learned = TrieMap.empty[String, LearnedHint]
 
   /** Literal-insensitive md5 fingerprint of the analyzed plan (exprIds
     * normalized by canonicalization, constants nulled out). */
@@ -33,74 +42,66 @@ object Steered {
     md.digest(norm.toString.getBytes(UTF_8)).map("%02x".format(_)).mkString
   }
 
-  def learn(df: DataFrame, strategy: String): Unit =
-    learned.put(fingerprint(df), strategy)
+  def learn(df: DataFrame, strategy: String, confs: Map[String, String] = Map.empty): Unit =
+    learned.put(fingerprint(df), LearnedHint(strategy, confs))
 
-  def strategyFor(df: DataFrame): Option[String] = learned.get(fingerprint(df))
+  def strategyFor(df: DataFrame): Option[String] = learned.get(fingerprint(df)).map(_.strategy)
+
+  def hintFor(df: DataFrame): Option[LearnedHint] = learned.get(fingerprint(df))
 
   def clear(): Unit = learned.clear()
 
-  /** Persist the registry as one JSON object {fingerprint: strategy} —
-    * learned hints survive across sessions/deploys (the reference's
-    * equivalent artifact is the per-round trace JSON; ours is the final
-    * decision table). */
+  /** Persist the registry as one JSON object
+    * `{fingerprint: {"strategy": s, "confs": {k: v}}}` — learned hints
+    * survive across sessions/deploys (the reference's equivalent artifact
+    * is the per-round trace JSON; ours is the final decision table). */
   def save(path: java.nio.file.Path): Unit = {
-    // full JSON string escape incl. control chars — a tab/newline in a
-    // strategy name must not produce an unparseable artifact
-    def esc(s: String) = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    learned.toSeq.sortBy(_._1).foreach { case (fp, h) =>
+      val entry = root.putObject(fp)
+      entry.put("strategy", h.strategy)
+      val confs = entry.putObject("confs")
+      h.confs.toSeq.sortBy(_._1).foreach { case (k, v) => confs.put(k, v) }
     }
-    val body = learned.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-      .mkString("{\n  ", ",\n  ", "\n}")
     Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(path, body)
+    java.nio.file.Files.writeString(path,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
-  /** Load (merge) a registry saved by [[save]]. */
+  /** Load (merge) a registry saved by [[save]]. Also reads the legacy flat
+    * `{fingerprint: "strategy"}` format (pre-2-D registries). */
   def load(path: java.nio.file.Path): Int = {
-    val text = java.nio.file.Files.readString(path)
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    def unesc(s: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
-          case 'n' => sb += '\n'; i += 2
-          case 'r' => sb += '\r'; i += 2
-          case 't' => sb += '\t'; i += 2
-          case 'u' if i + 6 <= s.length =>
-            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case c => sb += c; i += 2
-        } else { sb += s(i); i += 1 }
-      }
-      sb.toString
-    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(path))
     var n = 0
-    entry.findAllMatchIn(text).foreach { m =>
-      learned.put(unesc(m.group(1)), unesc(m.group(2)))
+    root.fields().asScala.foreach { e =>
+      val v = e.getValue
+      val hint =
+        if (v.isTextual) LearnedHint(v.asText())
+        else LearnedHint(
+          v.path("strategy").asText(""),
+          Option(v.get("confs")).map(_.fields().asScala
+            .map(c => c.getKey -> c.getValue.asText()).toMap).getOrElse(Map.empty))
+      learned.put(e.getKey, hint)
       n += 1
     }
     n
   }
 
-  /** Execute `action` on `df` under its learned strategy (no-op for
-    * unknown templates). The steering conf is session-scoped, so learned
-    * hints for concurrently-running distinct templates should use separate
-    * sessions (`spark.newSession()` shares the registry, not the conf). */
+  /** Execute `action` on `df` under its learned config (no-op for unknown
+    * templates). The steering conf is session-scoped, so learned hints for
+    * concurrently-running distinct templates should use separate sessions
+    * (`spark.newSession()` shares the registry, not the conf). */
   def run[T](df: DataFrame)(action: DataFrame => T): T = {
     val spark = df.sparkSession
-    strategyFor(df) match {
+    hintFor(df) match {
       case None => action(df)
-      case Some(strategy) =>
-        val prev = spark.conf.getOption(HintSteeringRule.ConfKey)
-        spark.conf.set(HintSteeringRule.ConfKey, strategy)
+      case Some(hint) =>
+        val keys = HintSteeringRule.ConfKey +: hint.confs.keys.toSeq
+        val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+        spark.conf.set(HintSteeringRule.ConfKey, hint.strategy)
+        hint.confs.foreach { case (k, v) => spark.conf.set(k, v) }
         // re-plan under the hint: a Dataset memoizes its QueryExecution on
         // first use, so a df whose plan was already forced (count/explain)
         // would silently keep the unhinted plan; the no-op projection
@@ -108,9 +109,9 @@ object Steered {
         // with the steering conf in effect
         val fresh = df.select(org.apache.spark.sql.functions.col("*"))
         try action(fresh)
-        finally prev match {
-          case Some(v) => spark.conf.set(HintSteeringRule.ConfKey, v)
-          case None => spark.conf.unset(HintSteeringRule.ConfKey)
+        finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
         }
     }
   }

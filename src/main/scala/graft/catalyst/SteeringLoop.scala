@@ -175,8 +175,10 @@ object SteeringLoop {
     if (learn) {
       val byName = queries.toMap
       res.recommendations.foreach { r =>
-        val strategy = configs.find(_.name == r.configName).map(_.strategy).getOrElse("")
-        Steered.learn(byName(r.queryName)(spark), strategy)
+        val cfg = configs.find(_.name == r.configName)
+          .getOrElse(SteeringConfig(r.configName, ""))
+        // the FULL config is learned — second-dimension confs included
+        Steered.learn(byName(r.queryName)(spark), cfg.strategy, cfg.confs)
       }
     }
     res

@@ -177,6 +177,41 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("learned 2-D config applies strategy AND confs through Steered.run") {
+    Steered.clear()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val df = joinDF
+      Steered.learn(df, "merge", Map("spark.sql.shuffle.partitions" -> "64"))
+      val (plan, parts) = Steered.run(joinDF) { d =>
+        (physical(d), spark.conf.get("spark.sql.shuffle.partitions"))
+      }
+      assert(plan.contains("SortMergeJoin"))
+      assert(parts == "64")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    } finally Steered.clear()
+  }
+
+  test("registry persists 2-D configs and still reads legacy flat files") {
+    Steered.clear()
+    try {
+      val df = joinDF
+      Steered.learn(df, "merge", Map("spark.sql.shuffle.partitions" -> "64"))
+      val p = java.nio.file.Files.createTempFile("steered2d", ".json")
+      Steered.save(p)
+      Steered.clear()
+      assert(Steered.load(p) == 1)
+      assert(Steered.hintFor(df).contains(
+        Steered.LearnedHint("merge", Map("spark.sql.shuffle.partitions" -> "64"))))
+      // legacy flat format (pre-2-D registries)
+      java.nio.file.Files.writeString(p, s"""{"${Steered.fingerprint(df)}": "broadcast"}""")
+      Steered.clear()
+      assert(Steered.load(p) == 1)
+      assert(Steered.hintFor(df).contains(Steered.LearnedHint("broadcast")))
+      java.nio.file.Files.delete(p)
+    } finally Steered.clear()
+  }
+
   test("measure() applies and restores second-dimension confs") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
