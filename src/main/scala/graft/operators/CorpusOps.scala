@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Corpus-statistics operators: TF-IDF term weighting and n-gram
+  * language-model scoring — the two classic "statistics over the whole
+  * corpus, applied back to each document" shapes of a training-data
+  * pipeline (salient-term extraction, CCNet-style LM quality filtering).
+  *
+  * Both share one scale pattern: the corpus-wide statistic tables (document
+  * frequency, bigram counts) are VOCABULARY-sized, not corpus-sized —
+  * partial aggregation collapses them map-side, so the expensive join back
+  * to per-document rows shuffles on a high-cardinality near-uniform token
+  * key. Zipf-head skew (the "the the" bigram) is bounded by AQE skew-join
+  * splitting; the statistic tables themselves could be broadcast when a
+  * pruned vocabulary (top-K) is acceptable.
+  *
+  * Determinism policy is the shared one: per-term doubles rounded to 6dp,
+  * then order-free exact DECIMAL(38,6) summation, ranks tie-broken on the
+  * token text.
+  */
+object CorpusOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q62: TF-IDF top terms — the top-3 most salient terms per document by
+    * tf·ln(N/df). Three aggregations (term frequency per (doc, token),
+    * document frequency per token, corpus size) feed one join + window:
+    *  - `tf` shuffles once on (doc_id, token); `df` reuses it (the groupBy
+    *    on token is a subset of the (doc_id, token) clustering, Catalyst
+    *    plans a partial agg on top of the exchange output);
+    *  - N is a 1-row broadcast;
+    *  - ranking windows on doc_id — high-cardinality, parallel, no global
+    *    sort but the output ORDER BY.
+    * Ranking compares the 6dp-ROUNDED score (both engines rank identical
+    * values), tie-broken by token text for a total order. */
+  val q62TfidfTopTerms: Q = (s, d) => {
+    val docs = documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6)
+          .as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+  val q62Sql: String =
+    """WITH l AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |tok AS (SELECT doc_id, unnest(l) AS token FROM l),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                 ORDER BY tfidf DESC, token) AS rnk FROM scored)
+      |SELECT doc_id, rnk, token, tf, df, tfidf FROM rk
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** q63: bigram language-model scoring — train add-one-smoothed bigram
+    * conditionals on the corpus itself, score each document by its average
+    * log-probability: avg over bigrams of ln((C(w1,w2)+1)/(C(w1·)+V)).
+    * This is the LM-perplexity quality signal (low avg logprob = unusual
+    * token transitions = likely boilerplate/garbage).
+    *
+    * The bigram extraction is array-native (transform over the token array,
+    * ONE explode — no self-join on position). Count tables come from the
+    * same exploded frame: C(w1,w2) and C(w1·) both cluster on w1, so the
+    * second agg reuses the first's exchange. The scoring join runs
+    * bigram-occurrences ⋈ bigram-counts on (w1,w2) — high-cardinality,
+    * AQE-skew-safe — then collapses back to one row per document. */
+  val q63BigramLm: Q = (s, d) => {
+    val l = documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("l"))
+    val bg = l.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val v = l.select(explode(col("l")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((col("c_bg") + 1) / (col("c_w1") + col("v")).cast(DoubleType)), 6)
+          .as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp").cast(DecimalType(38, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+  val q63Sql: String =
+    """WITH l AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |          i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS b
+      |        FROM l WHERE len(l) >= 2),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgs),
+      |cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |cw AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT token) AS v
+      |      FROM (SELECT unnest(l) AS token FROM l)),
+      |terms AS (
+      |  SELECT bg.doc_id,
+      |    ROUND(ln((c_bg + 1) / CAST(c_w1 + v.v AS DOUBLE)), 6) AS logp
+      |  FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_logprob
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q62_tfidf_topterms" -> q62TfidfTopTerms,
+    "q63_bigram_lm" -> q63BigramLm,
+  )
+  val oracle: Map[String, String] = Map(
+    "q62_tfidf_topterms" -> q62Sql,
+    "q63_bigram_lm" -> q63Sql,
+  )
+}

@@ -262,12 +262,45 @@ object EventOps {
        |  MIN(value) AS min_value, MAX(value) AS max_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q66: time-decayed engagement — per-user sum of event values weighted
+    * by exponential recency decay (7-day time constant) relative to the
+    * corpus max timestamp. The recency-weighted score every ranking /
+    * sampling pipeline keeps: one broadcast of the 1-row max, then a
+    * single narrow pass + one shuffle on the high-cardinality user key.
+    * Per-event decayed terms are rounded to 6dp then summed as exact
+    * DECIMAL(38,6), so the result is independent of summation order (and
+    * of engine libm, up to the rounding boundary). */
+  val q66DecayEngagement: Q = (s, d) => {
+    val e = events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val m = e.agg(max("us").as("max_us"))
+    e.crossJoin(broadcast(m))
+      .select(col("user_id"),
+        round(col("value")
+          * exp(-(col("max_us") - col("us")).cast(DoubleType) / 604800000000.0), 6)
+          .as("term"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), dsum(col("term")).as("decayed_value"))
+      .orderBy("user_id")
+  }
+  val q66Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events WHERE event_type IN ('purchase', 'click')),
+       |m AS (SELECT MAX(us) AS max_us FROM e)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  ${dsql("ROUND(value * exp(-CAST(max_us - us AS DOUBLE) / 604800000000.0), 6)")}
+       |    AS decayed_value
+       |FROM e CROSS JOIN m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q34_sessionize" -> q34Sessionize,
     "q35_asof_join" -> q35AsofJoin,
     "q36_json_props" -> q36JsonProps,
     "q37_range_join" -> q37RangeJoin,
     "q38_salted_agg" -> q38SaltedAgg,
+    "q66_decay_engagement" -> q66DecayEngagement,
   )
   val oracle: Map[String, String] = Map(
     "q34_sessionize" -> q34Sql,
@@ -275,5 +308,6 @@ object EventOps {
     "q36_json_props" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "q38_salted_agg" -> q38Sql,
+    "q66_decay_engagement" -> q66Sql,
   )
 }

@@ -315,6 +315,34 @@ object PipelineOps {
       |  FROM documents)
       |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
 
+  /** q65: LATERAL correlated subquery — top-2 orders per customer through
+    * the SQL front-end's lateral join. Declaring "for each customer, its 2
+    * most expensive orders" as LATERAL (ORDER BY ... LIMIT 2) hands
+    * Catalyst the decorrelation: the per-customer probe rewrites to a
+    * window/rank over a single equi-join on o_custkey — two shuffles on
+    * high-cardinality keys, NOT |customers| subquery executions and no
+    * cartesian (PlanShapeSpec asserts). Same top-k-per-key shape as q58's
+    * explicit window; this entry exercises the declarative route a SQL
+    * user would write. */
+  val q65LateralTopK: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("graft_customer")
+    orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        |FROM graft_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+  val q65Sql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_window_suite" -> q48WindowSuite,
     "q50_stratified_sample" -> q50StratifiedSample,
@@ -326,6 +354,7 @@ object PipelineOps {
     "q56_funnel" -> q56Funnel,
     "q57_redact" -> q57Redact,
     "q58_source_quota" -> q58SourceQuota,
+    "q65_lateral_topk" -> q65LateralTopK,
   )
   val oracle: Map[String, String] = Map(
     "q48_window_suite" -> q48Sql,
@@ -338,5 +367,6 @@ object PipelineOps {
     "q56_funnel" -> q56Sql,
     "q57_redact" -> q57Sql,
     "q58_source_quota" -> q58Sql,
+    "q65_lateral_topk" -> q65Sql,
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Specs for the round-4 corpus-statistics surface (q62–q66). Value-level
+  * parity is the driver's DuckDB gate; these verify the semantics against
+  * independent formulations (brute-force pair scan for the banded q64,
+  * window top-k for the LATERAL q65) plus the structural invariants.
+  */
+class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
+  test("q62 tfidf: ranks contiguous from 1, scores non-increasing, df bounded") {
+    val df = CorpusOps.q62TfidfTopTerms(spark, sf).cache()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(df.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    assert(df.filter(col("df") < 1 || col("df") > nDocs).count() == 0)
+    assert(df.filter(col("tf") < 1).count() == 0)
+    // per doc: ranks are 1..k with no gaps and tfidf is non-increasing in rank
+    val w = Window.partitionBy("doc_id").orderBy("rnk")
+    val bad = df.select(col("doc_id"), col("rnk"), col("tfidf"),
+        lag("rnk", 1).over(w).as("prev_rnk"),
+        lag("tfidf", 1).over(w).as("prev_score"))
+      .filter(
+        (col("prev_rnk").isNull && col("rnk") =!= 1) ||
+          (col("prev_rnk").isNotNull && col("rnk") =!= col("prev_rnk") + 1) ||
+          (col("prev_score").isNotNull && col("tfidf") > col("prev_score")))
+    assert(bad.count() == 0)
+  }
+
+  test("q62 tfidf: rank-1 score is the max over the doc's full scored set") {
+    val docs = graft.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val full = tf.join(dfreq, Seq("token"))
+      .select(col("doc_id"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+      .groupBy("doc_id").agg(max("tfidf").as("best"))
+    val top1 = CorpusOps.q62TfidfTopTerms(spark, sf).filter(col("rnk") === 1)
+    val joined = top1.join(full, "doc_id")
+    assert(joined.count() == nDocs)
+    assert(joined.filter(col("tfidf") =!= col("best")).count() == 0)
+  }
+
+  test("q63 bigram LM: one row per multi-token doc, n_bigrams = tokens - 1, logprob < 0") {
+    val df = CorpusOps.q63BigramLm(spark, sf).cache()
+    val expected = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .filter(col("n") >= 2)
+    assert(df.count() == expected.count())
+    val j = df.join(expected, "doc_id")
+    assert(j.filter(col("n_bigrams") =!= col("n") - 1).count() == 0)
+    // add-one smoothing keeps every conditional probability strictly < 1
+    assert(df.filter(col("avg_logprob") >= 0).count() == 0)
+  }
+
+  test("q64 banded profile equals the brute-force all-pairs scan") {
+    val sigs = DedupOps.q28Simhash(spark, sf)
+      .select(col("doc_id"), col("simhash"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val banded = DedupOps.q64HammingProfile(spark, sf)
+      .filter(col("n_pairs") > 0) // brute has no explicit zero row
+      .select(col("hamming").cast("int").as("hamming"), col("n_pairs"))
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0,
+      "banded pigeonhole count diverges from brute force")
+  }
+
+  test("q65 LATERAL equals the explicit window top-k formulation") {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val viaWindow = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val lateral = PipelineOps.q65LateralTopK(spark, sf)
+    assert(lateral.exceptAll(viaWindow).count() == 0
+      && viaWindow.exceptAll(lateral).count() == 0)
+  }
+
+  test("q66 decay: weights in (0,1], decayed magnitude bounded by raw sum") {
+    val df = EventOps.q66DecayEngagement(spark, sf).cache()
+    val raw = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_raw"), sum(abs(col("value"))).as("abs_sum"))
+    val j = df.join(raw, "user_id")
+    assert(j.count() == df.count())
+    assert(j.filter(col("n_events") =!= col("n_raw")).count() == 0)
+    assert(j.filter(abs(col("decayed_value")) > col("abs_sum") + 1e-4).count() == 0)
+    // deterministic re-run
+    val again = EventOps.q66DecayEngagement(spark, sf)
+    assert(df.exceptAll(again).count() == 0)
+  }
+}

@@ -149,6 +149,45 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q65: LATERAL decorrelates to a rank pushdown + equi-join (no per-row subquery)") {
+    val df = PipelineOps.q65LateralTopK(spark, sf)
+    // the ORDER BY ... LIMIT 2 subquery must become a WindowGroupLimit
+    // (rank-based top-k pushdown) over ONE equi-join — not |customers|
+    // subquery probes and not a cartesian
+    assert(physicalPlan(df).contains("WindowGroupLimit"),
+      s"no rank pushdown:\n${physicalPlan(df)}")
+    val bad = nodes(df) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(bad.isEmpty, s"lateral became cartesian:\n${physicalPlan(df)}")
+    assert(!physicalPlan(df).toLowerCase.contains("subqueryexec"),
+      s"per-row subquery survived:\n${physicalPlan(df)}")
+  }
+
+  test("q62: ranking windows once; corpus-size join is a 1-row broadcast") {
+    val df = CorpusOps.q62TfidfTopTerms(spark, sf)
+    assert(nodes(df) { case w: WindowExec => w }.size == 1,
+      s"tfidf ranks with more than one window pass:\n${physicalPlan(df)}")
+    val cartesian = nodes(df) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cartesian.isEmpty, s"N-docs join not broadcast:\n${physicalPlan(df)}")
+  }
+
+  test("q64: quadratic stage runs on distinct signatures, never on documents") {
+    val df = DedupOps.q64HammingProfile(spark, sf)
+    // every equi-join input must be signature-sized: joins appear only
+    // AFTER the groupBy(simhash) collapse, so no join key is doc_id
+    val joinKeys = nodes(df) { case j: BaseJoinExec => j }
+      .flatMap(j => j.output.map(_.name))
+    assert(!joinKeys.contains("doc_id"),
+      s"band join runs on documents, not distinct signatures:\n${physicalPlan(df)}")
+    val cartesian = nodes(df) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cartesian.isEmpty, s"cartesian in the band join:\n${physicalPlan(df)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead
