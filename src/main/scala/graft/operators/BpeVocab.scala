@@ -1,0 +1,129 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Distributed byte-pair-encoding (BPE) vocabulary induction — the
+  * tokenizer-training step of an LLM data pipeline, structured the way it
+  * scales:
+  *
+  *  1. The 100 TB corpus is touched ONCE: collapse to a (word, freq) table
+  *     (one shuffle). Everything after runs on that vocabulary-sized table
+  *     (~10M rows at web scale — thousands here), which is the classic BPE
+  *     optimization: pair statistics are identical whether computed over
+  *     occurrences or over word types weighted by frequency.
+  *  2. Each merge round is one distributed pair-count aggregation (explode
+  *     adjacent symbol pairs, groupBy, weighted sum — partial aggs collapse
+  *     map-side) plus a driver argmax of the TOP ROW only (orderBy.limit(1)
+  *     = TakeOrderedAndProject, no global sort, O(1) driver state).
+  *  3. The winning merge is applied distributed (one narrow map over the
+  *     word table). Rounds are `localCheckpoint`ed to truncate the growing
+  *     iterative lineage — same discipline as connected components.
+  *
+  * Determinism: argmax tie-break is (count desc, left asc, right asc);
+  * greedy left-to-right application within a word (overlapping runs like
+  * "aaa" merge the leftmost pair first) — both fixed, so a seed-free
+  * re-run reproduces the merge table bit-for-bit.
+  */
+object BpeVocab {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One learned merge: at `rank`, symbols (`left`, `right`) fused, having
+    * appeared `pairCount` (frequency-weighted) times. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Greedy left-to-right application of one merge to a symbol sequence. */
+  private[operators] def applyMerge(l: String, r: String, syms: Seq[String]): Seq[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else {
+        out += syms(i); i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Segment one word with a learned merge table (applied in rank order) —
+    * the inference half of the tokenizer; driver-side here, broadcast into
+    * a UDF for corpus-scale encoding. */
+  def segment(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.sortBy(_.rank).foldLeft(word.split("").toSeq) { (syms, m) =>
+      applyMerge(m.left, m.right, syms)
+    }
+
+  /** Train `nMerges` BPE merges over the corpus behind `docs(textCol)`.
+    * Merges with pair frequency < `minCount` stop training early. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+            minCount: Long = 2L): Seq[Merge] = {
+    val spark = docs.sparkSession
+    val nPar = spark.sparkContext.defaultParallelism
+    // corpus → word-frequency table: the ONLY corpus-scale stage
+    var words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .repartition(nPar)
+      .localCheckpoint()
+
+    val merges = ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(row) if row.getLong(2) >= minCount =>
+          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(rank, l, r, cnt)
+          val mergeUdf = udf((syms: Seq[String]) => applyMerge(l, r, syms))
+          words = words.select(mergeUdf(col("syms")).as("syms"), col("freq"))
+          // truncate the iterative lineage every few rounds (every round
+          // would double the job count; a 4-deep UDF chain is cheap)
+          if (rank % 4 == 0) words = words.localCheckpoint()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** q67: the BPE merge table learned from the documents corpus (20
+    * merges). Rows-only at the driver gate (the iterative argmax loop is
+    * not single-statement SQL); BpeVocabSpec pins the exact merge sequence
+    * on a hand-computed corpus instead. */
+  val q67BpeMerges: Q = (s, d) => {
+    val merges = train(documents(s, d), "text", nMerges = 20)
+    s.createDataFrame(merges.map(m => Row(m.rank, m.left, m.right, m.pairCount)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("left", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("right", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType))))
+      .orderBy("rank")
+  }
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.length)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  val queries: Map[String, Q] = Map("q67_bpe_merges" -> q67BpeMerges)
+  /** No DuckDB oracle (iterative) — driver records the rows-only check. */
+  val oracle: Map[String, String] = Map.empty
+}
