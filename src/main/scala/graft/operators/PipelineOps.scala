@@ -6,12 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Tables._
 
-/** Round-3+ surface widening (q48–q58): the window-function family beyond
-  * rank (lead/lag/ntile/percent_rank), full-outer joins, correlated
-  * subqueries through the SQL front-end, higher-order array functions, and
-  * the remaining training-pipeline staples (stratified sampling, repetition
-  * scoring, histogramming, funnel analysis, PII redaction, per-source
-  * quota sampling).
+/** Round-3+ surface widening (q48–q58, q65): the window-function family
+  * beyond rank (lead/lag/ntile/percent_rank), full-outer joins, correlated
+  * subqueries and LATERAL top-k through the SQL front-end, higher-order
+  * array functions, and the remaining training-pipeline staples
+  * (stratified sampling, repetition scoring, histogramming, funnel
+  * analysis, PII redaction, per-source quota sampling).
   *
   * Determinism policy is the shared one (EventOps): integer microseconds
   * for time arithmetic, DECIMAL(38,6) for float sums, 6dp rounding for
