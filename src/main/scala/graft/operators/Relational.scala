@@ -495,6 +495,52 @@ object Relational {
     subtotals(orders(s, d).cube("o_orderpriority", "o_orderstatus"))
   val q46Sql: String = subtotalsSql("CUBE")
 
+  /** q68: the TPC-H Q5 shape — six-table star-with-a-cycle join (the
+    * `c_nationkey = s_nationkey` "local supplier" edge makes the join
+    * graph cyclic, the classic join-order stress test) with a selective
+    * region filter and an order-date range, aggregated to per-nation
+    * revenue.
+    *
+    * Plan you want at 100 TB, and the one this produces: region and
+    * nation broadcast (tiny dims — the region filter prunes 4/5 of
+    * nations BEFORE any fact table is touched via the broadcast
+    * propagation); the date range is pushed to the orders parquet scan
+    * (PushedFilters); the two fact⋈fact joins shuffle on o_custkey and
+    * o_orderkey respectively, with the cyclic nationkey edge applied as a
+    * post-join filter on already-joined rows rather than a third shuffle.
+    * Revenue is an exact DECIMAL(38,6) sum → order-independent. */
+  val q68RegionalRevenue: Q = (s, d) => {
+    val c = customer(s, d); val o = orders(s, d); val l = lineitem(s, d)
+    val sup = supplier(s, d)
+    val n = nation(s, d); val r = region(s, d)
+    c.join(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+  val q68Sql: String =
+    s"""SELECT n_name, COUNT(*) AS n_items,
+       |  ${dsql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q41_approx_stats" -> q41ApproxStats,
     "q44_rollup" -> q44Rollup,
@@ -519,6 +565,7 @@ object Relational {
     "q17_set_ops" -> q17SetOps,
     "q18_interpolate" -> q18Interpolate,
     "q19_event_windows" -> q19EventWindows,
+    "q68_regional_revenue" -> q68RegionalRevenue,
   )
 
   val oracle: Map[String, String] = Map(
@@ -544,5 +591,6 @@ object Relational {
     "q17_set_ops" -> q17Sql,
     "q18_interpolate" -> q18Sql,
     "q19_event_windows" -> q19Sql,
+    "q68_regional_revenue" -> q68Sql,
   )
 }

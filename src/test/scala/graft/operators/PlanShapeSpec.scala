@@ -188,6 +188,21 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(cartesian.isEmpty, s"cartesian in the band join:\n${physicalPlan(df)}")
   }
 
+  test("q68: dims broadcast, date range pushed to the orders scan, no cartesian") {
+    val df = Relational.q68RegionalRevenue(spark, sf)
+    val plan = physicalPlan(df)
+    assert(nodes(df) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"nation/region not broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range not pushed to the orders scan:\n$plan")
+    val cartesian = nodes(df) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(cartesian.isEmpty, s"cyclic join edge became a cross product:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead
