@@ -343,6 +343,40 @@ object PipelineOps {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
 
+  /** q69: token-budget mixture sampling — per source, keep documents in
+    * content-addressed (md5) order until the cumulative TOKEN count hits
+    * the budget (500 here). This is q58's quota rule upgraded to what
+    * mixture recipes actually specify ("at most N tokens from source X",
+    * not N documents). Stable under corpus growth like all the
+    * content-addressed ops: a doc's keep/drop flips only if new docs hash
+    * ahead of it within its own source. One window shuffle on the source
+    * key; the running sum is a narrow frame over the per-source sort. */
+  val q69TokenBudget: Q = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
+      .filter(col("cum_tokens") <= 500)
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+  val q69Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 500
+      |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_window_suite" -> q48WindowSuite,
     "q50_stratified_sample" -> q50StratifiedSample,
@@ -355,6 +389,7 @@ object PipelineOps {
     "q57_redact" -> q57Redact,
     "q58_source_quota" -> q58SourceQuota,
     "q65_lateral_topk" -> q65LateralTopK,
+    "q69_token_budget" -> q69TokenBudget,
   )
   val oracle: Map[String, String] = Map(
     "q48_window_suite" -> q48Sql,
@@ -368,5 +403,6 @@ object PipelineOps {
     "q57_redact" -> q57Sql,
     "q58_source_quota" -> q58Sql,
     "q65_lateral_topk" -> q65Sql,
+    "q69_token_budget" -> q69Sql,
   )
 }

@@ -400,12 +400,50 @@ object SimilarityOps {
       |FROM elems e JOIN cents c ON e.label = c.label AND e.pos = c.pos
       |GROUP BY 1, 2 ORDER BY e.vec_id""".stripMargin
 
+  /** q70: per-dimension embedding health stats — mean and variance of each
+    * of the 64 dimensions over the whole corpus. The embedding-quality
+    * audit every vector pipeline runs (a collapsed/dead dimension shows as
+    * near-zero variance; a mis-scaled one as an outlier mean). One
+    * posexplode to (dim, value) then a 64-key aggregation: partial aggs
+    * collapse map-side to ≤64 rows per task, so the exchange is constant-
+    * size at any corpus scale. Moments come from exact DECIMAL(38,6) sums
+    * of v and v² (order-independent), variance derived in IEEE doubles. */
+  val q70DimStats: Q = (s, d) => {
+    val v = col("v").cast(DoubleType)
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        v.cast(DecimalType(38, 6)).as("dv"),
+        (v * v).cast(DecimalType(38, 6)).as("dv2"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("dv").cast(DoubleType).as("sv"),
+        sum("dv2").cast(DoubleType).as("sv2"))
+      .select(col("dim"), col("n"),
+        round(col("sv") / col("n"), 6).as("mean_val"),
+        round(col("sv2") / col("n") - pow(col("sv") / col("n"), 2), 6).as("var_val"))
+      .orderBy("dim")
+  }
+  val q70Sql: String =
+    """WITH d AS (
+      |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+      |           i -> struct_pack(dim := i - 1, v := CAST(embedding[i] AS DOUBLE)))) AS e
+      |  FROM embeddings),
+      |f AS (SELECT e.dim AS dim, e.v AS v FROM d)
+      |SELECT dim, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_val,
+      |  ROUND(CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+      |        - POWER(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 2), 6)
+      |    AS var_val
+      |FROM f GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
     "q32_embedding_neardup" -> q32EmbeddingNearDup,
     "q33_ann_native" -> q33AnnNative,
     "q61_embedding_outliers" -> q61EmbeddingOutliers,
+    "q70_dim_stats" -> q70DimStats,
   )
   val oracle: Map[String, String] = Map(
     "q29_ann_bruteforce" -> q29Sql,
@@ -413,5 +451,6 @@ object SimilarityOps {
     "q32_embedding_neardup" -> q32Sql,
     "q33_ann_native" -> q33Sql,
     "q61_embedding_outliers" -> q61Sql,
+    "q70_dim_stats" -> q70Sql,
   )
 }

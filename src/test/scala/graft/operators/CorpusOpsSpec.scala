@@ -93,6 +93,37 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       && viaWindow.exceptAll(lateral).count() == 0)
   }
 
+  test("q69 token budget: running sums consistent, budget never exceeded") {
+    val df = PipelineOps.q69TokenBudget(spark, sf).cache()
+    assert(df.filter(col("cum_tokens") > 500).count() == 0)
+    // cum_tokens is the running sum in md5 order: cum - n_tokens must be
+    // the previous row's cum (or 0 for the first kept doc of a source)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val bad = df.select(col("source"), col("n_tokens"), col("cum_tokens"),
+        lag("cum_tokens", 1, 0).over(w).as("prev"))
+      .filter(col("cum_tokens") - col("n_tokens") =!= col("prev"))
+    assert(bad.count() == 0)
+    // maximal: for every source, the FIRST dropped doc would have exceeded
+    // the budget (kept-set is a prefix, not an arbitrary subset)
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val firstDropped = all.filter(col("cum") > 500)
+      .groupBy("source").agg(min("cum").as("first_over"))
+    assert(firstDropped.filter(col("first_over") <= 500).count() == 0)
+  }
+
+  test("q70 dim stats: one row per dimension, counts full, variance non-negative") {
+    val df = SimilarityOps.q70DimStats(spark, sf).cache()
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    assert(df.count() == 64)
+    assert(df.filter(col("n") =!= nVecs).count() == 0)
+    assert(df.filter(col("var_val") < 0).count() == 0)
+  }
+
   test("q66 decay: weights in (0,1], decayed magnitude bounded by raw sum") {
     val df = EventOps.q66DecayEngagement(spark, sf).cache()
     val raw = graft.Tables.events(spark, sf)
