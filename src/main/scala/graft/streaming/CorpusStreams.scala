@@ -1,25 +1,29 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.HashKernels
 
 /** Structured Streaming forms of the corpus-pipeline operators — the
   * ingest-time path of the same ops the batch queries run over stored
-  * corpora (q24 exact dedup, q49 decontamination). Like
-  * [[EventStreams]], every transform is a source-agnostic
-  * DataFrame→DataFrame function that runs identically on a static frame
-  * (CorpusStreamsSpec asserts batch parity on both).
+  * corpora (q24 exact dedup, q47 quality filtering, q49 decontamination,
+  * q69 token-budget admission). Like [[EventStreams]], every transform is
+  * a source-agnostic DataFrame→DataFrame function that runs identically on
+  * a static frame (CorpusStreamsSpec asserts batch parity on both).
   *
   * Scale/state notes:
-  *  - decontamination is STATELESS (narrow map + filter against a
-  *    broadcast set), so it needs no watermark and restarts trivially;
-  *    the benchmark shingle set is fixed at query start — redeploy the
+  *  - decontamination and quality filtering are STATELESS (narrow map +
+  *    filter), so they need no watermark and restart trivially; the
+  *    benchmark shingle set is fixed at query start — redeploy the
   *    stream to pick up a new eval corpus, exactly like production
   *    decontamination filters.
   *  - streaming exact dedup keys on the 128-bit content hash (never the
   *    text) within the watermark horizon; state is bounded by the horizon
   *    and entries are evicted by `dropDuplicatesWithinWatermark`.
+  *  - token-budget admission keeps ONE long per source as state (the
+  *    tokens consumed so far) — constant-size state per group forever,
+  *    no watermark needed.
   */
 object CorpusStreams {
 
@@ -51,5 +55,56 @@ object CorpusStreams {
       .withColumn("n_hits", nHits(col("shs")))
       .filter(col("n_hits") === 0)
       .drop("l", "shs")
+  }
+
+  /** Streaming corpus quality filter — q47's keep-rule (≥10 cleaned
+    * tokens, ≥25 % alphabetic) applied at ingest. Stateless narrow
+    * projection + filter: runs at scan speed on a static frame and with
+    * zero state in a stream. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val alpha = length(regexp_replace(cleaned, "[^a-z]", ""))
+    docs
+      .withColumn("n_clean_tokens", size(split(cleaned, " ")))
+      .withColumn("alpha_ratio",
+        alpha.cast("double") / greatest(length(cleaned), lit(1)))
+      .filter(col("n_clean_tokens") >= 10 && col("alpha_ratio") >= 0.25)
+  }
+
+  final case class Admission(doc_id: Long, source: String,
+                             n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming token-budget admission — the ingest-time form of q69's
+    * mixture rule: per source, admit documents until the cumulative token
+    * count passes `budget`, then drop the rest. State per source is a
+    * single long (tokens seen so far, admitted or not — the same PREFIX
+    * rule as the batch operator, where one oversized doc ends the
+    * source's intake).
+    *
+    * Within a micro-batch, documents are processed in the batch
+    * operator's content-addressed (md5, doc_id) order, so a single-batch
+    * run reproduces q69 exactly (CorpusStreamsSpec); across batches the
+    * order is arrival order — the budget invariant (never admit past
+    * `budget`) holds regardless. */
+  def tokenBudgetAdmission(spark: SparkSession, docs: DataFrame,
+                           budget: Long = 500L): DataFrame = {
+    import spark.implicits._
+    val typed = docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .as[(Long, String, Long, String)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state: GroupState[Long]) =>
+          var consumed = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[Admission]
+          rows.toVector.sortBy(r => (r._4, r._1)).foreach { case (id, _, n, _) =>
+            consumed += n
+            if (consumed <= budget) out += Admission(id, source, n, consumed)
+          }
+          state.update(consumed)
+          out.result().iterator
+      }.toDF()
   }
 }

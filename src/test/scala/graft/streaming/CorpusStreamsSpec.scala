@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SharedSpark
 
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+final case class SourcedDoc(doc_id: Long, source: String, text: String)
 
 class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
 
@@ -61,5 +62,57 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     val streamed = sp.table("decontam").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("streaming quality filter matches the batch q47 keep-set") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val docs = Seq(
+      Doc(1, t(0), "one two three four five six seven eight nine ten eleven"),
+      Doc(2, t(1), "too short"),
+      Doc(3, t(2), "1 2 3 4 5 6 7 8 9 10 11 12")) // enough tokens, no alpha
+    val batchKept = CorpusStreams.qualityFilter(docs.toDF())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L), batchKept.toString)
+
+    val stream = MemoryStream[Doc]
+    val q = CorpusStreams.qualityFilter(stream.toDF()).select("doc_id")
+      .writeStream.format("memory").queryName("qual").outputMode("append").start()
+    stream.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sp.table("qual").collect().map(_.getLong(0)).toSet == batchKept)
+  }
+
+  test("token-budget admission: single batch matches the prefix rule; budget never exceeded") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    // md5(doc_id) order for 1..4: md5('3')=ecc... md5('1')=c4..., md5('2')=c8...,
+    // md5('4')=a8... → order: 4, 1, 2, 3. Tokens: 4→4, 1→5, 2→3, 3→6.
+    // budget 10: cum 4, 9, 12(drop, and prefix ends), 18(drop).
+    val docs = Seq(
+      SourcedDoc(1, "A", "a b c d e"),
+      SourcedDoc(2, "A", "a b c"),
+      SourcedDoc(3, "A", "a b c d e f"),
+      SourcedDoc(4, "A", "a b c d"))
+    val single = CorpusStreams.tokenBudgetAdmission(sp, docs.toDF(), budget = 10)
+    val got = single.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((4L, 4L), (1L, 9L)), got.toString)
+
+    // cross-batch: state carries; second batch's docs see the consumed total
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.tokenBudgetAdmission(sp, stream.toDF(), budget = 10)
+      .writeStream.format("memory").queryName("budget").outputMode("append").start()
+    stream.addData(docs.take(2): _*) // arrival batch 1: md5 order 1,2 → cum 5, 8
+    q.processAllAvailable()
+    stream.addData(docs.drop(2): _*) // batch 2: 4 then 3 → cum 12 (drop), 18 (drop)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("budget").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(streamed == Set((1L, 5L), (2L, 8L)), streamed.toString)
+    assert(streamed.forall(_._2 <= 10))
   }
 }
