@@ -294,6 +294,33 @@ object EventOps {
        |    AS decayed_value
        |FROM e CROSS JOIN m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q71: sliding event-time windows — 1-hour windows every 30 minutes via
+    * Spark's `window()` generator (each event lands in exactly 2
+    * overlapping windows). This is THE streaming-native primitive: the
+    * identical expression runs under Structured Streaming with a
+    * watermark (EventStreams.windowedCounts is the tumbling form). Plan:
+    * one Generate (2 rows/event) then a partial-agg-friendly groupBy on
+    * (window, type) — the exchange carries ≤ |windows|×|types| rows per
+    * task, constant in corpus size. */
+  val q71SlidingWindows: Q = (s, d) => {
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+  val q71Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |w AS (
+       |  SELECT event_type, value,
+       |    make_timestamp((us // 1800000000 - k) * 1800000000) AS win_start
+       |  FROM e, range(0, 2) r(k))
+       |SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,
+       |  COUNT(*) AS n, ${dsql("value")} AS sum_value
+       |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q34_sessionize" -> q34Sessionize,
     "q35_asof_join" -> q35AsofJoin,
@@ -301,6 +328,7 @@ object EventOps {
     "q37_range_join" -> q37RangeJoin,
     "q38_salted_agg" -> q38SaltedAgg,
     "q66_decay_engagement" -> q66DecayEngagement,
+    "q71_sliding_windows" -> q71SlidingWindows,
   )
   val oracle: Map[String, String] = Map(
     "q34_sessionize" -> q34Sql,
@@ -309,5 +337,6 @@ object EventOps {
     "q37_range_join" -> q37Sql,
     "q38_salted_agg" -> q38Sql,
     "q66_decay_engagement" -> q66Sql,
+    "q71_sliding_windows" -> q71Sql,
   )
 }
