@@ -321,6 +321,38 @@ object EventOps {
        |  COUNT(*) AS n, ${dsql("value")} AS sum_value
        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** q73: per-user event paths — the first 10 event types in time order,
+    * joined into a path string (the sequence-mining / funnel-discovery
+    * input shape). The path prefix is bounded BEFORE collection: a
+    * row_number window keeps ≤10 events per user, so the collect_list
+    * arrays are capped regardless of how active a user is — the unbounded
+    * per-group collect is the classic OOM at 100 TB, and the window +
+    * groupBy land on the same user key so the second stage reuses the
+    * first's partitioning. Total event count comes from the same window
+    * pass (count over the user partition), not a second aggregation. */
+  val q73EventPaths: Q = (s, d) => {
+    val wRank = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wAll = Window.partitionBy("user_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_events", count(lit(1)).over(wAll))
+      .filter(col("rn") <= 10)
+      .groupBy("user_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"),
+        first("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+  val q73Sql: String =
+    """SELECT user_id,
+      |  array_to_string(list(event_type
+      |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)[1:10], '>') AS path,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q34_sessionize" -> q34Sessionize,
     "q35_asof_join" -> q35AsofJoin,
@@ -329,6 +361,7 @@ object EventOps {
     "q38_salted_agg" -> q38SaltedAgg,
     "q66_decay_engagement" -> q66DecayEngagement,
     "q71_sliding_windows" -> q71SlidingWindows,
+    "q73_event_paths" -> q73EventPaths,
   )
   val oracle: Map[String, String] = Map(
     "q34_sessionize" -> q34Sql,
@@ -338,5 +371,6 @@ object EventOps {
     "q38_salted_agg" -> q38Sql,
     "q66_decay_engagement" -> q66Sql,
     "q71_sliding_windows" -> q71Sql,
+    "q73_event_paths" -> q73Sql,
   )
 }

@@ -541,8 +541,51 @@ object Relational {
        |  AND o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q72: ordered-set aggregate family — per-priority modal order status,
+    * discrete median (`percentile_disc`: smallest value whose cumulative
+    * distribution reaches 0.5 — the value-in-the-data median, vs q09's
+    * interpolated one), and `count_if`. The mode is computed explicitly
+    * (count + rank, ties broken by value) because both engines' built-in
+    * `mode` is tie-nondeterministic — same policy as every top-k in this
+    * file. Two aggregations on the same grouping key, one exchange each,
+    * both partial-agg friendly. */
+  val q72OrderedSetAggs: Q = (s, d) => {
+    val o = orders(s, d)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("cnt"), col("o_orderstatus"))
+    val modes = o.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("status_mode"))
+    val stats = o.groupBy("o_orderpriority")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        count(lit(1)).as("n"))
+    stats.join(modes, Seq("o_orderpriority"))
+      .select("o_orderpriority", "status_mode", "p50_disc", "n_big", "n")
+      .orderBy("o_orderpriority")
+  }
+  val q72Sql: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (
+      |  SELECT o_orderpriority,
+      |    quantile_disc(o_totalprice, 0.5) AS p50_disc,
+      |    COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT s.o_orderpriority, m.o_orderstatus AS status_mode,
+      |  p50_disc, n_big, n
+      |FROM s JOIN m ON s.o_orderpriority = m.o_orderpriority AND m.rn = 1
+      |ORDER BY s.o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q41_approx_stats" -> q41ApproxStats,
+    "q72_ordered_set_aggs" -> q72OrderedSetAggs,
     "q44_rollup" -> q44Rollup,
     "q45_pivot" -> q45Pivot,
     "q46_cube" -> q46Cube,
@@ -569,6 +612,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q72_ordered_set_aggs" -> q72Sql,
     "q44_rollup" -> q44Sql,
     "q45_pivot" -> q45Sql,
     "q46_cube" -> q46Sql,

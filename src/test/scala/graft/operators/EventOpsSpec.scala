@@ -111,4 +111,16 @@ class EventOpsSpec extends AnyFunSuite with SharedSpark {
     val splits = df.select("split").distinct().collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
+
+  test("q73 event paths: prefix capped at 10, counts cover all events") {
+    val df = EventOps.q73EventPaths(spark, sf).cache()
+    val pathLen = size(split(col("path"), ">"))
+    assert(df.filter(pathLen > 10).count() == 0)
+    // path shorter than 10 only when the user has fewer events than the cap
+    assert(df.filter(pathLen < 10 && col("n_events") >= 10).count() == 0)
+    assert(df.filter(pathLen =!= least(col("n_events"), lit(10))).count() == 0)
+    // totals reconcile with the raw table
+    val total = graft.Tables.events(spark, sf).count()
+    assert(df.agg(sum("n_events")).head().getLong(0) == total)
+  }
 }
