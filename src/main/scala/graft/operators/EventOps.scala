@@ -353,6 +353,42 @@ object EventOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q74: cohort retention — users cohorted by first-signup day, activity
+    * counted per (cohort, weeks-since) cell as distinct active users: the
+    * standard retention matrix. Day/week arithmetic in integer epoch-day
+    * units (no timezone or calendar dependence — identical on both
+    * engines). The cohort table and the activity stream both key on
+    * user_id, so the cohort agg and the join share one exchange; the final
+    * (cohort_day, weeks_since) agg is low-cardinality with the distinct
+    * expansion's partial agg collapsing map-side. */
+  val q74CohortRetention: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        // `div`: integer division — `/` is double division in Spark and
+        // loses exactness above 2^53 (same hazard as Tables.events)
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohort, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"),
+        expr("(day - cohort_day) div 7").as("weeks_since"))
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort_day", "weeks_since")
+  }
+  val q74Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+      |           WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT cohort_day, (day - cohort_day) // 7 AS weeks_since,
+      |  COUNT(DISTINCT e.user_id) AS active_users
+      |FROM e JOIN cohort ON e.user_id = cohort.user_id
+      |WHERE day >= cohort_day
+      |GROUP BY 1, 2 ORDER BY cohort_day, weeks_since""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q34_sessionize" -> q34Sessionize,
     "q35_asof_join" -> q35AsofJoin,
@@ -362,6 +398,7 @@ object EventOps {
     "q66_decay_engagement" -> q66DecayEngagement,
     "q71_sliding_windows" -> q71SlidingWindows,
     "q73_event_paths" -> q73EventPaths,
+    "q74_cohort_retention" -> q74CohortRetention,
   )
   val oracle: Map[String, String] = Map(
     "q34_sessionize" -> q34Sql,
@@ -372,5 +409,6 @@ object EventOps {
     "q66_decay_engagement" -> q66Sql,
     "q71_sliding_windows" -> q71Sql,
     "q73_event_paths" -> q73Sql,
+    "q74_cohort_retention" -> q74Sql,
   )
 }
