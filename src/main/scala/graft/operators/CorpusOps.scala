@@ -30,9 +30,13 @@ object CorpusOps {
   /** q62: TF-IDF top terms — the top-3 most salient terms per document by
     * tf·ln(N/df). Three aggregations (term frequency per (doc, token),
     * document frequency per token, corpus size) feed one join + window:
-    *  - `tf` shuffles once on (doc_id, token); `df` reuses it (the groupBy
-    *    on token is a subset of the (doc_id, token) clustering, Catalyst
-    *    plans a partial agg on top of the exchange output);
+    *  - the corpus is tokenized ONCE (a single Generate in the plan,
+    *    plan-asserted): tf aggregates on (doc_id, token), and document
+    *    frequency is a count OVER the token partition of that same frame —
+    *    a window, not a groupBy+self-join, so there is no second
+    *    derivation of the corpus subtree (a join formulation re-tokenizes
+    *    the 100 TB scan per consumer: Catalyst prunes the two consumers'
+    *    columns differently, which defeats ReusedExchange);
     *  - N is a 1-row broadcast;
     *  - ranking windows on doc_id — high-cardinality, parallel, no global
     *    sort but the output ORDER BY.
@@ -43,10 +47,9 @@ object CorpusOps {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
-    tf.join(dfreq, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6)

@@ -164,10 +164,19 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"per-row subquery survived:\n${physicalPlan(df)}")
   }
 
-  test("q62: ranking windows once; corpus-size join is a 1-row broadcast") {
+  test("q62: corpus tokenized once, df via window (no self-join), no cartesian") {
     val df = CorpusOps.q62TfidfTopTerms(spark, sf)
-    assert(nodes(df) { case w: WindowExec => w }.size == 1,
-      s"tfidf ranks with more than one window pass:\n${physicalPlan(df)}")
+    // ONE Generate = the corpus explode runs once; a join-based df
+    // formulation re-derives it per consumer (column pruning defeats
+    // ReusedExchange on the shared subtree)
+    assert(nodes(df) { case g: GenerateExec => g }.size == 1,
+      s"corpus tokenized more than once:\n${physicalPlan(df)}")
+    // two windows: df-count over token, ranking over doc_id
+    assert(nodes(df) { case w: WindowExec => w }.size == 2,
+      s"unexpected window passes:\n${physicalPlan(df)}")
+    // only the 1-row N-docs broadcast joins; nothing shuffles a join
+    val joins = nodes(df) { case j: BaseJoinExec => j }
+    assert(joins.size == 1, s"df joined instead of windowed:\n${physicalPlan(df)}")
     val cartesian = nodes(df) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }
