@@ -30,13 +30,18 @@ object CorpusOps {
   /** q62: TF-IDF top terms — the top-3 most salient terms per document by
     * tf·ln(N/df). Three aggregations (term frequency per (doc, token),
     * document frequency per token, corpus size) feed one join + window:
-    *  - the corpus is tokenized ONCE (a single Generate in the plan,
-    *    plan-asserted): tf aggregates on (doc_id, token), and document
-    *    frequency is a count OVER the token partition of that same frame —
-    *    a window, not a groupBy+self-join, so there is no second
-    *    derivation of the corpus subtree (a join formulation re-tokenizes
-    *    the 100 TB scan per consumer: Catalyst prunes the two consumers'
-    *    columns differently, which defeats ReusedExchange);
+    *  - tf and df are separate partial-agg-friendly aggregations from the
+    *    tokenize pipeline, joined back on token. The plan DOES tokenize
+    *    the corpus twice (Catalyst prunes the two consumers' columns
+    *    differently, so their subtrees are not structurally equal and
+    *    ReusedExchange cannot deduplicate them) — that is the RIGHT trade
+    *    at 100 TB: the duplicate work is narrow, embarrassingly-parallel
+    *    map work, while the tempting alternative (df as a count OVER the
+    *    token partition) funnels every occurrence-row of a hot token
+    *    ("the" ≈ every doc) through ONE WindowExec task with no partial
+    *    aggregation — a straggler/spill hazard. With groupBy+join the hot
+    *    key collapses map-side and AQE skew-splits the probe. (An
+    *    operational pipeline would `persist` tf to also skip the rescan.)
     *  - N is a 1-row broadcast;
     *  - ranking windows on doc_id — high-cardinality, parallel, no global
     *    sort but the output ORDER BY.
@@ -47,9 +52,10 @@ object CorpusOps {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6)

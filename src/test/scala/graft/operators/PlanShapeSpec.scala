@@ -164,19 +164,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"per-row subquery survived:\n${physicalPlan(df)}")
   }
 
-  test("q62: corpus tokenized once, df via window (no self-join), no cartesian") {
+  test("q62: partial aggs everywhere, ranking windows once, no window on the token key") {
     val df = CorpusOps.q62TfidfTopTerms(spark, sf)
-    // ONE Generate = the corpus explode runs once; a join-based df
-    // formulation re-derives it per consumer (column pruning defeats
-    // ReusedExchange on the shared subtree)
-    assert(nodes(df) { case g: GenerateExec => g }.size == 1,
-      s"corpus tokenized more than once:\n${physicalPlan(df)}")
-    // two windows: df-count over token, ranking over doc_id
-    assert(nodes(df) { case w: WindowExec => w }.size == 2,
-      s"unexpected window passes:\n${physicalPlan(df)}")
-    // only the 1-row N-docs broadcast joins; nothing shuffles a join
-    val joins = nodes(df) { case j: BaseJoinExec => j }
-    assert(joins.size == 1, s"df joined instead of windowed:\n${physicalPlan(df)}")
+    // exactly ONE window pass — the doc_id ranking. A window keyed on
+    // token would funnel hot-token occurrence rows through one task with
+    // no partial aggregation (the straggler this query's shape avoids);
+    // df must come from a partial-agg-friendly groupBy + join instead
+    val windows = nodes(df) { case w: WindowExec => w }
+    assert(windows.size == 1, s"unexpected window passes:\n${physicalPlan(df)}")
+    assert(nodes(df) { case a: HashAggregateExec => a }.size >= 4,
+      s"aggregations lost map-side partials:\n${physicalPlan(df)}")
     val cartesian = nodes(df) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }
