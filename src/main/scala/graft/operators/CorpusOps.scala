@@ -86,10 +86,13 @@ object CorpusOps {
     * This is the LM-perplexity quality signal (low avg logprob = unusual
     * token transitions = likely boilerplate/garbage).
     *
-    * The bigram extraction is array-native (transform over the token array,
-    * ONE explode — no self-join on position). Count tables come from the
-    * same exploded frame: C(w1,w2) and C(w1·) both cluster on w1, so the
-    * second agg reuses the first's exchange. The scoring join runs
+    * The bigram extraction is array-native (transform over the token
+    * array, one explode per consumer — no self-join on position). The plan
+    * derives that narrow pipeline once per count table (occurrences, cbg,
+    * cw — Catalyst has no cross-consumer materialization), which is the
+    * deliberate q62 trade-off: duplicate map work over window-count
+    * formulations that would buffer a hot w1 partition ("the …") in one
+    * task. Both count aggs collapse map-side; the scoring join runs
     * bigram-occurrences ⋈ bigram-counts on (w1,w2) — high-cardinality,
     * AQE-skew-safe — then collapses back to one row per document. */
   val q63BigramLm: Q = (s, d) => {

@@ -350,7 +350,11 @@ object PipelineOps {
     * not N documents). Stable under corpus growth like all the
     * content-addressed ops: a doc's keep/drop flips only if new docs hash
     * ahead of it within its own source. One window shuffle on the source
-    * key; the running sum is a narrow frame over the per-source sort. */
+    * key; the running sum is a narrow frame over the per-source sort.
+    * Scale note: with few huge sources the per-source window is a single
+    * task; the scalable refinement is two-level — bucket each source by an
+    * md5 prefix, sum buckets, prefix-sum the (tiny) bucket totals, then
+    * run local running sums — same output, O(rows/bucket) per task. */
   val q69TokenBudget: Q = (s, d) => {
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
