@@ -209,6 +209,23 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(cartesian.isEmpty, s"cyclic join edge became a cross product:\n$plan")
   }
 
+  test("q64: at no-broadcast scale the band self-join reuses one exchange") {
+    // unlike q62's tf/df consumers, the self-join's two sides are
+    // structurally identical (same columns survive pruning), so the
+    // explicit repartition on (band, byte) is shared via ReusedExchange —
+    // the signature pipeline runs once, not twice — whenever AQE doesn't
+    // broadcast a side (the 100 TB regime)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = DedupOps.q64HammingProfile(spark, sf)
+      df.collect() // AQE materializes exchange reuse at runtime, not in the initial plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"signature subtree computed per join side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead
