@@ -147,13 +147,24 @@ object HashKernels {
     (c: Column) => f(c)
   }
 
-  /** SimHash over distinct tokens: bit b of the 32-bit signature votes
-    * +1/−1 by the parity of hex digit b of md5(token); bit set iff the vote
-    * sum is positive. Returns (simhash, popcount). */
-  val simhash32: Column => Column = {
+  /** SimHash over distinct tokens, full 64-bit signature: bit b (0..63)
+    * reads hex digit (b mod 32) of md5(token) and votes +1/−1 by bit
+    * (b div 32) of that digit's VALUE — the low bit for b < 32, the second
+    * bit for b ≥ 32 — i.e. 64 independent coin flips drawn from the
+    * 128-bit digest. Bit b of the signature is set iff the vote sum is
+    * positive. Returns (simhash, popcount).
+    *
+    * 64-bit (not 32) because the signature space must outlive the corpus:
+    * a 32-bit space saturates by birthday collision near 10⁹ documents and
+    * every banding scheme over it re-quadratizes; 64 bits pushes that past
+    * 10¹⁸ — the 100 TB regime. The formula is reproducible in portable SQL
+    * (hex-digit value = ascii-based CASE, shift, mask), so the signature
+    * stays oracle-checkable cross-engine.
+    */
+  val simhash64: Column => Column = {
     val f = udf { (tokens: Seq[String]) =>
       val md = MessageDigest.getInstance("MD5")
-      val votes = new Array[Int](32)
+      val votes = new Array[Int](64)
       val seen = new java.util.HashSet[String]()
       val it = tokens.iterator
       while (it.hasNext) {
@@ -161,10 +172,9 @@ object HashKernels {
         if (seen.add(t)) {
           val h = md5Hex(md, t)
           var b = 0
-          while (b < 32) {
-            // '0'..'9' have even ascii parity ⇔ digit parity; 'a'..'f'
-            // alternate — parity of the ascii code, matching SQL ascii(...)%2
-            votes(b) += (h.charAt(b) % 2) * 2 - 1
+          while (b < 64) {
+            val hv = Character.digit(h.charAt(b % 32), 16)
+            votes(b) += (((hv >>> (b / 32)) & 1) * 2) - 1
             b += 1
           }
         }
@@ -172,7 +182,7 @@ object HashKernels {
       var sim = 0L
       var pop = 0L
       var b = 0
-      while (b < 32) {
+      while (b < 64) {
         if (votes(b) > 0) { sim |= 1L << b; pop += 1 }
         b += 1
       }
