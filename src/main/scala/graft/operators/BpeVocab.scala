@@ -57,20 +57,50 @@ object BpeVocab {
       applyMerge(m.left, m.right, syms)
     }
 
+  /** Word-type cap under which the merge loop runs driver-local: 2M types
+    * × ~50 bytes is ~100 MB of driver strings — comfortably under any
+    * real driver heap, and web-scale vocabularies (~10M types) still take
+    * the distributed path. */
+  val DefaultLocalTypeCap: Long = 2000000L
+
   /** Train `nMerges` BPE merges over the corpus behind `docs(textCol)`.
-    * Merges with pair frequency < `minCount` stop training early. */
+    * Merges with pair frequency < `minCount` stop training early.
+    *
+    * The corpus-scale stage (corpus → word-frequency table) is always
+    * distributed and runs ONCE. The merge loop then picks its venue by the
+    * word-TYPE count: under `localTypeCap` the table is collected once and
+    * the rounds run driver-local (each distributed round is a full Spark
+    * job over a tiny table — at a real 64k-merge vocabulary that is hours
+    * of pure scheduler overhead); above the cap the loop stays distributed
+    * (one pair-count aggregation + one-row argmax per round). Both paths
+    * share the same argmax tie-break and greedy application, so they
+    * produce bit-identical merge tables (BpeVocabSpec pins the parity). */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-            minCount: Long = 2L): Seq[Merge] = {
+            minCount: Long = 2L,
+            localTypeCap: Long = DefaultLocalTypeCap): Seq[Merge] = {
     val spark = docs.sparkSession
     val nPar = spark.sparkContext.defaultParallelism
-    // corpus → word-frequency table: the ONLY corpus-scale stage
-    var words = docs
+    // corpus → word-frequency table: the ONLY corpus-scale stage.
+    // localCheckpoint so the type-count probe and the merge loop don't
+    // re-run the corpus scan.
+    val wordFreq = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(split(col("word"), "").as("syms"), col("freq"))
       .repartition(nPar)
       .localCheckpoint()
+    if (wordFreq.count() <= localTypeCap) {
+      val collected = wordFreq.collect()
+        .map(r => (r.getString(0).split(""), r.getLong(1)))
+      trainLocal(collected, nMerges, minCount)
+    } else trainDistributed(wordFreq, nMerges, minCount)
+  }
 
+  /** Distributed merge loop: each round one pair-count aggregation
+    * (partial aggs collapse map-side) plus a one-row driver argmax
+    * (TakeOrderedAndProject — no global sort, O(1) driver state). */
+  private def trainDistributed(wordFreq: DataFrame, nMerges: Int,
+                               minCount: Long): Seq[Merge] = {
+    var words = wordFreq.select(split(col("word"), "").as("syms"), col("freq"))
     val merges = ArrayBuffer.empty[Merge]
     var rank = 1
     var done = false
@@ -95,6 +125,62 @@ object BpeVocab {
           if (rank % 4 == 0) words = words.localCheckpoint()
           rank += 1
         case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** `<` in UTF-8 byte order — what Spark's UTF8String comparison (and so
+    * the distributed path's `orderBy(col("l"), col("r"))` tie-break) uses.
+    * Differs from Java's UTF-16 `compareTo` for supplementary-plane text,
+    * so the local path must NOT use plain String ordering. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local merge loop over the collected word-type table —
+    * semantically identical to [[trainDistributed]] (same weighted pair
+    * counts, same (cnt desc, l, r) tie-break in UTF-8 byte order, same
+    * greedy left-to-right application), minus the per-round job overhead. */
+  private[operators] def trainLocal(words0: Array[(Array[String], Long)],
+                                    nMerges: Int, minCount: Long): Seq[Merge] = {
+    var words = words0
+    val merges = ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+            (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2))))) best = e
+      }
+      if (best == null || best._2 < minCount) done = true
+      else {
+        val ((l, r), cnt) = best
+        merges += Merge(rank, l, r, cnt)
+        words = words.map { case (syms, f) =>
+          (applyMerge(l, r, syms.toSeq).toArray, f)
+        }
+        rank += 1
       }
     }
     merges.toSeq

@@ -255,19 +255,21 @@ object DedupOps {
        |     AND y.rn <= x.rn + $DefaultCandidateCap
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q28: SimHash — 32-bit signature from the doc's distinct tokens: bit b
-    * votes +1/−1 by the parity of hex digit b of md5(token); bit set iff
-    * the vote sum is positive. Emitted as the signature value plus
-    * population count (for Hamming-distance pruning downstream). */
+  /** q28: SimHash — full 64-bit signature from the doc's distinct tokens:
+    * bit b (0..63) reads hex digit (b mod 32) of md5(token) and votes
+    * +1/−1 by bit (b div 32) of that digit's VALUE; bit set iff the vote
+    * sum is positive (see [[HashKernels.simhash64]] for why 64 bits is the
+    * 100 TB-regime width). Emitted as the signature value plus population
+    * count (for Hamming-distance pruning downstream). */
   val q28Simhash: Q = (s, d) => {
-    // One narrow pass: md5 once per distinct token, 32 vote counters, all
+    // One narrow pass: md5 once per distinct token, 64 vote counters, all
     // in the compiled kernel. Zero shuffle (vs round-1's 32-way row
     // explosion + two groupBy shuffles) — signatures are pure map work.
     val nPar = s.sparkContext.defaultParallelism
     documents(s, d)
       .repartition(nPar, col("doc_id")) // single-split input → parallelize (see docShingles)
       .select(col("doc_id"),
-        HashKernels.simhash32(TextOps.tokens(col("text"))).as("sh"))
+        HashKernels.simhash64(TextOps.tokens(col("text"))).as("sh"))
       .select(col("doc_id"), col("sh._1").as("simhash"), col("sh._2").as("popcount"))
       .orderBy("doc_id")
   }
@@ -275,13 +277,17 @@ object DedupOps {
     """WITH toks AS (
       |  SELECT DISTINCT doc_id, tok
       |  FROM (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS tok FROM documents)),
+      |hx AS (
+      |  SELECT doc_id, b, ascii(SUBSTR(md5(tok), CAST(b % 32 AS INT) + 1, 1)) AS a
+      |  FROM toks, range(0, 64) r(b)),
       |votes AS (
       |  SELECT doc_id, b,
-      |    SUM((ascii(SUBSTR(md5(tok), CAST(b AS INT) + 1, 1)) % 2) * 2 - 1) AS v
-      |  FROM toks, range(0, 32) r(b) GROUP BY doc_id, b),
+      |    SUM((((CASE WHEN a < 58 THEN a - 48 ELSE a - 87 END) >> CAST(b // 32 AS INT)) & 1) * 2 - 1) AS v
+      |  FROM hx GROUP BY doc_id, b),
       |bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes)
       |SELECT doc_id,
-      |  CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT) AS simhash,
+      |  CAST(SUM(bit * (CASE WHEN b = 63 THEN -9223372036854775808
+      |                       ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)) AS BIGINT) AS simhash,
       |  CAST(SUM(bit) AS BIGINT) AS popcount
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -293,12 +299,13 @@ object DedupOps {
     *     (n·(n−1)/2); the quadratic stage then runs over DISTINCT
     *     signatures with multiplicities (measured at sf0.1: 8000 docs →
     *     2279 signatures, a 16× candidate reduction — dedup-before-join).
-    *  2. **Pigeonhole banding for exact recall.** Two 32-bit signatures at
-    *     Hamming distance ≤ 3 agree on at least one of their 4 bytes, so
-    *     the byte-equality self-join finds every qualifying pair; the
-    *     bit_count(xor) rescore is exact. Both self-join sides share one
-    *     exchange (ReusedExchange via the explicit repartition), and the
-    *     shuffle is ∝ signatures×4, never ∝ pairs.
+    *  2. **Pigeonhole banding for exact recall.** Two 64-bit signatures at
+    *     Hamming distance ≤ 3 agree on at least one of their 4 16-bit
+    *     chunks (4 bands > 3 differing bits), so the chunk-equality
+    *     self-join finds every qualifying pair; the bit_count(xor) rescore
+    *     is exact. Both self-join sides share one exchange (ReusedExchange
+    *     via the explicit repartition), and the shuffle is ∝ signatures×4,
+    *     never ∝ pairs.
     *
     * Output is the 4-row profile (the corpus near-dup audit number), not
     * the pair list — at this signature width a clustered corpus has
@@ -308,23 +315,32 @@ object DedupOps {
     val nPar = s.sparkContext.defaultParallelism
     val sigs = documents(s, d)
       .repartition(nPar, col("doc_id")) // single-split input → parallelize
-      .select(HashKernels.simhash32(TextOps.tokens(col("text"))).as("sh"))
+      .select(HashKernels.simhash64(TextOps.tokens(col("text"))).as("sh"))
       .select(col("sh._1").as("simhash"))
       .groupBy("simhash").agg(count(lit(1)).as("n"))
+    hammingProfile(sigs, nPar)
+  }
+
+  /** The banded Hamming-profile stage of [[q64HammingProfile]], factored
+    * out so the ≤3-bit recall contract is testable on synthetic signature
+    * sets (adversarial high-bit cases that a real corpus may never hit).
+    * `sigs` must be (simhash: LONG, n: LONG) with distinct simhash values.
+    */
+  def hammingProfile(sigs: DataFrame, nPar: Int): DataFrame = {
     val same = sigs.filter(col("n") > 1)
       .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("n_pairs"))
       .select(lit(0).as("hamming"), col("n_pairs"))
     val bands = sigs
       .select(col("simhash"), col("n"),
-        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, 8 * b) & 255)"))
-          .as(Seq("band", "byte")))
-      .repartition(nPar, col("band"), col("byte"))
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, 16 * b) & 65535)"))
+          .as(Seq("band", "chunk")))
+      .repartition(nPar, col("band"), col("chunk"))
     val crossPairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.byte") === col("y.byte")
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk")
           && col("x.simhash") < col("y.simhash"))
       .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"),
         col("x.n").as("na"), col("y.n").as("nb"))
-      .distinct() // a pair agreeing on k bytes matches k bands — count once
+      .distinct() // a pair agreeing on k chunks matches k bands — count once
       .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"),
         (col("na") * col("nb")).as("p"))
       .filter(col("hamming") <= 3)
@@ -335,14 +351,18 @@ object DedupOps {
     """WITH toks AS (
       |  SELECT DISTINCT doc_id, tok
       |  FROM (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS tok FROM documents)),
+      |hx AS (
+      |  SELECT doc_id, b, ascii(SUBSTR(md5(tok), CAST(b % 32 AS INT) + 1, 1)) AS a
+      |  FROM toks, range(0, 64) r(b)),
       |votes AS (
       |  SELECT doc_id, b,
-      |    SUM((ascii(SUBSTR(md5(tok), CAST(b AS INT) + 1, 1)) % 2) * 2 - 1) AS v
-      |  FROM toks, range(0, 32) r(b) GROUP BY doc_id, b),
+      |    SUM((((CASE WHEN a < 58 THEN a - 48 ELSE a - 87 END) >> CAST(b // 32 AS INT)) & 1) * 2 - 1) AS v
+      |  FROM hx GROUP BY doc_id, b),
       |bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
       |sig AS (
       |  SELECT doc_id,
-      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT) AS simhash
+      |    CAST(SUM(bit * (CASE WHEN b = 63 THEN -9223372036854775808
+      |                         ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id),
       |sc AS (SELECT simhash, COUNT(*) AS n FROM sig GROUP BY 1),
       |crossp AS (

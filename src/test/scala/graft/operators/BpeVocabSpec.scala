@@ -53,6 +53,20 @@ class BpeVocabSpec extends AnyFunSuite with SharedSpark {
     assert(BpeVocab.train(corpus(rows), "text", nMerges = 10) == m)
   }
 
+  test("local and distributed merge loops produce bit-identical merge tables") {
+    // localTypeCap=0 forces the distributed per-round-job path; the default
+    // cap routes the same corpus through the driver-local loop. Both must
+    // agree exactly — same weighted counts, same (cnt desc, l, r) UTF-8
+    // tie-break, same greedy application.
+    val rows = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3,
+      "aaa" -> 2, "ab" -> 3)
+    val viaLocal = BpeVocab.train(corpus(rows), "text", nMerges = 8)
+    val viaDistributed = BpeVocab.train(corpus(rows), "text", nMerges = 8,
+      localTypeCap = 0L)
+    assert(viaLocal == viaDistributed)
+    assert(viaLocal.nonEmpty)
+  }
+
   test("q67 on testdata: ranks contiguous, counts non-increasing within ties broken") {
     val df = BpeVocab.q67BpeMerges(spark, "/root/testdata/sf0.001")
     val rows = df.collect()

@@ -78,6 +78,37 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       "banded pigeonhole count diverges from brute force")
   }
 
+  test("q64 banding: exact ≤3-bit recall on adversarial high-bit signatures") {
+    // r5's simhash32→64 widening silently voided the recall proof: 8-bit
+    // bands over a 64-bit signature inspect only bits 0–31, missing pairs
+    // that differ solely in bits ≥32. This pins the repaired 4×16-bit
+    // pigeonhole: every pair below differs ONLY in bits ≥32 (plus one
+    // crossing the 32-bit boundary), at Hamming distances 1..4 — so the
+    // old banding would have found none of them, and distance 4 must be
+    // correctly excluded rather than lost by accident.
+    import spark.implicits._
+    val base = 0x5a5a5a5a5a5a5a5aL
+    val sigs = Seq(
+      base,                                    // anchor
+      base ^ (1L << 63),                       // d=1, highest bit only
+      base ^ (1L << 62) ^ (1L << 40),          // d=2, bits ≥32 only
+      base ^ (1L << 61) ^ (1L << 47) ^ (1L << 33), // d=3, bits ≥32 only
+      base ^ (1L << 35) ^ (1L << 31),          // d=2, straddles the boundary
+      base ^ (1L << 60) ^ (1L << 50) ^ (1L << 44) ^ (1L << 36) // d=4: excluded
+    ).toDF("simhash").withColumn("n", lit(1L))
+    val banded = DedupOps.hammingProfile(sigs, spark.sparkContext.defaultParallelism)
+      .filter(col("n_pairs") > 0)
+      .select(col("hamming").cast("int").as("hamming"), col("n_pairs"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.simhash") < col("b.simhash"))
+      .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0,
+      "banded profile missed high-bit pairs the 4×16-bit pigeonhole must find")
+    // and the adversarial set is not vacuous: distances 1,2,3 all present
+    assert(banded.count() >= 3)
+  }
+
   test("q65 LATERAL equals the explicit window top-k formulation") {
     val w = Window.partitionBy("o_custkey")
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
