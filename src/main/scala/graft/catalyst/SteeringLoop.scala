@@ -17,12 +17,14 @@ import graft.linalg.CensoredALS
   * query up front — the same "default plan always observed" invariant as
   * the reference's init mask (`src/data/dataset.py:31`).
   *
-  * Deviation (documented): the offline strategies implement the full
-  * timeout/censoring bookkeeping (SURVEY §2.13); online, a timeout
-  * requires cancelling a running job at the tolerance cutoff
-  * (`sparkContext.cancelJobGroup` after α·minObs) — environment-specific
-  * plumbing that this loop omits. Every execution is observed uncensored;
-  * the ALS cutoff matrix is all-zero.
+  * Censoring (reference `src/strategies/limeqo.py:79-95`): each explored
+  * cell runs under a timeout tolerance min(α·minObserved, β·predicted);
+  * a run that hits it is cancelled (`cancelJobGroup` from a watchdog
+  * timer), recorded in the ALS cutoff matrix AT the tolerance — pushing
+  * the model's prediction for that cell to at-least-cutoff instead of
+  * biasing it low — and never retried. Candidates whose predicted time
+  * already exceeds their tolerance are skipped before running, exactly
+  * like the reference's `pred >= timeout_tolerance: continue`.
   */
 object SteeringLoop {
 
@@ -68,7 +70,19 @@ object SteeringLoop {
     ("", Map.empty[String, String]) +:
       ns.toSeq.map(n => (s"p$n", Map("spark.sql.shuffle.partitions" -> n.toString)))
 
-  final case class Observation(query: Int, config: Int, seconds: Double, round: Int)
+  /** Outcome of executing one (query, config) cell under a tolerance. */
+  sealed trait Outcome
+  /** Ran to completion in `seconds`. */
+  final case class Completed(seconds: Double) extends Outcome
+  /** Cancelled at the tolerance: the true time is only known to be
+    * ≥ `cutoffSeconds` — a right-censored observation. */
+  final case class Censored(cutoffSeconds: Double) extends Outcome
+
+  /** For censored observations `seconds` is the cutoff actually spent
+    * waiting before the cancel (the reference adds the tolerance to its
+    * timeout ledger the same way, `limeqo.py:94`). */
+  final case class Observation(query: Int, config: Int, seconds: Double, round: Int,
+                               censored: Boolean = false)
   final case class Recommendation(queryName: String, configName: String,
                                   observedSeconds: Double, defaultSeconds: Double)
   final case class SteeringResult(observations: Vector[Observation],
@@ -98,80 +112,234 @@ object SteeringLoop {
     }
   }
 
-  /** Run the online loop with a pluggable executor (tests inject a synthetic
-    * cost function; production passes [[measure]] partially applied).
-    *
-    * Each round: censored-ALS-complete the observed matrix in log1p space
-    * (rank/λ per the reference defaults), rank unobserved cells by the
-    * predicted improvement ratio over the query's current best
-    * (`limeqo.py:71`), execute the top `batch` cells, observe.
-    */
+  /** Uncensored loop (tests' synthetic cost functions; no tolerance, every
+    * execution completes): [[runCensored]] with infinite α/β. */
   def run(queryNames: Seq[String], configNames: Seq[String],
           exec: (Int, Int) => Double,
           batch: Int = 2, rounds: Int = 3, rank: Int = 2,
-          lambda: Double = 0.2, alsIters: Int = 50, seed: Long = 42): SteeringResult = {
+          lambda: Double = 0.2, alsIters: Int = 50, seed: Long = 42): SteeringResult =
+    runCensored(queryNames, configNames, (q, c, _) => Completed(exec(q, c)),
+      batch = batch, rounds = rounds, rank = rank, lambda = lambda,
+      alsIters = alsIters, seed = seed,
+      alpha = Double.PositiveInfinity, beta = Double.PositiveInfinity)
+
+  /** Run the online loop with a pluggable tolerance-aware executor (tests
+    * inject a synthetic cost function; production passes [[measureBounded]]
+    * partially applied).
+    *
+    * Each round: censored-ALS-complete the observed matrix in log1p space
+    * (rank/λ per the reference defaults) with censored cells clamped at
+    * their log1p cutoffs, rank unexplored cells by the predicted
+    * improvement ratio over the query's current best (`limeqo.py:71`),
+    * skip cells predicted slower than their tolerance
+    * min(α·minObserved, β·predicted) (`limeqo.py:79-85`), execute the top
+    * `batch` survivors under that tolerance, observe — censored outcomes
+    * land in the cutoff matrix, not the mask, and are never retried
+    * (`limeqo.py:92-95`). α=1, β=15 are the reference defaults
+    * (`limeqo.py:11`).
+    */
+  def runCensored(queryNames: Seq[String], configNames: Seq[String],
+                  exec: (Int, Int, Double) => Outcome,
+                  batch: Int = 2, rounds: Int = 3, rank: Int = 2,
+                  lambda: Double = 0.2, alsIters: Int = 50, seed: Long = 42,
+                  alpha: Double = 1.0, beta: Double = 15.0,
+                  warmStart: Vector[Observation] = Vector.empty): SteeringResult = {
     val nQ = queryNames.length
     val nC = configNames.length
     val values = Array.fill(nQ, nC)(0.0)
     val mask = Array.fill(nQ, nC)(false)
+    val cutoffs = Array.fill(nQ, nC)(0.0) // >0 = censored at that many seconds
+    // explored = observed OR censored: a censored cell must never be
+    // re-picked (its cutoff already informs the model)
+    def explored(r: Int, c: Int): Boolean = mask(r)(c) || cutoffs(r)(c) > 0.0
     val obs = Vector.newBuilder[Observation]
 
-    // round 0: default plan for every query (column 0 always observed)
+    // warm start (cold-session resume): seed the matrix with a previous
+    // run's observations — the reference's offline→online handoff, where
+    // a fresh session continues from the persisted trace instead of
+    // re-measuring. Warm cells are explored-but-not-re-run; they do not
+    // re-enter this run's observation ledger (totalExplorationSeconds is
+    // time spent HERE).
+    warmStart.foreach { o =>
+      if (o.query < nQ && o.config < nC) {
+        if (o.censored) cutoffs(o.query)(o.config) = o.seconds
+        else { values(o.query)(o.config) = o.seconds; mask(o.query)(o.config) = true }
+      }
+    }
+
+    // round 0: default plan for every query, unbounded (column 0 always
+    // observed — the reference's init-mask invariant); warm-started
+    // default cells are already covered
     var q = 0
     while (q < nQ) {
-      values(q)(0) = exec(q, 0); mask(q)(0) = true
-      obs += Observation(q, 0, values(q)(0), 0)
+      if (!explored(q, 0)) {
+        exec(q, 0, Double.PositiveInfinity) match {
+          case Completed(s) =>
+            values(q)(0) = s; mask(q)(0) = true
+            obs += Observation(q, 0, s, 0)
+          case Censored(cut) => // unreachable with an infinite tolerance, but
+            // keep the ledger honest if an executor censors anyway
+            cutoffs(q)(0) = cut
+            obs += Observation(q, 0, cut, 0, censored = true)
+        }
+      }
       q += 1
     }
 
     val rng = new scala.util.Random(seed)
     var round = 1
-    while (round <= rounds && mask.exists(_.contains(false))) {
+    while (round <= rounds &&
+      (0 until nQ).exists(r => (0 until nC).exists(c => !explored(r, c)))) {
       val logM = DenseMatrix.tabulate(nQ, nC)((r, c) =>
         if (mask(r)(c)) math.log1p(values(r)(c)) else 0.0)
       val maskM = DenseMatrix.tabulate(nQ, nC)((r, c) => if (mask(r)(c)) 1.0 else 0.0)
-      val zeros = DenseMatrix.zeros[Double](nQ, nC)
+      // cutoffs live in the same log1p space the ALS solves in
+      val cutM = DenseMatrix.tabulate(nQ, nC)((r, c) =>
+        if (cutoffs(r)(c) > 0.0) math.log1p(cutoffs(r)(c)) else 0.0)
       val als = new CensoredALS(rank, alsIters, lambda, rng.nextLong())
-      val completed = als.complete(logM, maskM, zeros)
+      val completed = als.complete(logM, maskM, cutM)
 
       val minObs = Array.tabulate(nQ)(r =>
-        (0 until nC).filter(mask(r)).map(values(r)).min)
-      // best unobserved prediction per query + improvement ratio
+        (0 until nC).filter(mask(r)).map(values(r)).minOption.getOrElse(Double.PositiveInfinity))
+      // best unexplored prediction per query + improvement ratio; a cell
+      // predicted at-or-past its own tolerance is not worth the probe
       val candidates = for {
         r <- 0 until nQ
-        c <- 0 until nC if !mask(r)(c)
+        c <- 0 until nC if !explored(r, c)
         pred = math.expm1(completed(r, c)) if pred > 0.0
-      } yield (r, c, (minObs(r) - pred) / pred)
-      val picks = candidates.sortBy { case (r, c, imp) => (-imp, r, c) }.take(batch)
-      // no eligible cell (every unobserved prediction collapsed to ≤0):
-      // further rounds would refit ALS without ever observing — stop
+        tol = math.min(alpha * minObs(r), beta * pred) if pred < tol
+      } yield (r, c, (minObs(r) - pred) / pred, tol)
+      val picks = candidates.sortBy { case (r, c, imp, _) => (-imp, r, c) }.take(batch)
+      // no eligible cell (every unexplored prediction collapsed to ≤0 or
+      // past tolerance): further rounds would refit ALS without ever
+      // observing — stop
       if (picks.isEmpty) round = rounds
 
-      picks.foreach { case (r, c, _) =>
-        values(r)(c) = exec(r, c); mask(r)(c) = true
-        obs += Observation(r, c, values(r)(c), round)
+      picks.foreach { case (r, c, _, tol) =>
+        exec(r, c, tol) match {
+          case Completed(s) =>
+            values(r)(c) = s; mask(r)(c) = true
+            obs += Observation(r, c, s, round)
+          case Censored(cut) =>
+            cutoffs(r)(c) = cut
+            obs += Observation(r, c, cut, round, censored = true)
+        }
       }
       round += 1
     }
 
-    val recs = (0 until nQ).map { r =>
-      val best = (0 until nC).filter(mask(r)).minBy(c => (values(r)(c), c))
-      Recommendation(queryNames(r), configNames(best), values(r)(best), values(r)(0))
+    val recs = (0 until nQ).flatMap { r =>
+      // recommend only from completed observations (a fully-censored row —
+      // possible under a degenerate warm start — has nothing to recommend)
+      val observedCols = (0 until nC).filter(mask(r))
+      observedCols.minByOption(c => (values(r)(c), c)).map { best =>
+        Recommendation(queryNames(r), configNames(best), values(r)(best), values(r)(0))
+      }
     }
     SteeringResult(obs.result(), recs.toVector)
   }
 
+  /** Persist a steering run — the completed workload matrix (every
+    * observation, censored or not) plus the recommendations — as one JSON
+    * document. This is the engine's analogue of the reference's per-round
+    * experiment trace (`experiment/ceb/limeqo/1.json`): the artifact a
+    * fresh session resumes from ([[runCensored]]'s `warmStart`) after the
+    * [[Steered]] registry replays the decisions. */
+  def saveTrace(res: SteeringResult, queryNames: Seq[String], configNames: Seq[String],
+                path: java.nio.file.Path): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val qs = root.putArray("queries"); queryNames.foreach(qs.add)
+    val cs = root.putArray("configs"); configNames.foreach(cs.add)
+    val os = root.putArray("observations")
+    res.observations.foreach { o =>
+      val e = os.addObject()
+      e.put("query", o.query); e.put("config", o.config)
+      e.put("seconds", o.seconds); e.put("round", o.round)
+      e.put("censored", o.censored)
+    }
+    val rs = root.putArray("recommendations")
+    res.recommendations.foreach { r =>
+      val e = rs.addObject()
+      e.put("query", r.queryName); e.put("config", r.configName)
+      e.put("observedSeconds", r.observedSeconds)
+      e.put("defaultSeconds", r.defaultSeconds)
+    }
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(path,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
+  /** Load a trace saved by [[saveTrace]]: (queryNames, configNames, run). */
+  def loadTrace(path: java.nio.file.Path): (Seq[String], Seq[String], SteeringResult) = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(path))
+    val qs = root.path("queries").elements().asScala.map(_.asText()).toSeq
+    val cs = root.path("configs").elements().asScala.map(_.asText()).toSeq
+    val obs = root.path("observations").elements().asScala.map(o =>
+      Observation(o.path("query").asInt(), o.path("config").asInt(),
+        o.path("seconds").asDouble(), o.path("round").asInt(),
+        o.path("censored").asBoolean(false))).toVector
+    val recs = root.path("recommendations").elements().asScala.map(r =>
+      Recommendation(r.path("query").asText(), r.path("config").asText(),
+        r.path("observedSeconds").asDouble(), r.path("defaultSeconds").asDouble())).toVector
+    (qs, cs, SteeringResult(obs, recs))
+  }
+
+  /** [[measure]] bounded by a timeout: a daemon watchdog cancels the
+    * probe's job group at the tolerance (tasks are interrupted —
+    * `interruptOnCancel`), and the cell comes back [[Censored]] at exactly
+    * the tolerance. This is the online analogue of the reference's offline
+    * timeout bookkeeping (`limeqo.py:92-95`): the loop learns "at least
+    * this slow" instead of either blocking on a pathological plan or
+    * recording nothing. */
+  def measureBounded(spark: SparkSession, fn: SparkSession => DataFrame,
+                     config: SteeringConfig, timeoutSeconds: Double): Outcome = {
+    if (timeoutSeconds.isInfinite) return Completed(measure(spark, fn, config))
+    val keys = HintSteeringRule.ConfKey +: config.confs.keys.toSeq
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(HintSteeringRule.ConfKey, config.strategy)
+    config.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sc = spark.sparkContext
+    val group = s"graft-steer-${java.util.UUID.randomUUID()}"
+    sc.setJobGroup(group, s"steering probe ${config.name}", interruptOnCancel = true)
+    val timer = new java.util.Timer("graft-steer-watchdog", true)
+    @volatile var fired = false
+    timer.schedule(new java.util.TimerTask {
+      override def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
+    }, math.max(1L, (timeoutSeconds * 1000).toLong))
+    try {
+      val t0 = System.nanoTime()
+      fn(spark).write.format("noop").mode("overwrite").save()
+      Completed((System.nanoTime() - t0) / 1e9)
+    } catch {
+      case _: Throwable if fired => Censored(timeoutSeconds)
+    } finally {
+      timer.cancel()
+      sc.clearJobGroup()
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** End-to-end convenience: steer a set of DataFrame-producing queries on
-    * a live (extension-carrying) session. With `learn = true` each query's
-    * recommendation is recorded in the [[Steered]] registry under the
-    * query's template fingerprint, so future executions of the same
-    * template via [[Steered.run]] automatically use the learned hint. */
+    * a live (extension-carrying) session, with reference-default censoring
+    * (α=1, β=15 — a probe is cancelled once it runs past the query's
+    * current best, so one pathological hint can at most double a query's
+    * exploration spend). With `learn = true` each query's recommendation
+    * is recorded in the [[Steered]] registry under the query's template
+    * fingerprint, so future executions of the same template via
+    * [[Steered.run]] automatically use the learned hint. */
   def steer(spark: SparkSession, queries: Seq[(String, SparkSession => DataFrame)],
             configs: Seq[SteeringConfig] = defaultConfigs,
-            batch: Int = 2, rounds: Int = 3, learn: Boolean = false): SteeringResult = {
-    val res = run(queries.map(_._1), configs.map(_.name),
-      (q, c) => measure(spark, queries(q)._2, configs(c)),
-      batch = batch, rounds = rounds)
+            batch: Int = 2, rounds: Int = 3, learn: Boolean = false,
+            alpha: Double = 1.0, beta: Double = 15.0): SteeringResult = {
+    val res = runCensored(queries.map(_._1), configs.map(_.name),
+      (q, c, tol) => measureBounded(spark, queries(q)._2, configs(c), tol),
+      batch = batch, rounds = rounds, alpha = alpha, beta = beta)
     if (learn) {
       val byName = queries.toMap
       res.recommendations.foreach { r =>

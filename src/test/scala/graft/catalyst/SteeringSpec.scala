@@ -77,6 +77,138 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("censored cells are recorded at the tolerance and never retried") {
+    // config 2 "hangs": every probe of it exceeds its tolerance and comes
+    // back censored. The loop must ledger the cutoff, never re-pick the
+    // cell, and keep recommending from completed observations only.
+    val cost = Array(Array(10.0, 1.0), Array(12.0, 1.2), Array(8.0, 0.8))
+    var hangProbes = 0
+    val res = SteeringLoop.runCensored(
+      Seq("qa", "qb", "qc"), Seq("default", "fast", "hang"),
+      (q, c, tol) =>
+        if (c == 2) { hangProbes += 1; SteeringLoop.Censored(tol) }
+        else SteeringLoop.Completed(cost(q)(c)),
+      batch = 3, rounds = 6, alpha = 2.0, beta = 100.0)
+    val censored = res.observations.filter(_.censored)
+    assert(censored.nonEmpty, "no probe was ever censored")
+    // never retried: one censored observation per cell, and the executor
+    // saw each hanging cell at most once
+    assert(censored.map(o => (o.query, o.config)).distinct.size == censored.size)
+    assert(hangProbes == censored.size)
+    // the cutoff was the tolerance in force: α × the query's best (=fast
+    // if observed first, else default) — never 0, never infinite
+    censored.foreach(o => assert(o.seconds > 0 && o.seconds.isFinite, o.toString))
+    // recommendations come only from completed cells
+    res.recommendations.foreach { r =>
+      assert(r.configName != "hang", r.toString)
+      assert(r.observedSeconds <= r.defaultSeconds)
+    }
+    // censored time is spent time: it counts toward the exploration ledger
+    assert(res.totalExplorationSeconds >
+      res.observations.filter(!_.censored).map(_.seconds).sum)
+  }
+
+  test("measureBounded cancels a live job at the tolerance and reports censored") {
+    val slow = udf((x: Long) => { Thread.sleep(50); x })
+    val out = SteeringLoop.measureBounded(spark, s =>
+      s.range(0, 2000, 1, 4).select(slow(col("id")).as("v")),
+      SteeringLoop.SteeringConfig("default", ""), timeoutSeconds = 1.0)
+    assert(out == SteeringLoop.Censored(1.0), out.toString)
+    // the cancel is scoped to the probe's job group: session stays usable
+    // and steering confs are restored
+    assert(spark.range(5).count() == 5)
+    assert(spark.conf.getOption(HintSteeringRule.ConfKey).isEmpty)
+  }
+
+  test("measureBounded completes under a generous tolerance") {
+    val out = SteeringLoop.measureBounded(spark, s =>
+      graft.Tables.customer(s, sf).groupBy("c_mktsegment").count(),
+      SteeringLoop.SteeringConfig("merge", "merge"), timeoutSeconds = 300.0)
+    out match {
+      case SteeringLoop.Completed(s) => assert(s > 0.0 && s < 300.0)
+      case other => fail(s"expected Completed, got $other")
+    }
+  }
+
+  test("warm-started loop resumes from a persisted trace without re-running cells") {
+    val cost = Array(Array(10.0, 1.0, 20.0), Array(12.0, 1.2, 24.0))
+    val names = (Seq("qa", "qb"), Seq("default", "fast", "slow"))
+    var execs = Vector.empty[(Int, Int)]
+    // session 1: partial exploration (1 round), trace persisted
+    val first = SteeringLoop.run(names._1, names._2,
+      (q, c) => { execs :+= ((q, c)); cost(q)(c) }, batch = 2, rounds = 1)
+    val firstCells = first.observations.map(o => (o.query, o.config)).toSet
+    assert(firstCells.size < 6, "round 1 must leave cells unexplored")
+    val p = java.nio.file.Files.createTempFile("steer-trace", ".json")
+    SteeringLoop.saveTrace(first, names._1, names._2, p)
+    // session 2: trace round-trips exactly, and resuming from it never
+    // re-executes an already-observed cell
+    val (qn, cn, loaded) = SteeringLoop.loadTrace(p)
+    assert(qn == names._1 && cn == names._2 && loaded == first)
+    execs = Vector.empty
+    val resumed = SteeringLoop.runCensored(names._1, names._2,
+      (q, c, _) => { execs :+= ((q, c)); SteeringLoop.Completed(cost(q)(c)) },
+      batch = 2, rounds = 5,
+      alpha = Double.PositiveInfinity, beta = Double.PositiveInfinity,
+      warmStart = loaded.observations)
+    assert(execs.toSet.intersect(firstCells).isEmpty,
+      s"re-executed warm cells: ${execs.toSet.intersect(firstCells)}")
+    assert(firstCells ++ execs.toSet == (for (q <- 0 to 1; c <- 0 to 2) yield (q, c)).toSet,
+      "resume must complete the matrix")
+    resumed.recommendations.foreach { r =>
+      assert(r.configName == "fast", r.toString)
+      assert(r.defaultSeconds > r.observedSeconds)
+    }
+    java.nio.file.Files.delete(p)
+  }
+
+  test("cold-session handoff: saved decisions replay on a fresh session without exploring") {
+    Steered.clear()
+    val dir = java.nio.file.Files.createTempDirectory("steer-handoff")
+    val registry = dir.resolve("registry.json")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // session 1: live steering learns a config per template and persists
+      val queries: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] =
+        Seq("join_agg" -> (s => {
+          val c = graft.Tables.customer(s, sf); val o = graft.Tables.orders(s, sf)
+          c.join(o, c("c_custkey") === o("o_custkey")).groupBy("c_mktsegment").count()
+        }))
+      val res = SteeringLoop.steer(spark, queries,
+        configs = SteeringLoop.defaultConfigs.take(3), // default, broadcast, merge
+        batch = 2, rounds = 2, learn = true)
+      val learned = res.recommendations.head.configName
+      Steered.save(registry)
+
+      // session 2: cold — in-memory registry wiped, a NEW session (its own
+      // state, same extensions) loads the artifact and replays
+      Steered.clear()
+      val fresh = spark.newSession()
+      fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(Steered.load(registry) == 1)
+      val df = queries.head._2(fresh)
+      // fingerprints are session-independent: the cold session finds the hint
+      assert(Steered.hintFor(df).map(_.strategy).contains(
+        SteeringLoop.defaultConfigs.find(_.name == learned).get.strategy))
+      // the replayed plan chooses the same join operator the learned config
+      // forces when set by hand on the fresh session — zero exploration runs
+      def joinOps(p: String): Seq[String] =
+        Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin").filter(p.contains)
+      val replayed = Steered.run(df)(d => d.queryExecution.executedPlan.toString)
+      val cfg = SteeringLoop.defaultConfigs.find(_.name == learned).get
+      fresh.conf.set(HintSteeringRule.ConfKey, cfg.strategy)
+      val byHand = try queries.head._2(fresh).queryExecution.executedPlan.toString
+        finally fresh.conf.unset(HintSteeringRule.ConfKey)
+      assert(joinOps(replayed) == joinOps(byHand),
+        s"learned=$learned replayed=${joinOps(replayed)} byHand=${joinOps(byHand)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Steered.clear()
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("fingerprint is literal-insensitive and template-sensitive") {
     val c = graft.Tables.customer(spark, sf)
     val a = c.filter(col("c_acctbal") > 100).groupBy("c_mktsegment").count()
