@@ -376,29 +376,60 @@ object DedupOps {
       |SELECT hamming, CAST(n_pairs AS BIGINT) FROM crossp
       |ORDER BY hamming""".stripMargin
 
-  /** Connected components by min-label propagation WITH pointer jumping:
-    * each round a node's label becomes the min of itself and its
-    * neighbors' labels, then labels are path-compressed (label := label's
-    * label). The compression halves label-chain depth per round, so
-    * convergence is O(log diameter) rounds instead of O(diameter) — which
-    * matters precisely for the capped candidate chains ([[jaccardPairs]] /
+  /** Edge-count cap under which component labeling runs driver-local:
+    * 5M edges × 16 bytes is ~80 MB of driver longs. In a dedup graph the
+    * edge table is candidate pairs — already banded/capped by
+    * construction — so real corpora sit far under this; the distributed
+    * loop remains for the pathological overflow. */
+  val DefaultLocalEdgeCap: Long = 5000000L
+
+  /** Connected components over the candidate-pair graph; every paired node
+    * gets the min doc_id of its cluster, singletons label themselves.
+    *
+    * Venue is picked by edge count, like [[BpeVocab.train]]'s merge loop:
+    * under `localEdgeCap` the (banded, capped — so bounded by
+    * construction) pair list is collected once and union-find with
+    * path compression labels it driver-side in O(E α(E)) — each
+    * *distributed* round below costs two shuffles of scheduler latency,
+    * which dwarfs the actual work at candidate-pair scale. Above the cap,
+    * min-label propagation WITH pointer jumping: each round a node's
+    * label becomes the min of itself and its neighbors' labels, then
+    * labels are path-compressed (label := label's label). The compression
+    * halves label-chain depth per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — which matters
+    * precisely for the capped candidate chains ([[jaccardPairs]] /
     * [[lshCandidatePairs]]): a degenerate N-doc bucket emits a cap-width
     * chain of diameter ~N/cap, and plain propagation would need that many
-    * shuffles (DedupCapSpec: a 200-node chain converges in ≤12 rounds).
+    * shuffles (DedupCapSpec: a 200-node chain converges in ≤12 rounds;
+    * a parity spec pins local == distributed).
     *
-    * Scale notes: each round is two shuffles (edge join + min agg, then
-    * the compression self-join). Rounds are eagerly `localCheckpoint`ed to
-    * truncate the growing plan lineage (the classic iterative-algorithm
-    * pattern, same as GraphX's strategy).
+    * Scale notes (distributed path): each round is two shuffles (edge
+    * join + min agg, then the compression self-join). Rounds are eagerly
+    * `localCheckpoint`ed to truncate the growing plan lineage (the classic
+    * iterative-algorithm pattern, same as GraphX's strategy).
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+                          localEdgeCap: Long = DefaultLocalEdgeCap): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val rawEdges = pairs.select(col("doc_a").cast("long").as("a"),
+      col("doc_b").cast("long").as("b")).cache()
+    val nEdges = rawEdges.count()
+    if (nEdges <= localEdgeCap) {
+      val collected = rawEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      rawEdges.unpersist()
+      val labels = localComponents(collected).toSeq
+      return nodes.join(broadcast(labels.toDF("doc_id", "component")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    }
     // propagate only over the nodes that appear in a pair — in a dedup
     // graph the overwhelming majority of documents are singletons, and
     // carrying them through every iteration's shuffle multiplies the cost
     // by |corpus| / |paired nodes| (500k vs a few hundred at sf0.1); they
     // rejoin as their own component at the end
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val edges = rawEdges
+      .union(rawEdges.select(col("b").as("a"), col("a").as("b")))
       .cache()
     // localCheckpoint (eager), not cache: each round's plan builds on the
     // previous round's, so without lineage TRUNCATION the logical plan
@@ -443,6 +474,7 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    rawEdges.unpersist()
     // silent non-convergence would return labels that split true clusters
     // (and diverge from the transitive-closure oracle) — fail loudly
     require(converged,
@@ -459,12 +491,33 @@ object DedupOps {
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     if (labels.count() <= 5000000) {
       val pinned = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val spark = nodes.sparkSession
-      import spark.implicits._
       singletonJoin(broadcast(pinned.toDF("doc_id", "component")))
     } else {
       singletonJoin(labels)
     }
+  }
+
+  /** Driver-local union-find with path compression over a collected edge
+    * list. Roots stay the minimum doc_id of their cluster by construction
+    * (unions always attach the larger root under the smaller), so the
+    * returned (doc_id → component) map matches the distributed loop's
+    * min-label fixpoint exactly. */
+  private[operators] def localComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** q42: near-dup cluster assignment — connected components over the q27

@@ -50,16 +50,46 @@ class DedupCapSpec extends AnyFunSuite with SharedSpark {
     import sp.implicits._
     val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val docs = identicalDocs(n)
-    val comps = DedupOps.connectedComponents(docs.select("doc_id"), pairs, maxIter = 12)
+    // localEdgeCap = 0 forces the distributed pointer-jumping loop — the
+    // scale path this test exists to pin (the default cap would route a
+    // 199-edge chain through driver-local union-find)
+    val comps = DedupOps.connectedComponents(docs.select("doc_id"), pairs,
+        maxIter = 12, localEdgeCap = 0L)
       .select("component").distinct().collect()
     assert(comps.length == 1 && comps.head.getLong(0) == 1L,
       s"chain broke the cluster: ${comps.mkString(", ")}")
     // and the real capped LSH pair generator feeds it the same way
     val lshPairs = DedupOps.lshCandidatePairs(identicalDocs(40), bucketCap = 2)
       .select(col("doc_a"), col("doc_b"))
-    val lshComps = DedupOps.connectedComponents(identicalDocs(40).select("doc_id"), lshPairs, maxIter = 12)
+    val lshComps = DedupOps.connectedComponents(identicalDocs(40).select("doc_id"), lshPairs,
+        maxIter = 12, localEdgeCap = 0L)
       .select("component").distinct().collect()
     assert(lshComps.length == 1 && lshComps.head.getLong(0) == 1L)
+  }
+
+  test("local union-find and distributed propagation agree on an adversarial graph") {
+    val sp = spark
+    import sp.implicits._
+    // chain ∪ star ∪ triangle ∪ isolated pair, plus out-of-order edges so
+    // union order exercises root minimality
+    val edges = ((1L to 50L).sliding(2).map(s => (s(1), s(0))) ++ // reversed chain
+      Seq((80L, 60L), (60L, 70L), (60L, 90L),                     // star rooted at 60
+        (101L, 102L), (102L, 103L), (103L, 101L),                 // triangle
+        (200L, 201L))).toSeq
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val nodes = (1L to 210L).toDF("doc_id")
+    val viaLocal = DedupOps.connectedComponents(nodes, pairs, maxIter = 20)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaDistributed = DedupOps.connectedComponents(nodes, pairs, maxIter = 20,
+        localEdgeCap = 0L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLocal.sameElements(viaDistributed))
+    // spot: star members all label 60, chain all 1, triangle all 101
+    val m = viaLocal.toMap
+    assert(Seq(60L, 70L, 80L, 90L).forall(m(_) == 60L))
+    assert((1L to 50L).forall(m(_) == 1L))
+    assert(Seq(101L, 102L, 103L).forall(m(_) == 101L))
+    assert(m(200L) == 200L && m(201L) == 200L && m(150L) == 150L)
   }
 
   test("Jaccard block cap: N identical docs yield the chained pair set at J=1") {
