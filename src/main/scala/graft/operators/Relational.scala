@@ -541,6 +541,41 @@ object Relational {
        |  AND o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q75: promo-revenue share (the TPC-H Q14 shape) — fact ⋈ broadcast
+    * dim with conditional aggregation. Scale notes: the half-year
+    * `l_shipdate` predicate is pushed to the fact's parquet scan
+    * (PushedFilters — at 100 TB this is the difference between reading a
+    * few partitions and the whole table); `part` is broadcast (a dim is
+    * ~1/5000th of its fact at any SF — shuffling the fact to co-locate
+    * with a table that fits in executor memory is the classic mistake);
+    * promo vs total revenue are two decimal sums over the SAME joined
+    * rows in one aggregation pass, not two queries or a union. Single-row
+    * output ⇒ the ratio divides two order-independent DECIMAL(38,6) sums. */
+  val q75PromoRevenue: Q = (s, d) => {
+    val l = lineitem(s, d).filter(
+      col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    l.join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("promo_revenue"), col("total_revenue"), col("n_items"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6).as("promo_pct"))
+  }
+  val q75Sql: String =
+    s"""SELECT
+       |  ${dsql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+       |  ${dsql("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+       |  COUNT(*) AS n_items,
+       |  ROUND(100.0 * ${dsql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       |    / ${dsql("l_extendedprice * (1 - l_discount)")}, 6) AS promo_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin
+
   /** q72: ordered-set aggregate family — per-priority modal order status,
     * discrete median (`percentile_disc`: smallest value whose cumulative
     * distribution reaches 0.5 — the value-in-the-data median, vs q09's
@@ -585,6 +620,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "q41_approx_stats" -> q41ApproxStats,
+    "q75_promo_revenue" -> q75PromoRevenue,
     "q72_ordered_set_aggs" -> q72OrderedSetAggs,
     "q44_rollup" -> q44Rollup,
     "q45_pivot" -> q45Pivot,
@@ -612,6 +648,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q75_promo_revenue" -> q75Sql,
     "q72_ordered_set_aggs" -> q72Sql,
     "q44_rollup" -> q44Sql,
     "q45_pivot" -> q45Sql,

@@ -209,6 +209,19 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(cartesian.isEmpty, s"cyclic join edge became a cross product:\n$plan")
   }
 
+  test("q75: part broadcast, shipdate range pushed to the fact scan, one agg pass") {
+    val df = Relational.q75PromoRevenue(spark, sf)
+    val plan = physicalPlan(df)
+    assert(nodes(df) { case j: BroadcastHashJoinExec => j }.size == 1,
+      s"part dim not broadcast:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed to the lineitem scan:\n$plan")
+    // conditional + total revenue come from ONE aggregation (partial+final),
+    // not a self-join or union of two scans
+    assert(nodes(df) { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size == 2,
+      s"extra scan — conditional agg split into two passes:\n$plan")
+  }
+
   test("q64: at no-broadcast scale the band self-join reuses one exchange") {
     // unlike q62's tf/df consumers, the self-join's two sides are
     // structurally identical (same columns survive pruning), so the
