@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ EventOps.queries ++
-      PipelineOps.queries ++ CorpusOps.queries ++ BpeVocab.queries
+      PipelineOps.queries ++ CorpusOps.queries ++ BpeVocab.queries ++
+      PackingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ EventOps.oracle ++
-      PipelineOps.oracle ++ CorpusOps.oracle ++ BpeVocab.oracle
+      PipelineOps.oracle ++ CorpusOps.oracle ++ BpeVocab.oracle ++
+      PackingOps.oracle
 }

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Round-6 surface widening (q76–q80): the sequence-assembly half of a
+  * training-data pipeline — the steps that run AFTER filtering/dedup and
+  * turn a cleaned corpus into model-ready sequences — plus two corpus-audit
+  * queries (embedding quantization health, per-source language drift).
+  *
+  * Nothing here is in the reference (its data model is workload matrices,
+  * `/root/reference/src/data/dataset.py`); these are the pipeline-brief
+  * extensions, so the DuckDB oracle is the contract.
+  *
+  * Determinism policy is the shared one (EventOps/PipelineOps): exact
+  * integer arithmetic wherever possible (q76 bins, q80's sum of squared
+  * counts), DECIMAL(38,x) for float sums, 6dp rounding for derived ratios,
+  * total ORDER BY with a unique trailing key.
+  */
+object PackingOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val budget = 256 // tokens per packed sequence (q76)
+  private val chunkW = 64  // sliding-window chunk size (q77)
+  private val chunkS = 48  // sliding-window stride (q77)
+
+  private def nTokens(c: Column): Column = size(TextOps.tokens(c))
+
+  /** q76: sequence packing — the concatenate-then-chunk assembly every LLM
+    * training run does: per source, documents are laid end-to-end in a
+    * deterministic order (doc_id) and cut into fixed 256-token sequences;
+    * a doc's bin is where its first token lands. Shape: one window (runs
+    * sum of tokens, rows unbounded-preceding → 1-preceding) partitioned by
+    * source — sources are the parallel unit, so the window scales out; the
+    * per-(source,bin) aggregation is a map-side-combinable groupBy. All
+    * arithmetic is integer (token counts, floor-div) — exact at any scale.
+    */
+  val q76SeqPacking: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), nTokens(col("text")).as("tok"))
+      .withColumn("prev", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("bin", (col("prev") / budget).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
+      .orderBy("source", "bin")
+  }
+  val q76Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    LEN(string_split_regex(TRIM(text), '\\s+')) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT source, tok,
+       |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM t)
+       |SELECT source, CAST(prev // $budget AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_sum
+       |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  /** q77: sliding-window chunking (context-window preparation): each doc's
+    * token stream is cut into windows of 64 tokens at stride 48 (16-token
+    * overlap), the standard long-document treatment for embedding models.
+    * Shape: per-row chunk count is computed arithmetically, then ONE
+    * posexplode over sequence(0, nChunks-1) — expansion is ∝ output rows,
+    * never materializing per-token rows; slice() keeps the chunk a narrow
+    * codegen'd projection. No shuffle but the output sort. */
+  val q77ChunkWindows: Q = (s, d) => {
+    val toks = TextOps.tokens(col("text"))
+    val n = col("n_tok")
+    val nChunks = when(n <= chunkW, lit(1L))
+      .otherwise(ceil((n - chunkW).cast(DoubleType) / chunkS).cast("long") + 1L)
+    val chunk = slice(col("toks"), col("ci").cast("int") * chunkS + 1, lit(chunkW))
+    documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), nChunks - 1L)).as(Seq("ci", "dummy")))
+      .select(col("doc_id"), col("ci"),
+        size(chunk).as("chunk_tok"),
+        element_at(chunk, 1).as("first_tok"),
+        element_at(chunk, -1).as("last_tok"))
+      .orderBy("doc_id", "ci")
+  }
+  val q77Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks,
+       |    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tok
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, CASE WHEN n_tok <= $chunkW THEN 1
+       |      ELSE CAST(CEIL(CAST(n_tok - $chunkW AS DOUBLE) / $chunkS) AS BIGINT) + 1
+       |      END)) AS ci
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, ci,
+       |    list_slice(toks, CAST(ci AS INT) * $chunkS + 1,
+       |               CAST(ci AS INT) * $chunkS + $chunkW) AS chunk
+       |  FROM e)
+       |SELECT doc_id, ci, LEN(chunk) AS chunk_tok,
+       |  chunk[1] AS first_tok, chunk[LEN(chunk)] AS last_tok
+       |FROM c ORDER BY doc_id, ci""".stripMargin
+
+  /** q78: int8 scalar-quantization audit — the "can we ship these vectors
+    * at 1/4 the bytes" check: per-dimension min/max over the corpus fixes
+    * the affine scale, each value quantizes to 0..255 via floor(x+0.5)
+    * (floor, not round: identical IEEE behavior in both engines), and the
+    * query reports the per-dimension mean absolute reconstruction error.
+    * Shape: posexplode to (dim, v), ONE 64-key aggregation computing
+    * min/max AND the error moments in the same pass via a window-free
+    * two-phase groupBy: first min/max (64 rows, broadcast back), then the
+    * error aggregation — both exchanges are constant-size (≤64 rows /
+    * ≤64 keys) at any corpus scale. Error sums in DECIMAL(38,9): order-
+    * independent. */
+  val q78EmbedQuantize: Q = (s, d) => {
+    val exploded = embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast(DoubleType).as("v"))
+    val ranges = exploded.groupBy("dim")
+      .agg(min("v").as("dmin"), max("v").as("dmax"))
+    val scaled = exploded.join(broadcast(ranges), "dim")
+      .withColumn("q",
+        when(col("dmax") === col("dmin"), lit(0.0))
+          .otherwise(floor((col("v") - col("dmin")) * 255.0
+            / (col("dmax") - col("dmin")) + 0.5)))
+      .withColumn("deq",
+        col("q") * (col("dmax") - col("dmin")) / 255.0 + col("dmin"))
+    scaled.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(first("dmin"), 6).as("dmin6"),
+        round(first("dmax"), 6).as("dmax6"),
+        sum(abs(col("v") - col("deq")).cast(DecimalType(38, 9))).as("errsum"))
+      .select(col("dim"), col("n"), col("dmin6"), col("dmax6"),
+        round(col("errsum").cast(DoubleType) / col("n"), 9).as("mean_abs_err"))
+      .orderBy("dim")
+  }
+  val q78Sql: String =
+    """WITH d AS (
+      |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+      |           i -> struct_pack(dim := i - 1, v := CAST(embedding[i] AS DOUBLE)))) AS e
+      |  FROM embeddings),
+      |f AS (SELECT e.dim AS dim, e.v AS v FROM d),
+      |r AS (SELECT dim, MIN(v) AS dmin, MAX(v) AS dmax FROM f GROUP BY dim),
+      |s AS (
+      |  SELECT f.dim, f.v, r.dmin, r.dmax,
+      |    CASE WHEN r.dmax = r.dmin THEN 0.0
+      |         ELSE FLOOR((f.v - r.dmin) * 255.0 / (r.dmax - r.dmin) + 0.5)
+      |    END AS q
+      |  FROM f JOIN r ON f.dim = r.dim),
+      |e AS (
+      |  SELECT dim, v, dmin, dmax,
+      |    q * (dmax - dmin) / 255.0 + dmin AS deq
+      |  FROM s)
+      |SELECT dim, COUNT(*) AS n,
+      |  ROUND(MIN(dmin), 6) AS dmin6, ROUND(MAX(dmax), 6) AS dmax6,
+      |  ROUND(CAST(SUM(CAST(ABS(v - deq) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 9)
+      |    AS mean_abs_err
+      |FROM e GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** q79: per-source language drift — total-variation distance between each
+    * source's language distribution and the corpus-global one; the mixture
+    * monitor that catches "this crawl slice is suddenly 90% one language".
+    * Shape: ONE corpus scan (two pruned string columns) into a map-side-
+    * combinable (source,lang) count; everything after — per-source totals,
+    * per-lang totals, the global total — is window sums over that tiny
+    * aggregate (|sources|×|langs| rows), so no re-scan, no join, and every
+    * post-scan exchange is constant-size at any corpus scale. The
+    * per-(source,lang) |p_src − p_glob| is rounded to 9dp then summed as
+    * DECIMAL (order-independent); TVD = half the sum, rounded 6dp. */
+  val q79LangDrift: Q = (s, d) => {
+    val bySrc = Window.partitionBy("source")
+    val byLang = Window.partitionBy("lang")
+    val all = Window.partitionBy()
+    documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .select(col("source"), col("c"),
+        sum("c").over(bySrc).as("st"),
+        sum("c").over(byLang).as("lt"),
+        sum("c").over(all).as("t"))
+      .withColumn("adiff",
+        round(abs(col("c").cast(DoubleType) / col("st")
+          - col("lt").cast(DoubleType) / col("t")), 9)
+          .cast(DecimalType(38, 9)))
+      .groupBy("source")
+      .agg(first("st").as("n_docs"),
+        round(sum("adiff").cast(DoubleType) / 2.0, 6).as("tv_dist"))
+      .select(col("source"), col("n_docs"), col("tv_dist"))
+      .orderBy("source")
+  }
+  val q79Sql: String =
+    """WITH sl AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),
+      |w AS (
+      |  SELECT source, c,
+      |    SUM(c) OVER (PARTITION BY source) AS st,
+      |    SUM(c) OVER (PARTITION BY lang) AS lt,
+      |    SUM(c) OVER () AS t
+      |  FROM sl),
+      |j AS (
+      |  SELECT source, st,
+      |    CAST(ROUND(ABS(CAST(c AS DOUBLE) / st
+      |      - CAST(lt AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS DECIMAL(38,9)) AS adiff
+      |  FROM w)
+      |SELECT source, CAST(MIN(st) AS BIGINT) AS n_docs,
+      |  ROUND(CAST(SUM(adiff) AS DOUBLE) / 2.0, 6) AS tv_dist
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** q80: character-diversity quality score — Gini impurity of each doc's
+    * non-whitespace character histogram, the cheap "is this keyboard mash /
+    * one repeated char" filter. gini = 1 − Σc²/T² where c are per-char
+    * counts and T their total: both sums are INTEGER — bit-exact in any
+    * engine, no float-order hazard — with one final double division
+    * rounded 6dp. Shape: explode to (doc, char) then two map-side-
+    * combinable aggregations keyed by doc_id (high-cardinality → scales
+    * out); the char histogram never materializes wider than the
+    * aggregation hash map. */
+  val q80CharDiversity: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(col("text"), "\\s+", ""), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("t"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(col("doc_id"), col("t").as("n_chars_nonws"), col("n_distinct_chars"),
+        round(lit(1.0) - col("sumsq").cast(DoubleType)
+          / (col("t") * col("t")).cast(DoubleType), 6).as("gini"))
+      .orderBy("doc_id")
+  }
+  val q80Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(regexp_replace(text, '\s+', '', 'g'), '')) AS ch
+      |  FROM documents),
+      |h AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_nonws,
+      |  COUNT(*) AS n_distinct_chars,
+      |  ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE)
+      |        / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS gini
+      |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q76_seq_packing" -> q76SeqPacking,
+    "q77_chunk_windows" -> q77ChunkWindows,
+    "q78_embed_quantize" -> q78EmbedQuantize,
+    "q79_lang_drift" -> q79LangDrift,
+    "q80_char_diversity" -> q80CharDiversity,
+  )
+  val oracle: Map[String, String] = Map(
+    "q76_seq_packing" -> q76Sql,
+    "q77_chunk_windows" -> q77Sql,
+    "q78_embed_quantize" -> q78Sql,
+    "q79_lang_drift" -> q79Sql,
+    "q80_char_diversity" -> q80Sql,
+  )
+}
