@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns — the memory-scale path for
+  * similarity search at 100 TB. A 64-dim float vector is 256 bytes; its PQ
+  * code is `m` bytes (one centroid id per subspace), a 16× cut at m=16,
+  * which is what lets a 10¹⁰-vector corpus's search structure fit a
+  * cluster's RAM. Search is asymmetric-distance (ADC): per query, one tiny
+  * m×k lookup table of subspace distances, then each candidate's distance
+  * is m table lookups — no float multiply per dimension.
+  *
+  * Pipeline shape (all Spark-side work is narrow or bounded):
+  *  - [[train]]: codebooks fit on a content-addressed bounded SAMPLE
+  *    (standard practice: quantizer training needs ~10⁵ vectors no matter
+  *    the corpus size, so the driver-local Lloyd's iterations are O(sample),
+  *    never O(corpus)).
+  *  - [[encode]]: one compiled kernel pass over the corpus with the
+  *    broadcast codebook — scan-speed, embarrassingly parallel, emits the
+  *    m-byte codes that a real deployment would persist next to the ids.
+  *  - [[searchTopK]]: exhaustive ADC over the codes (the FAISS IndexPQ
+  *    shape) + exact float rescore of the top `refine`×k survivors from
+  *    the original vectors. Compose with [[SimilarityOps.ivfTopK]]'s cell
+  *    assignment to prune the scan (IVF-PQ) when even the code scan is too
+  *    much.
+  *
+  * Everything is seed-deterministic (content-addressed sampling, farthest-
+  * point init, fixed iteration count) so results are reproducible across
+  * runs and cluster layouts — same policy as the rest of the engine. Not
+  * SQL-expressible (k-means), so the driver gate records q81 rows-only;
+  * ProductQuantizationSpec pins compression, determinism, self-recall, and
+  * recall@k against the brute-force oracle.
+  */
+object ProductQuantization {
+
+  /** Codebook: `centroids(s)(c)` is centroid `c` of subspace `s`, a
+    * `subDim`-length float slice. k ≤ 256 so a code fits one byte. */
+  final case class PQCodebook(m: Int, k: Int, subDim: Int,
+                              centroids: Array[Array[Array[Float]]]) {
+    require(k <= 256, "one-byte codes: k must be <= 256")
+    def codeBytes: Int = m
+    def vectorBytes: Int = m * subDim * 4
+  }
+
+  private def sqdist(a: Array[Float], off: Int, c: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) {
+      val diff = a(off + i).toDouble - c(i).toDouble
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Train `m` codebooks of `k` centroids each on a bounded sample.
+    *
+    * Sampling is content-addressed (order by md5(vec_id), take sampleN):
+    * deterministic, unbiased for hash-distributed ids, and stable as the
+    * corpus grows — the same property the engine's split/sample queries
+    * rely on. Init is farthest-point (maximin) from the seed row —
+    * deterministic, no RNG stream to keep portable. A fixed 10 Lloyd's
+    * iterations is plenty for quantizer quality (FAISS uses 25 on 10⁵+
+    * samples; empty cells re-seed from the farthest point). */
+  def train(emb: DataFrame, m: Int = 16, k: Int = 16,
+            sampleN: Int = 2048): PQCodebook = {
+    val sample: Array[Array[Float]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(sampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val kEff = math.min(k, sample.length)
+
+    val books = Array.tabulate(m) { s =>
+      val off = s * subDim
+      // farthest-point init: centroid 0 = sample 0; each next centroid is
+      // the sample point maximizing distance to its nearest chosen centroid
+      val cents = new Array[Array[Float]](kEff)
+      cents(0) = java.util.Arrays.copyOfRange(sample(0), off, off + subDim)
+      val minD = Array.fill(sample.length)(Double.MaxValue)
+      var c = 1
+      while (c < kEff) {
+        var far = -1
+        var farD = -1.0
+        var i = 0
+        while (i < sample.length) {
+          val d = math.min(minD(i), sqdist(sample(i), off, cents(c - 1)))
+          minD(i) = d
+          if (d > farD) { farD = d; far = i }
+          i += 1
+        }
+        cents(c) = java.util.Arrays.copyOfRange(sample(far), off, off + subDim)
+        c += 1
+      }
+      // Lloyd's iterations
+      var iter = 0
+      while (iter < 10) {
+        val sums = Array.fill(kEff, subDim)(0.0)
+        val counts = new Array[Int](kEff)
+        var i = 0
+        while (i < sample.length) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < kEff) {
+            val d = sqdist(sample(i), off, cents(cc))
+            if (d < bestD) { bestD = d; best = cc }
+            cc += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += sample(i)(off + j); j += 1 }
+          i += 1
+        }
+        var cc = 0
+        while (cc < kEff) {
+          if (counts(cc) > 0) {
+            var j = 0
+            while (j < subDim) {
+              cents(cc)(j) = (sums(cc)(j) / counts(cc)).toFloat
+              j += 1
+            }
+          }
+          cc += 1
+        }
+        iter += 1
+      }
+      cents
+    }
+    PQCodebook(m, kEff, subDim, books)
+  }
+
+  /** Encode every vector to its m-byte PQ code: per subspace, the id of
+    * the nearest centroid. One narrow compiled pass with the broadcast
+    * codebook — no shuffle, O(m·k·subDim) per row. Output:
+    * (vec_id, code: Array[Byte]). */
+  def encode(emb: DataFrame, book: PQCodebook): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(book)
+    val enc = udf { (v: Seq[Float]) =>
+      val b = bc.value
+      val arr = v.toArray
+      val code = new Array[Byte](b.m)
+      var s = 0
+      while (s < b.m) {
+        val off = s * b.subDim
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < b.k) {
+          val d = sqdist(arr, off, b.centroids(s)(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        code(s) = best.toByte
+        s += 1
+      }
+      code
+    }
+    emb.select(col("vec_id"), enc(col("embedding")).as("code"))
+  }
+
+  /** ADC top-k: for each query id, scan the codes with the query's m×k
+    * distance table (broadcast; |queries|·m·k floats), keep the
+    * `refine`×k best by approximate distance, exact-rescore those from
+    * the original embeddings, return the true-distance top-k.
+    *
+    * Scale shape: the code scan is the whole corpus — that's IndexPQ by
+    * construction (compose with IVF cells to prune); per-query state is
+    * ONE broadcast table, the rank windows operate on refine×k rows per
+    * query, and the rescore join touches only candidates. */
+  def searchTopK(emb: DataFrame, codes: DataFrame, book: PQCodebook,
+                 queryIds: Seq[Long], k: Int, refine: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queryVecs: Map[Long, Array[Float]] = emb
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // per query: table(s)(c) = sqdist(query sub-vector s, centroid c)
+    val tables: Map[Long, Array[Array[Double]]] = queryVecs.map {
+      case (qid, qv) =>
+        qid -> Array.tabulate(book.m, book.k)((s, c) =>
+          sqdist(qv, s * book.subDim, book.centroids(s)(c)))
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val adc = udf { (qid: Long, code: Array[Byte]) =>
+      val t = bc.value(qid)
+      var d = 0.0
+      var s = 0
+      while (s < t.length) { d += t(s)(code(s) & 0xff); s += 1 }
+      d
+    }
+    val qdf = broadcast(queryIds.toDF("query_id"))
+    val cand = codes.crossJoin(qdf)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_d", adc(col("query_id"), col("code")))
+    val wApprox = Window.partitionBy("query_id").orderBy(col("approx_d"), col("vec_id"))
+    val survivors = cand
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= k * refine)
+      .select(col("query_id"), col("vec_id"))
+    // exact rescore: true squared L2 from the original float vectors
+    val exact = udf { (qid: Long, v: Seq[Float]) =>
+      val q = queryVecs(qid) // tiny map, serialized with the closure
+      var d = 0.0
+      var i = 0
+      while (i < q.length) {
+        val diff = q(i).toDouble - v(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    val wExact = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    survivors.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("d2", exact(col("query_id"), col("embedding")))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("target_id"),
+        round(col("d2"), 6).as("d2"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** q81: the driver-gate entry (rows-only — k-means codebooks aren't
+    * SQL-portable): train on the corpus sample, encode everything, ADC
+    * top-5 for a fixed content-addressed query panel. */
+  val q81PqAnn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d).cache()
+      val qids = emb.select(col("vec_id"))
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq
+      val book = train(emb)
+      val out = searchTopK(emb, encode(emb, book), book, qids, k = 5)
+      val pinned = out.cache()
+      pinned.count() // materialize before releasing the parent cache
+      emb.unpersist()
+      pinned
+    }
+}

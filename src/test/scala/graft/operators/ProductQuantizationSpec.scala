@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Pins the PQ contract the rows-only gate can't: compression arithmetic,
+  * codebook determinism, encode/ADC consistency, and recall@k against the
+  * brute-force L2 oracle on the real embeddings table. */
+class ProductQuantizationSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val emb = graft.Tables.embeddings(spark, sf).cache()
+
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
+  test("codebook: shape, compression ratio, determinism") {
+    val b1 = ProductQuantization.train(emb, m = 16, k = 16)
+    val b2 = ProductQuantization.train(emb, m = 16, k = 16)
+    assert(b1.m == 16 && b1.k == 16 && b1.subDim == 4)
+    assert(b1.vectorBytes / b1.codeBytes == 16) // 256B float vec -> 16B code
+    // content-addressed sample + farthest-point init + fixed iterations:
+    // training is a pure function of the corpus
+    for (s <- 0 until b1.m; c <- 0 until b1.k)
+      assert(b1.centroids(s)(c).sameElements(b2.centroids(s)(c)))
+  }
+
+  test("encode: one byte per subspace, every code a valid centroid id") {
+    val book = ProductQuantization.train(emb, m = 16, k = 16)
+    val codes = ProductQuantization.encode(emb, book).cache()
+    assert(codes.count() == emb.count())
+    // code is BinaryType (m bytes); each byte read unsigned must name a
+    // real centroid
+    val valid = udf { (code: Array[Byte]) =>
+      code.length == book.m && code.forall(b => (b & 0xff) < book.k)
+    }
+    val bad = codes.filter(!valid(col("code")))
+    assert(bad.count() == 0)
+  }
+
+  test("quantization error: centroid reconstruction beats the zero vector") {
+    // mean squared distance from each vector to its decoded centroid must
+    // be well under the mean squared norm (else the codebook learned nothing)
+    val book = ProductQuantization.train(emb, m = 16, k = 16)
+    val bc = spark.sparkContext.broadcast(book)
+    val errAndNorm = udf { (v: Seq[Float], code: Array[Byte]) =>
+      val b = bc.value
+      val arr = v.toArray
+      var err = 0.0
+      var norm = 0.0
+      var s = 0
+      while (s < b.m) {
+        val cent = b.centroids(s)(code(s) & 0xff)
+        var j = 0
+        while (j < b.subDim) {
+          val x = arr(s * b.subDim + j).toDouble
+          val dd = x - cent(j)
+          err += dd * dd
+          norm += x * x
+          j += 1
+        }
+        s += 1
+      }
+      Array(err, norm)
+    }
+    val codes = ProductQuantization.encode(emb, book)
+    val row = emb.join(codes, "vec_id")
+      .select(errAndNorm(col("embedding"), col("code")).as("en"))
+      .agg(sum(element_at(col("en"), 1)).as("err"),
+        sum(element_at(col("en"), 2)).as("norm"))
+      .head
+    assert(row.getDouble(0) < row.getDouble(1) * 0.5,
+      s"quantization error ${row.getDouble(0)} not < half energy ${row.getDouble(1)}")
+  }
+
+  test("searchTopK: recall@10 vs brute-force L2 oracle, exact rescore order") {
+    val qids = emb.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(5).collect().map(_.getLong(0)).toSeq
+    val book = ProductQuantization.train(emb)
+    val codes = ProductQuantization.encode(emb, book)
+    val got = ProductQuantization.searchTopK(emb, codes, book, qids, k = 10)
+      .collect()
+
+    // brute-force oracle, driver-side (sf0.001 is small)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < a.length) {
+        val diff = a(i).toDouble - b(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    val byId = all.toMap
+    var hit = 0
+    var tot = 0
+    for (q <- qids) {
+      val truth = all.filter(_._1 != q)
+        .map { case (id, v) => (id, d2(byId(q), v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+      val mine = got.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      assert(mine.size == 10)
+      hit += truth.intersect(mine).size
+      tot += 10
+    }
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.5, s"recall@10 $recall below 0.5")
+
+    // within each query the returned d2 must be the TRUE distance, ranked
+    for (q <- qids) {
+      val rows = got.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      val ds = rows.map(_.getDouble(2))
+      assert(ds.sameElements(ds.sorted))
+      for (r <- rows) {
+        val expect = math.rint(d2(byId(q), byId(r.getLong(1))) * 1e6) / 1e6
+        assert(math.abs(r.getDouble(2) - expect) < 1e-9)
+      }
+    }
+  }
+}
