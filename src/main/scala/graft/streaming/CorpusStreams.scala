@@ -39,6 +39,23 @@ object CorpusStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup admission — the ingest-time form of q28/q64's
+    * signature collapse: key on the 64-bit SimHash of the token set, admit
+    * the first document per signature within the watermark horizon. Docs
+    * that differ only in token order / repetition / whitespace collide on
+    * the signature and are dropped even when their content hash differs —
+    * the cheap near-dup tier between exact [[dedupDocs]] and an offline
+    * Hamming-banded pass (q64), which stays a batch job by design (banding
+    * needs a self-join over the accumulated corpus, not per-row state).
+    * State per signature is one 8-byte key in the dedup map, horizon-
+    * bounded like [[dedupDocs]]. */
+  def nearDupAdmission(docs: DataFrame, horizon: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("sh",
+        HashKernels.simhash64(split(trim(col("text")), "\\s+")).getField("_1"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("sh")
+
   /** Streaming decontamination: annotate (and filter) a document stream
     * against the benchmark's distinct shingle set — the streaming form of
     * the q49 set-probe plan (`DedupOps.decontaminate`). Emits the clean

@@ -33,6 +33,37 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(ids == Set(1L, 2L, 4L), ids.toString)
   }
 
+  test("streaming near-dup admission collapses SimHash-equal docs across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = CorpusStreams.nearDupAdmission(stream.toDF())
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    stream.addData(
+      Doc(1, t(0), "the quick brown fox jumps"),
+      Doc(2, t(1), "a wholly different document text"))
+    q.processAllAvailable()
+    stream.addData(
+      // same token SET as doc 1 (order + repetition changed): different
+      // content hash, IDENTICAL SimHash signature → near-dup, dropped
+      Doc(3, t(2), "jumps the fox quick brown the the"),
+      Doc(4, t(3), "yet another novel document entirely"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = sp.table("neardup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), ids.toString)
+
+    // the admitted signature column matches the batch q28 kernel's output
+    val batch = Seq(Doc(1, t(0), "the quick brown fox jumps")).toDF()
+      .select(graft.functions.HashKernels
+        .simhash64(split(trim(col("text")), "\\s+")).getField("_1").as("sh"))
+      .head.getLong(0)
+    val streamedSh = sp.table("neardup").filter(col("doc_id") === 1)
+      .select("sh").head.getLong(0)
+    assert(streamedSh == batch)
+  }
+
   test("streaming decontamination matches the batch set-probe accounting") {
     val sp = spark
     import sp.implicits._
