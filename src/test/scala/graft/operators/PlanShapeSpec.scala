@@ -222,6 +222,22 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"extra scan — conditional agg split into two passes:\n$plan")
   }
 
+  test("q82: five pipeline stages compose into one scan and two data shuffles") {
+    val df = CorpusPipeline.q82E2ePipeline(spark, sf)
+    val plan = physicalPlan(df)
+    // one pass over documents — composition must not re-read per stage
+    assert(nodes(df) { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size == 1,
+      s"pipeline re-scans documents:\n$plan")
+    // dedup window (content hash) + packing window (source); the packing
+    // groupBy reuses the source partitioning, so: 2 hash exchanges + the
+    // output range sort and nothing else
+    val shuffles = nodes(df) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.count(_.outputPartitioning.isInstanceOf[HashPartitioning]) == 2,
+      s"expected exactly 2 hash exchanges:\n$plan")
+    assert(nodes(df) { case w: WindowExec => w }.size == 2,
+      s"expected dedup + packing windows:\n$plan")
+  }
+
   test("q64: at no-broadcast scale the band self-join reuses one exchange") {
     // unlike q62's tf/df consumers, the self-join's two sides are
     // structurally identical (same columns survive pruning), so the
