@@ -179,11 +179,66 @@ object ProductQuantization {
                  queryIds: Seq[Long], k: Int, refine: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val qdf = broadcast(queryIds.toDF("query_id"))
+    searchOverCandidates(emb, codes.crossJoin(qdf), book, queryIds, k, refine)
+  }
+
+  /** IVF-PQ: the two scale levers together — IVF cells prune the scan
+    * (only `nProbe` of `nList` cells are read per query), PQ codes shrink
+    * what's scanned 16×. This is the configuration a 10¹⁰-vector corpus
+    * actually runs; `searchTopK` alone is the exhaustive fallback.
+    *
+    * Codes are trained on RAW vectors (FAISS IndexIVFPQ with
+    * by_residual=false): one codebook serves every cell, so cell count and
+    * codebook train independently — at the cost of some per-cell
+    * resolution. Cell assignment comes from a seeded Spark ML k-means fit
+    * (same recipe as [[SimilarityOps.ivfTopK]]); the candidate scan is
+    * cell-partition-pruned by the broadcast (query, cell) probe list, then
+    * ADC + exact rescore as in [[searchTopK]]. */
+  def ivfPqTopK(emb: DataFrame, book: PQCodebook, queryIds: Seq[Long],
+                k: Int, nList: Int = 16, nProbe: Int = 4,
+                refine: Int = 4, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withVec = emb.withColumn("fv", toVec(col("embedding"))).cache()
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+    val assigned = model.transform(withVec).select(col("vec_id"), col("cell"))
+
+    val queryVecs = withVec.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("fv")).collect()
+      .map(r => (r.getLong(0), r.getAs[MlVector]("fv")))
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, Vectors.sqdist(qv, c)) }
+        .sortBy(_._2).take(nProbe)
+        .map { case (cell, _) => (qid, cell) }
+    }
+    val probeDF = broadcast(probes.toSeq.toDF("query_id", "cell"))
+    val cellCodes = encode(emb, book).join(assigned, "vec_id")
+    val out = searchOverCandidates(emb,
+      cellCodes.join(probeDF, "cell").select("query_id", "vec_id", "code"),
+      book, queryIds, k, refine)
+    val pinned = out.cache()
+    pinned.count() // materialize before dropping the k-means input cache
+    withVec.unpersist()
+    pinned
+  }
+
+  /** ADC + exact rescore over a prepared (query_id, vec_id, code)
+    * candidate set — shared tail of [[searchTopK]] (candidates = whole
+    * corpus × queries) and [[ivfPqTopK]] (candidates = probed cells). */
+  private def searchOverCandidates(emb: DataFrame, cand0: DataFrame,
+                                   book: PQCodebook, queryIds: Seq[Long],
+                                   k: Int, refine: Int): DataFrame = {
+    val spark = emb.sparkSession
     val queryVecs: Map[Long, Array[Float]] = emb
       .filter(col("vec_id").isInCollection(queryIds))
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    // per query: table(s)(c) = sqdist(query sub-vector s, centroid c)
     val tables: Map[Long, Array[Array[Double]]] = queryVecs.map {
       case (qid, qv) =>
         qid -> Array.tabulate(book.m, book.k)((s, c) =>
@@ -197,8 +252,7 @@ object ProductQuantization {
       while (s < t.length) { d += t(s)(code(s) & 0xff); s += 1 }
       d
     }
-    val qdf = broadcast(queryIds.toDF("query_id"))
-    val cand = codes.crossJoin(qdf)
+    val cand = cand0
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx_d", adc(col("query_id"), col("code")))
     val wApprox = Window.partitionBy("query_id").orderBy(col("approx_d"), col("vec_id"))
@@ -206,9 +260,8 @@ object ProductQuantization {
       .withColumn("ark", row_number().over(wApprox))
       .filter(col("ark") <= k * refine)
       .select(col("query_id"), col("vec_id"))
-    // exact rescore: true squared L2 from the original float vectors
     val exact = udf { (qid: Long, v: Seq[Float]) =>
-      val q = queryVecs(qid) // tiny map, serialized with the closure
+      val q = queryVecs(qid)
       var d = 0.0
       var i = 0
       while (i < q.length) {

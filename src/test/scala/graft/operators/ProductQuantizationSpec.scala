@@ -76,6 +76,41 @@ class ProductQuantizationSpec extends AnyFunSuite with SharedSpark {
       s"quantization error ${row.getDouble(0)} not < half energy ${row.getDouble(1)}")
   }
 
+  test("ivfPqTopK: cell pruning still finds most true neighbors") {
+    val qids = emb.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(5).collect().map(_.getLong(0)).toSeq
+    val book = ProductQuantization.train(emb)
+    val got = ProductQuantization.ivfPqTopK(emb, book, qids, k = 10,
+      nList = 8, nProbe = 4).collect()
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = all.toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < a.length) {
+        val diff = a(i).toDouble - b(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    var hit = 0
+    for (q <- qids) {
+      val truth = all.filter(_._1 != q)
+        .map { case (id, v) => (id, d2(byId(q), v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+      val mine = got.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      assert(mine.size == 10) // probed cells hold enough candidates
+      hit += truth.intersect(mine).size
+    }
+    // half the cells are never scanned, so recall may trail exhaustive
+    // PQ — but pruning must not collapse it
+    val recall = hit.toDouble / (qids.size * 10)
+    assert(recall >= 0.4, s"IVF-PQ recall@10 $recall below 0.4")
+  }
+
   test("searchTopK: recall@10 vs brute-force L2 oracle, exact rescore order") {
     val qids = emb.select(col("vec_id"))
       .withColumn("h", md5(col("vec_id").cast("string")))
