@@ -222,6 +222,44 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"extra scan — conditional agg split into two passes:\n$plan")
   }
 
+  test("q76: packing groupBy reuses the window's source partitioning (one data shuffle)") {
+    val df = PackingOps.q76SeqPacking(spark, sf)
+    val plan = physicalPlan(df)
+    val hashEx = nodes(df) { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    // hashpartitioning(source) serves BOTH the window and the (source,bin)
+    // aggregation — a second exchange would mean the subset-clustering
+    // reuse regressed
+    assert(hashEx.size == 1, s"expected 1 hash exchange:\n$plan")
+    assert(nodes(df) { case a: HashAggregateExec => a }.size == 2,
+      s"partial+final agg expected:\n$plan")
+  }
+
+  test("q78: range table broadcasts back; error agg exchanges stay 64-key") {
+    val df = PackingOps.q78EmbedQuantize(spark, sf)
+    val plan = physicalPlan(df)
+    assert(nodes(df) { case j: BroadcastHashJoinExec => j }.size == 1,
+      s"per-dim min/max must broadcast, never shuffle the exploded side:\n$plan")
+    // every hash exchange in this plan carries dim-keyed aggregates (≤64
+    // rows per partial), never raw exploded elements
+    assert(nodes(df) { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      .forall(_.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.exists(_.references.exists(_.name == "dim"))),
+      s"non-dim-keyed exchange found:\n$plan")
+  }
+
+  test("q80: char histogram collapses map-side before either exchange") {
+    val df = PackingOps.q80CharDiversity(spark, sf)
+    val plan = physicalPlan(df)
+    // explode → partial agg on (doc_id,ch) BEFORE the shuffle: the
+    // exchange moves histogram rows, not one row per character
+    val aggs = nodes(df) { case a: HashAggregateExec => a }
+    assert(aggs.size == 4, s"two partial+final agg pairs expected:\n$plan")
+    assert(nodes(df) { case g: GenerateExec => g }.size == 1,
+      s"exactly one explode expected:\n$plan")
+  }
+
   test("q82: five pipeline stages compose into one scan and two data shuffles") {
     val df = CorpusPipeline.q82E2ePipeline(spark, sf)
     val plan = physicalPlan(df)
