@@ -160,9 +160,17 @@ object SteeringLoop {
     // re-measuring. Warm cells are explored-but-not-re-run; they do not
     // re-enter this run's observation ledger (totalExplorationSeconds is
     // time spent HERE).
+    // A censoring cutoff must be FINITE and positive: "at least ∞" carries
+    // no information, and an infinite cutoff poisons the log-space ALS
+    // (log1p(∞) NaN-cascades through the solve, emptying every round's
+    // candidate set). Non-finite censored entries are ignored — the cell
+    // stays unexplored and gets a finite-tolerance re-probe later.
+    def recordCutoff(r: Int, c: Int, cut: Double): Boolean =
+      java.lang.Double.isFinite(cut) && cut > 0.0 && { cutoffs(r)(c) = cut; true }
+
     warmStart.foreach { o =>
       if (o.query < nQ && o.config < nC) {
-        if (o.censored) cutoffs(o.query)(o.config) = o.seconds
+        if (o.censored) recordCutoff(o.query, o.config, o.seconds)
         else { values(o.query)(o.config) = o.seconds; mask(o.query)(o.config) = true }
       }
     }
@@ -178,9 +186,10 @@ object SteeringLoop {
             values(q)(0) = s; mask(q)(0) = true
             obs += Observation(q, 0, s, 0)
           case Censored(cut) => // unreachable with an infinite tolerance, but
-            // keep the ledger honest if an executor censors anyway
-            cutoffs(q)(0) = cut
-            obs += Observation(q, 0, cut, 0, censored = true)
+            // keep the ledger honest if an executor censors anyway (only a
+            // finite cutoff is recordable — see recordCutoff)
+            if (recordCutoff(q, 0, cut))
+              obs += Observation(q, 0, cut, 0, censored = true)
         }
       }
       q += 1
@@ -207,7 +216,11 @@ object SteeringLoop {
         r <- 0 until nQ
         c <- 0 until nC if !explored(r, c)
         pred = math.expm1(completed(r, c)) if pred > 0.0
-        tol = math.min(alpha * minObs(r), beta * pred) if pred < tol
+        // α=∞ means "never censor on the best-observed bound" — keep that
+        // term ∞ explicitly: α·minObs would be NaN when a 0-cost cell
+        // makes minObs 0 (0·∞), silently dropping the query's candidates
+        alphaTerm = if (alpha.isPosInfinity) Double.PositiveInfinity else alpha * minObs(r)
+        tol = math.min(alphaTerm, beta * pred) if pred < tol
       } yield (r, c, (minObs(r) - pred) / pred, tol)
       val picks = candidates.sortBy { case (r, c, imp, _) => (-imp, r, c) }.take(batch)
       // no eligible cell (every unexplored prediction collapsed to ≤0 or
@@ -221,18 +234,21 @@ object SteeringLoop {
             values(r)(c) = s; mask(r)(c) = true
             obs += Observation(r, c, s, round)
           case Censored(cut) =>
-            cutoffs(r)(c) = cut
-            obs += Observation(r, c, cut, round, censored = true)
+            if (recordCutoff(r, c, cut))
+              obs += Observation(r, c, cut, round, censored = true)
         }
       }
       round += 1
     }
 
     val recs = (0 until nQ).flatMap { r =>
-      // recommend only from completed observations (a fully-censored row —
-      // possible under a degenerate warm start — has nothing to recommend)
+      // recommend only when BOTH the default (column 0) and at least one
+      // config completed: without a completed default the improvement
+      // ratio is undefined (values(r)(0) would read as 0.0 — possible
+      // under a degenerate warm start whose column-0 entry is censored)
       val observedCols = (0 until nC).filter(mask(r))
-      observedCols.minByOption(c => (values(r)(c), c)).map { best =>
+      if (!mask(r)(0)) None
+      else observedCols.minByOption(c => (values(r)(c), c)).map { best =>
         Recommendation(queryNames(r), configNames(best), values(r)(best), values(r)(0))
       }
     }
@@ -306,15 +322,25 @@ object SteeringLoop {
     sc.setJobGroup(group, s"steering probe ${config.name}", interruptOnCancel = true)
     val timer = new java.util.Timer("graft-steer-watchdog", true)
     @volatile var fired = false
-    timer.schedule(new java.util.TimerTask {
+    // cancel REPEATEDLY once the tolerance passes (100 ms period, stopped
+    // by timer.cancel() in finally): a single cancelJobGroup only reaches
+    // jobs active at that instant, so a timeout landing between jobs (or
+    // during planning / an AQE stage boundary) would otherwise be lost and
+    // the probe would run unbounded — the exact hang censoring exists to
+    // prevent
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
       override def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
-    }, math.max(1L, (timeoutSeconds * 1000).toLong))
+    }, math.max(1L, (timeoutSeconds * 1000).toLong), 100L)
     try {
       val t0 = System.nanoTime()
       fn(spark).write.format("noop").mode("overwrite").save()
       Completed((System.nanoTime() - t0) / 1e9)
     } catch {
-      case _: Throwable if fired => Censored(timeoutSeconds)
+      // NonFatal: OutOfMemoryError and friends must propagate, not be
+      // ledgered as a clean censoring. A genuine (non-cancellation) query
+      // error arriving after the watchdog fired is still recorded as
+      // censored-at-tolerance — indistinguishable here, and bounded.
+      case scala.util.control.NonFatal(_) if fired => Censored(timeoutSeconds)
     } finally {
       timer.cancel()
       sc.clearJobGroup()

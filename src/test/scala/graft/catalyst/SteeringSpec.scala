@@ -358,4 +358,53 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
     assert(spark.conf.getOption(HintSteeringRule.ConfKey).isEmpty)
   }
+
+  test("non-finite censored cutoffs never poison the loop (warm start or round 0)") {
+    val cost = Array(Array(10.0, 1.0), Array(12.0, 1.2))
+    // warm start carries a censored-at-∞ default for q0 (a crashed prior
+    // session); the loop must still explore and recommend for BOTH queries
+    val poison = Vector(
+      SteeringLoop.Observation(0, 0, Double.PositiveInfinity, 0, censored = true))
+    val res = SteeringLoop.runCensored(
+      Seq("qa", "qb"), Seq("default", "fast"),
+      (q, c, _) => SteeringLoop.Completed(cost(q)(c)),
+      batch = 4, rounds = 5, alpha = 2.0, beta = 100.0, warmStart = poison)
+    // every cell completed: the ∞ cutoff was discarded, q0's default was
+    // re-probed under a finite-by-β tolerance, and the ALS stayed finite
+    assert(res.observations.count(!_.censored) == 4, res.observations.toString)
+    assert(res.recommendations.size == 2)
+    res.recommendations.foreach { r =>
+      assert(r.configName == "fast" && r.defaultSeconds > 0, r.toString)
+    }
+  }
+
+  test("a 0-cost cell under alpha=∞ does not NaN the tolerance filter") {
+    // q0's fast config costs exactly 0.0 (legal for a synthetic executor):
+    // α=∞ used to give tol = ∞·0 = NaN and silently end q0's exploration
+    val cost = Array(Array(10.0, 0.0, 3.0))
+    val res = SteeringLoop.runCensored(
+      Seq("qa"), Seq("default", "zero", "mid"),
+      (q, c, _) => SteeringLoop.Completed(cost(q)(c)),
+      batch = 1, rounds = 8,
+      alpha = Double.PositiveInfinity, beta = Double.PositiveInfinity)
+    // all three cells must be observed despite minObs hitting 0
+    assert(res.observations.map(_.config).toSet == Set(0, 1, 2),
+      res.observations.toString)
+    assert(res.recommendations.head.configName == "zero")
+  }
+
+  test("no recommendation is emitted for a row whose default never completed") {
+    // warm start: q0's default is censored at a FINITE cutoff and its only
+    // other config is already observed — nothing left to explore, and the
+    // improvement-vs-default ratio is undefined, so q0 yields NO rec
+    // (previously it reported defaultSeconds = 0.0)
+    val warm = Vector(
+      SteeringLoop.Observation(0, 0, 5.0, 0, censored = true),
+      SteeringLoop.Observation(0, 1, 2.0, 0))
+    val res = SteeringLoop.runCensored(
+      Seq("qa"), Seq("default", "fast"),
+      (q, c, _) => fail("nothing should execute: matrix fully explored"),
+      batch = 1, rounds = 3, alpha = 2.0, beta = 100.0, warmStart = warm)
+    assert(res.recommendations.isEmpty, res.recommendations.toString)
+  }
 }
