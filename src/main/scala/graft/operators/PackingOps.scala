@@ -173,7 +173,12 @@ object PackingOps {
     * aggregate (|sources|×|langs| rows), so no re-scan, no join, and every
     * post-scan exchange is constant-size at any corpus scale. The
     * per-(source,lang) |p_src − p_glob| is rounded to 9dp then summed as
-    * DECIMAL (order-independent); TVD = half the sum, rounded 6dp. */
+    * DECIMAL (order-independent); languages ABSENT from a source
+    * contribute |0 − p_glob| = p_glob each, folded in closed form as
+    * (T − Σ_present lt)/T — exact integer arithmetic, no grid join — so
+    * the distance is the true TVD, not the present-language subset (a
+    * source that is 100 % one language against a 60/40 global mix scores
+    * 0.4, not 0.2). TVD = half the total, rounded 6dp. */
   val q79LangDrift: Q = (s, d) => {
     val bySrc = Window.partitionBy("source")
     val byLang = Window.partitionBy("lang")
@@ -190,8 +195,13 @@ object PackingOps {
           .cast(DecimalType(38, 9)))
       .groupBy("source")
       .agg(first("st").as("n_docs"),
-        round(sum("adiff").cast(DoubleType) / 2.0, 6).as("tv_dist"))
-      .select(col("source"), col("n_docs"), col("tv_dist"))
+        sum("adiff").as("present"),
+        sum("lt").as("lt_present"), // each lang once per source row: exact
+        first("t").as("t"))
+      .select(col("source"), col("n_docs"),
+        round((col("present")
+          + round((col("t") - col("lt_present")).cast(DoubleType) / col("t"), 9)
+            .cast(DecimalType(38, 9))).cast(DoubleType) / 2.0, 6).as("tv_dist"))
       .orderBy("source")
   }
   val q79Sql: String =
@@ -204,12 +214,14 @@ object PackingOps {
       |    SUM(c) OVER () AS t
       |  FROM sl),
       |j AS (
-      |  SELECT source, st,
+      |  SELECT source, st, lt, t,
       |    CAST(ROUND(ABS(CAST(c AS DOUBLE) / st
       |      - CAST(lt AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS DECIMAL(38,9)) AS adiff
       |  FROM w)
       |SELECT source, CAST(MIN(st) AS BIGINT) AS n_docs,
-      |  ROUND(CAST(SUM(adiff) AS DOUBLE) / 2.0, 6) AS tv_dist
+      |  ROUND(CAST(SUM(adiff)
+      |    + CAST(ROUND(CAST(MIN(t) - SUM(lt) AS DOUBLE) / CAST(MIN(t) AS DOUBLE), 9)
+      |           AS DECIMAL(38,9)) AS DOUBLE) / 2.0, 6) AS tv_dist
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   /** q80: character-diversity quality score — Gini impurity of each doc's
@@ -220,7 +232,9 @@ object PackingOps {
     * rounded 6dp. Shape: explode to (doc, char) then two map-side-
     * combinable aggregations keyed by doc_id (high-cardinality → scales
     * out); the char histogram never materializes wider than the
-    * aggregation hash map. */
+    * aggregation hash map. A doc with no non-whitespace characters
+    * degenerates to the single-empty-field split in BOTH engines (one ''
+    * "char", gini 0) — pinned by PackingOpsSpec's degenerate-doc case. */
   val q80CharDiversity: Q = (s, d) => {
     documents(s, d)
       .select(col("doc_id"),

@@ -17,7 +17,12 @@ object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Normalized whitespace tokens of `text` (trim + split on runs of
-    * whitespace) — the shared tokenizer for all text ops. */
+    * whitespace) — the shared tokenizer for all text ops.
+    *
+    * Empty/whitespace-only input yields `[""]` in BOTH engines (Spark's
+    * split keeps the single empty field, same as DuckDB's
+    * string_split_regex — pinned by PackingOpsSpec's degenerate-doc case),
+    * so token counts stay oracle-consistent on adversarial corpora. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** q20: token counting (SURVEY "token counting" op): whitespace tokens,

@@ -92,6 +92,58 @@ class PackingOpsSpec extends AnyFunSuite with SharedSpark {
     assert(df.agg(sum("n_docs")).head.getLong(0) == total)
   }
 
+  test("q79 drift: absent languages count (single-lang source vs 60/40 mix)") {
+    import spark.implicits._
+    // source A: 6 en; source B: 4 fr → global {en: 0.6, fr: 0.4}
+    // TVD(A) = 0.5·(|1−0.6| + |0−0.4|) = 0.4 — the |0−p_glob| term for fr
+    // must be included (the subset formula would report 0.2)
+    val docs = ((1 to 6).map(i => (i.toLong, "x", "en", "A")) ++
+      (7 to 10).map(i => (i.toLong, "y", "fr", "B")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q79").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = PackingOps.q79LangDrift(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") == 0.4, got.toString)
+    assert(got("B") == 0.6, got.toString) // 0.5·(|1−0.4| + 0.6)
+  }
+
+  test("empty and whitespace-only docs: Spark matches the DuckDB split convention") {
+    import spark.implicits._
+    // doc 2 is whitespace-only, doc 3 empty: the shared tokenizer must
+    // yield [''] (1 token) like DuckDB's string_split_regex, so packing
+    // and chunking count them identically on both engines
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "A"),
+      (2L, "   ", "en", "A"),
+      (3L, "", "en", "A"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // q76: tokens = 3 + 1 + 1 = 5, one bin, all three docs packed
+    val packed = PackingOps.q76SeqPacking(spark, tmp).collect()
+    assert(packed.length == 1 &&
+      packed(0).getAs[Long]("n_docs") == 3 &&
+      packed(0).getAs[Long]("tok_sum") == 5, packed.mkString(","))
+    // q77: the degenerate docs each produce exactly one 1-token chunk
+    val chunks = PackingOps.q77ChunkWindows(spark, tmp)
+      .filter(col("doc_id") >= 2).collect()
+    assert(chunks.length == 2 &&
+      chunks.forall(r => r.getAs[Int]("chunk_tok") == 1
+        && r.getAs[String]("first_tok") == ""), chunks.mkString(","))
+    // q80: a charless doc degenerates to one '' "char" on BOTH engines
+    // (Spark split keeps the single empty field, like DuckDB) — row with
+    // n=1, gini=0, not a dropped doc
+    val gini = PackingOps.q80CharDiversity(spark, tmp).collect()
+    assert(gini.length == 3, gini.mkString(","))
+    gini.filter(_.getLong(0) >= 2).foreach { r =>
+      assert(r.getAs[Long]("n_chars_nonws") == 1
+        && r.getAs[Double]("gini") == 0.0, r.toString)
+    }
+  }
+
   test("q80 gini: closed-form range [0, 1 - 1/distinct]") {
     val df = PackingOps.q80CharDiversity(spark, sf).cache()
     assert(df.filter(col("gini") < 0).count() == 0)
