@@ -73,4 +73,28 @@ class FiguresSpec extends AnyFunSuite with graft.SharedSpark {
     assert(polys(0).split(",")(1) == polys(1).split(",")(1),
       s"normalized heads differ: ${polys.mkString(" vs ")}")
   }
+
+  test("degenerate domains render: single-point series, constant y") {
+    // rank-1 spectrum → one point per series, x span 0: the x domain must
+    // self-pad instead of tripping ticks' require or emitting NaN pixels
+    val svg = Figures.spectrumFigure(Seq(5.0), Seq(3.0))
+    assert(!svg.contains("NaN") && svg.contains("<polyline"))
+    val flat = Figures.lineChart(
+      Seq(Figures.Series("flat", Seq((1.0, 2.0), (2.0, 2.0)))))
+    assert(!flat.contains("NaN"))
+  }
+
+  test("labels with XML metacharacters stay well-formed") {
+    val svg = Figures.lineChart(
+      Seq(Figures.Series("LimeQO & ALS", Seq((0.0, 1.0), (1.0, 2.0)))),
+      hlines = Seq(Figures.HLine("y < 2", 1.5)),
+      title = "latency < tolerance", xLabel = "a & b", yLabel = "c > d")
+    assert(!svg.contains("LimeQO & ALS") && svg.contains("LimeQO &amp; ALS"))
+    assert(svg.contains("latency &lt; tolerance") && svg.contains("c &gt; d"))
+    // the document parses as XML
+    val parsed = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+    assert(parsed.getDocumentElement.getTagName == "svg")
+  }
 }
