@@ -29,7 +29,9 @@ object CorpusPipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val budget = 256
+  // single-sourced from the q76 operator so the composed pipeline can't
+  // drift from the stage it claims to compose
+  private def budget = PackingOps.SeqBudget
 
   val q82E2ePipeline: Q = (s, d) => {
     // 1. clean: lowercase, non-alnum → space, collapse; cleaned tokens
@@ -53,15 +55,9 @@ object CorpusPipeline {
     val thr = when(col("lang") === "en", "8")
       .when(col("lang").isin("zh", "es"), "4").otherwise("2")
     val sampled = kept.filter(h1 < thr)
-    // 5. pack the survivors' cleaned tokens into 256-token sequences (q76)
-    val wPack = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sampled
-      .withColumn("prev", coalesce(sum("tok").over(wPack), lit(0L)))
-      .withColumn("bin", (col("prev") / budget).cast("long"))
-      .groupBy("source", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
-      .orderBy("source", "bin")
+    // 5. pack the survivors' cleaned tokens (the SAME stage q76 runs —
+    //    shared code, shared budget)
+    PackingOps.packSummary(sampled.select(col("doc_id"), col("source"), col("tok")))
   }
 
   val q82Sql: String =

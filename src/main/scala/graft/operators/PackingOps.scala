@@ -24,7 +24,10 @@ object PackingOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val budget = 256 // tokens per packed sequence (q76)
+  /** Tokens per packed sequence — shared by q76 and the composed pipeline
+    * (q82), so the two can't silently drift apart. */
+  private[operators] val SeqBudget = 256
+  private def budget = SeqBudget
   private val chunkW = 64  // sliding-window chunk size (q77)
   private val chunkS = 48  // sliding-window stride (q77)
 
@@ -39,17 +42,22 @@ object PackingOps {
     * per-(source,bin) aggregation is a map-side-combinable groupBy. All
     * arithmetic is integer (token counts, floor-div) — exact at any scale.
     */
-  val q76SeqPacking: Q = (s, d) => {
+  /** The packing stage proper, shared by q76 and q82: input must carry
+    * (doc_id, source, tok); output is the per-(source, bin) summary. */
+  private[operators] def packSummary(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    documents(s, d)
-      .select(col("doc_id"), col("source"), nTokens(col("text")).as("tok"))
+    docs
       .withColumn("prev", coalesce(sum("tok").over(w), lit(0L)))
       .withColumn("bin", (col("prev") / budget).cast("long"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
       .orderBy("source", "bin")
   }
+
+  val q76SeqPacking: Q = (s, d) =>
+    packSummary(documents(s, d)
+      .select(col("doc_id"), col("source"), nTokens(col("text")).as("tok")))
   val q76Sql: String =
     s"""WITH t AS (
        |  SELECT doc_id, source,
