@@ -281,6 +281,38 @@ object ProductQuantization {
       .orderBy("query_id", "rk")
   }
 
+  /** Persist a codebook as one JSON document — the deployment artifact: a
+    * codebook is trained once (on the bounded sample) and then shipped to
+    * every encode/search job over the corpus's lifetime; re-training would
+    * silently invalidate every stored code. Plain doubles in JSON
+    * round-trip float-exactly (shortest-repr parse). */
+  def saveCodebook(book: PQCodebook, path: java.nio.file.Path): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("m", book.m); root.put("k", book.k); root.put("subDim", book.subDim)
+    val cents = root.putArray("centroids")
+    book.centroids.foreach { sub =>
+      val sa = cents.addArray()
+      sub.foreach { c => val ca = sa.addArray(); c.foreach(v => ca.add(v.toDouble)) }
+    }
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(path, mapper.writeValueAsString(root))
+  }
+
+  /** Load a codebook saved by [[saveCodebook]]. */
+  def loadCodebook(path: java.nio.file.Path): PQCodebook = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(path))
+    val cents = root.path("centroids").elements().asScala.map { sub =>
+      sub.elements().asScala.map { c =>
+        c.elements().asScala.map(_.asDouble().toFloat).toArray
+      }.toArray
+    }.toArray
+    PQCodebook(root.path("m").asInt(), root.path("k").asInt(),
+      root.path("subDim").asInt(), cents)
+  }
+
   /** q81: the driver-gate entry (rows-only — k-means codebooks aren't
     * SQL-portable): train on the corpus sample, encode everything, ADC
     * top-5 for a fixed content-addressed query panel. */
