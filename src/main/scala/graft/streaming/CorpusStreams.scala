@@ -88,6 +88,22 @@ object CorpusStreams {
       .filter(col("n_clean_tokens") >= 10 && col("alpha_ratio") >= 0.25)
   }
 
+  /** Streaming language-mix monitor — the ingest-time form of q79's drift
+    * audit: per event-time window, per (source, lang) document counts,
+    * watermarked so state is horizon-bounded. ONE stateful aggregation
+    * (append-safe); the drift statistic itself (TVD vs the global mix) is
+    * a stateless batch post-process over the emitted counts, exactly like
+    * the batch operator's window-totals stage — run it on the sink table
+    * ([[PackingOps.q79LangDrift]] semantics) per closed window. */
+  def langMixByWindow(docs: DataFrame, windowLen: String = "10 minutes",
+                      horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), windowLen), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("source"), col("lang"), col("n_docs"))
+
   final case class Admission(doc_id: Long, source: String,
                              n_tokens: Long, cum_tokens: Long)
 

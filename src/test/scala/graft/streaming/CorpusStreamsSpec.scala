@@ -8,6 +8,7 @@ import graft.SharedSpark
 
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 final case class SourcedDoc(doc_id: Long, source: String, text: String)
+final case class LangDoc(doc_id: Long, ts: Timestamp, source: String, lang: String)
 
 class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
 
@@ -93,6 +94,33 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     val streamed = sp.table("decontam").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
+  test("windowed language-mix counts match the batch aggregation after watermark close") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val docs = Seq(
+      LangDoc(1, t(0), "A", "en"), LangDoc(2, t(2), "A", "en"),
+      LangDoc(3, t(4), "A", "fr"), LangDoc(4, t(6), "B", "fr"),
+      LangDoc(5, t(12), "A", "en")) // second 10-min window
+    val batch = CorpusStreams.langMixByWindow(docs.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getString(3), r.getLong(4))).toSet
+
+    val stream = MemoryStream[LangDoc]
+    val q = CorpusStreams.langMixByWindow(stream.toDF())
+      .writeStream.format("memory").queryName("langmix").outputMode("append").start()
+    stream.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    // advance the watermark far past both windows so they close and emit
+    stream.addData(LangDoc(99, t(600), "Z", "xx"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("langmix")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(batch.subsetOf(streamed), s"streamed $streamed missing batch rows $batch")
   }
 
   test("streaming quality filter matches the batch q47 keep-set") {
