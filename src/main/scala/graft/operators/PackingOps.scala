@@ -24,9 +24,9 @@ object PackingOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Tokens per packed sequence — shared by q76 and the composed pipeline
-    * (q82), so the two can't silently drift apart. */
-  private[operators] val SeqBudget = 256
+  /** Tokens per packed sequence — shared by q76, the composed pipeline
+    * (q82), and the streaming packer, so they can't silently drift apart. */
+  private[graft] val SeqBudget = 256
   private def budget = SeqBudget
   private val chunkW = 64  // sliding-window chunk size (q77)
   private val chunkS = 48  // sliding-window stride (q77)

@@ -104,6 +104,39 @@ object CorpusStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("source"), col("lang"), col("n_docs"))
 
+  final case class PackedDoc(doc_id: Long, source: String,
+                             n_tokens: Long, bin: Long)
+
+  /** Streaming sequence packing — the ingest-time form of q76: each
+    * arriving document is assigned the bin where its first token lands in
+    * the source's concatenated stream. State per source is ONE long (tokens
+    * consumed so far) — constant forever, no watermark needed. Within a
+    * micro-batch documents are processed in doc_id order, so a
+    * single-batch run reproduces the batch operator's assignment exactly
+    * (CorpusStreamsSpec); across batches the stream packs in arrival
+    * order, and the invariant that bins are dense and non-decreasing per
+    * source holds regardless. */
+  def packingAssignment(spark: SparkSession, docs: DataFrame,
+                        budget: Long = graft.operators.PackingOps.SeqBudget): DataFrame = {
+    import spark.implicits._
+    val typed = docs.select(col("doc_id"), col("source"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state: GroupState[Long]) =>
+          var prev = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[PackedDoc]
+          rows.toVector.sortBy(_._1).foreach { case (id, _, n) =>
+            out += PackedDoc(id, source, n, prev / budget)
+            prev += n
+          }
+          state.update(prev)
+          out.result().iterator
+      }.toDF()
+  }
+
   final case class Admission(doc_id: Long, source: String,
                              n_tokens: Long, cum_tokens: Long)
 
