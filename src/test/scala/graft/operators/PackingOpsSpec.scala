@@ -23,7 +23,7 @@ class PackingOpsSpec extends AnyFunSuite with SharedSpark {
     .select(col("doc_id"), col("source"),
       size(TextOps.tokens(col("text"))).as("tok"))
 
-  test("q76 packing: conserves tokens and docs; bins dense from 0 per source") {
+  test("q76 packing: conserves tokens and docs; summary equals the prefix-sum replay") {
     val df = PackingOps.q76SeqPacking(spark, sf).cache()
     val exp = docTokens.groupBy("source")
       .agg(sum("tok").as("tok_exp"), count(lit(1)).as("n_exp"))
@@ -32,12 +32,23 @@ class PackingOpsSpec extends AnyFunSuite with SharedSpark {
     assert(exp.join(got, "source")
       .filter(col("tok_exp") =!= col("tok_got") || col("n_exp") =!= col("n_got"))
       .count() == 0)
-    // bins are exactly 0..floor((total - last_doc_tok) / budget): dense, no gaps
-    val w = Window.partitionBy("source").orderBy("bin")
-    assert(df.select(col("source"), col("bin"), lag("bin", 1).over(w).as("p"))
-      .filter((col("p").isNull && col("bin") =!= 0) ||
-        (col("p").isNotNull && col("bin") =!= col("p") + 1))
-      .count() == 0)
+    // the summary equals an exact driver-side replay of the prefix-sum
+    // rule (bins need not be dense in general — an oversized doc spans
+    // several bins — so the check is equality, not gap-freedom)
+    val replay = docTokens.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+      .groupBy(_._2)
+      .flatMap { case (src, docs) =>
+        docs.sortBy(_._1).foldLeft((0L, Map.empty[(String, Long), (Long, Long)])) {
+          case ((prev, acc), (_, _, tok)) =>
+            val key = (src, prev / 256)
+            val (n0, t0) = acc.getOrElse(key, (0L, 0L))
+            (prev + tok, acc + (key -> (n0 + 1, t0 + tok)))
+        }._2
+      }.toMap
+    val summary = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(summary == replay, s"summary $summary vs replay $replay")
   }
 
   test("q77 chunking: every token covered; stride/width arithmetic holds") {
