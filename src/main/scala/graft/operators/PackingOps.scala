@@ -42,14 +42,16 @@ object PackingOps {
     * per-(source,bin) aggregation is a map-side-combinable groupBy. All
     * arithmetic is integer (token counts, floor-div) — exact at any scale.
     */
-  /** The packing stage proper, shared by q76 and q82: input must carry
-    * (doc_id, source, tok); output is the per-(source, bin) summary. */
-  private[operators] def packSummary(docs: DataFrame): DataFrame = {
+  /** The packing stage proper, shared by q76, q82, and the streaming
+    * packer's parity spec: input must carry (doc_id, source, tok); output
+    * is the per-(source, bin) summary. */
+  private[graft] def packSummary(docs: DataFrame,
+                                 binBudget: Int = SeqBudget): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("prev", coalesce(sum("tok").over(w), lit(0L)))
-      .withColumn("bin", (col("prev") / budget).cast("long"))
+      .withColumn("bin", (col("prev") / binBudget).cast("long"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
       .orderBy("source", "bin")

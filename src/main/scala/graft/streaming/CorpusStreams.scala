@@ -114,8 +114,9 @@ object CorpusStreams {
     * micro-batch documents are processed in doc_id order, so a
     * single-batch run reproduces the batch operator's assignment exactly
     * (CorpusStreamsSpec); across batches the stream packs in arrival
-    * order, and the invariant that bins are dense and non-decreasing per
-    * source holds regardless. */
+    * order, and per-source bins stay non-decreasing regardless (not
+    * necessarily dense — an over-budget document spans several bins and
+    * the next document legally skips ahead). */
   def packingAssignment(spark: SparkSession, docs: DataFrame,
                         budget: Long = graft.operators.PackingOps.SeqBudget): DataFrame = {
     import spark.implicits._

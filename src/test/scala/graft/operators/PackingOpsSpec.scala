@@ -41,7 +41,7 @@ class PackingOpsSpec extends AnyFunSuite with SharedSpark {
       .flatMap { case (src, docs) =>
         docs.sortBy(_._1).foldLeft((0L, Map.empty[(String, Long), (Long, Long)])) {
           case ((prev, acc), (_, _, tok)) =>
-            val key = (src, prev / 256)
+            val key = (src, prev / PackingOps.SeqBudget)
             val (n0, t0) = acc.getOrElse(key, (0L, 0L))
             (prev + tok, acc + (key -> (n0 + 1, t0 + tok)))
         }._2

@@ -159,18 +159,20 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(single == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L), single.toString)
 
-    // the same corpus through the batch q76 summary: bins and doc counts agree
-    val tmp = java.nio.file.Files.createTempDirectory("graft-spack").toString
-    docs.toDF().withColumn("lang", lit("en"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    // (q76 uses SeqBudget=256 so everything lands in bin 0 there; compare
-    // the streaming op against the same packSummary shape at budget 4)
+    // REAL batch/stream parity: the same corpus through the shared batch
+    // packing stage (q76/q82's packSummary) at the same budget must yield
+    // the identical per-(source, bin) summary
+    val batchSummary = graft.operators.PackingOps.packSummary(
+      docs.toDF().select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("tok")),
+      binBudget = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val fromStream = CorpusStreams.packingAssignment(sp, docs.toDF(), budget = 4)
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(fromStream == Set(("A", 0L, 2L, 5L), ("A", 1L, 1L, 4L), ("B", 0L, 1L, 2L)))
+    assert(fromStream == batchSummary, s"stream $fromStream != batch $batchSummary")
+    assert(batchSummary == Set(("A", 0L, 2L, 5L), ("A", 1L, 1L, 4L), ("B", 0L, 1L, 2L)))
 
     // cross-batch: source A's consumed-token state carries
     val stream = MemoryStream[SourcedDoc]
