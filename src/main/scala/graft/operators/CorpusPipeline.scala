@@ -21,9 +21,12 @@ import graft.Tables._
   *
   * Plan shape at scale: stages 1–4 are narrow (projection + filter) except
   * the dedup window (one hash exchange on the 128-bit content key); the
-  * packing window re-partitions by source; the final aggregation is
-  * map-side combinable. Two shuffles + the output sort, total, for a
-  * five-stage pipeline — what the declarative composition buys.
+  * packing stage is the two-level prefix sum (PackingOps.packSummary):
+  * one high-cardinality (source, doc_id-group) exchange plus constant-size
+  * subtotal/offset exchanges — no per-source single-task window; the final
+  * aggregation is map-side combinable. Two FULL-data shuffles + the output
+  * sort, total, for a five-stage pipeline — what the declarative
+  * composition buys.
   */
 object CorpusPipeline {
 

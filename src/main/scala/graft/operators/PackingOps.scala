@@ -36,22 +36,67 @@ object PackingOps {
   /** q76: sequence packing — the concatenate-then-chunk assembly every LLM
     * training run does: per source, documents are laid end-to-end in a
     * deterministic order (doc_id) and cut into fixed 256-token sequences;
-    * a doc's bin is where its first token lands. Shape: one window (runs
-    * sum of tokens, rows unbounded-preceding → 1-preceding) partitioned by
-    * source — sources are the parallel unit, so the window scales out; the
-    * per-(source,bin) aggregation is a map-side-combinable groupBy. All
-    * arithmetic is integer (token counts, floor-div) — exact at any scale.
+    * a doc's bin is where its first token lands.
     */
   /** The packing stage proper, shared by q76, q82, and the streaming
-    * packer's parity spec: input must carry (doc_id, source, tok); output
-    * is the per-(source, bin) summary. */
+    * packer's parity spec: input must carry (doc_id, source, tok) with
+    * non-negative doc_id; output is the per-(source, bin) summary.
+    *
+    * Scale shape — a TWO-LEVEL prefix sum, so no source ever funnels
+    * through one task (a naive `PARTITION BY source` running sum is a
+    * single-task scan of whatever the dominant crawl source holds):
+    *
+    *   1. `grp = doc_id div groupWidth` — monotone in doc_id, so groups
+    *      are contiguous runs of the per-source order, and (doc_id being
+    *      unique) every group holds AT MOST groupWidth rows: a hard
+    *      per-task bound independent of source skew.
+    *   2. local prefix `lprev` via a window on (source, grp) — the ONE
+    *      full-data hash exchange in the stage, keyed high-cardinality.
+    *   3. per-(source, grp) subtotals aggregate on the SAME partitioning
+    *      (no second data shuffle; the shared exchange is reused at
+    *      runtime), then a per-source cumulative window over that tiny
+    *      table (≤ ceil(maxDocId/groupWidth) rows per source) yields each
+    *      group's starting offset `off`.
+    *   4. offsets broadcast back; `prev = off + lprev` is the exact global
+    *      running sum — identical to the single-window oracle SQL.
+    *
+    * `bin = prev div binBudget` is true integer floor division (both
+    * operands long) — exact at any magnitude, matching DuckDB's `//`; the
+    * per-(source,bin) aggregation is map-side combinable. All arithmetic
+    * is integer end-to-end. For id spaces much sparser than a row
+    * sequence, raise groupWidth so the subtotal table stays
+    * broadcast-sized (rows ≤ ceil(idRange/groupWidth)). */
   private[graft] def packSummary(docs: DataFrame,
-                                 binBudget: Int = SeqBudget): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+                                 binBudget: Int = SeqBudget,
+                                 groupWidth: Long = 1L << 20): DataFrame = {
+    val wLocal = Window.partitionBy("source", "grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("prev", coalesce(sum("tok").over(w), lit(0L)))
-      .withColumn("bin", (col("prev") / binBudget).cast("long"))
+    val wOff = Window.partitionBy("source").orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // (source, doc_id) are required non-null keys of the corpus model; the
+    // explicit filter also makes the shared subtree below the exchange
+    // identical on both consumer branches (the inner join would otherwise
+    // infer an isnotnull(grp) on one side only, splitting the exchange
+    // into two unshareable copies)
+    val local = docs
+      .withColumn("grp", expr(s"doc_id div $groupWidth"))
+      .where(col("source").isNotNull && col("doc_id").isNotNull &&
+        col("grp").isNotNull)
+      .withColumn("lprev", coalesce(sum("tok").over(wLocal), lit(0L)))
+    // group total as max(lprev + tok) — equal to sum(tok) since the
+    // running prefix is nondecreasing (tok ≥ 0), but DEPENDING on the
+    // window output on purpose: written as sum(tok), column pruning would
+    // rewrite this branch into a second scan+tokenize of the corpus;
+    // written this way both consumers share the one (source, grp)
+    // exchange (reused at runtime), so the corpus is read and shuffled
+    // exactly once
+    val offsets = local.groupBy("source", "grp")
+      .agg(max(col("lprev") + col("tok")).as("ptot"))
+      .withColumn("off", coalesce(sum("ptot").over(wOff), lit(0L)))
+      .select(col("source"), col("grp"), col("off"))
+    local.join(broadcast(offsets), Seq("source", "grp"))
+      .withColumn("prev", col("off") + col("lprev"))
+      .withColumn("bin", expr(s"prev div $binBudget"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
       .orderBy("source", "bin")

@@ -222,17 +222,37 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"extra scan — conditional agg split into two passes:\n$plan")
   }
 
-  test("q76: packing groupBy reuses the window's source partitioning (one data shuffle)") {
+  test("q76: two-level packing — data window keyed (source,grp), offsets broadcast back") {
     val df = PackingOps.q76SeqPacking(spark, sf)
     val plan = physicalPlan(df)
+    // every FULL-data window must partition on (source, grp) — a window
+    // partitioned by source alone is the single-task-per-source scan the
+    // two-level prefix sum exists to avoid. (The local-prefix window
+    // appears twice pre-reuse: the offsets branch consumes it too.)
+    val windows = nodes(df) { case w: WindowExec => w }
+    assert(windows.size == 3, s"2× local-prefix + offsets windows expected:\n$plan")
+    val dataWindows = windows.filter(_.partitionSpec.size == 2)
+    assert(dataWindows.size == 2 &&
+      dataWindows.forall(_.partitionSpec.flatMap(_.references.map(_.name))
+        .contains("grp")),
+      s"local prefix window not keyed by (source, grp):\n$plan")
+    // tiny offsets table joins back broadcast — the big side never moves
+    assert(nodes(df) { case j: BroadcastHashJoinExec => j }.size == 1,
+      s"offsets join not broadcast:\n$plan")
+    // hash exchanges pre-reuse: the (source,grp) exchange on each consumer
+    // branch (identical subtrees — materialized ONCE at runtime, asserted
+    // below), the constant-size (source) exchange under the offsets
+    // window, and the post-partial-agg (source,bin) exchange
     val hashEx = nodes(df) { case e: ShuffleExchangeExec => e }
       .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
-    // hashpartitioning(source) serves BOTH the window and the (source,bin)
-    // aggregation — a second exchange would mean the subset-clustering
-    // reuse regressed
-    assert(hashEx.size == 1, s"expected 1 hash exchange:\n$plan")
-    assert(nodes(df) { case a: HashAggregateExec => a }.size == 2,
+    assert(hashEx.size == 4, s"expected 4 hash exchanges pre-reuse:\n$plan")
+    assert(nodes(df) { case a: HashAggregateExec => a }.size >= 2,
       s"partial+final agg expected:\n$plan")
+    // runtime: the corpus is scanned, tokenized, and shuffled exactly once
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"packing exchange computed per consumer:\n$executed")
   }
 
   test("q78: range table broadcasts back; error agg exchanges stay 64-key") {
@@ -260,20 +280,27 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"exactly one explode expected:\n$plan")
   }
 
-  test("q82: five pipeline stages compose into one scan and two data shuffles") {
+  test("q82: five pipeline stages compose into two full-data shuffles") {
     val df = CorpusPipeline.q82E2ePipeline(spark, sf)
     val plan = physicalPlan(df)
-    // one pass over documents — composition must not re-read per stage
-    assert(nodes(df) { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size == 1,
-      s"pipeline re-scans documents:\n$plan")
-    // dedup window (content hash) + packing window (source); the packing
-    // groupBy reuses the source partitioning, so: 2 hash exchanges + the
-    // output range sort and nothing else
+    // dedup window (content hash) + the packing stage's (source,grp)
+    // window are the only FULL-data hash exchanges; the packing offsets
+    // add one constant-size (source) exchange and the final agg one
+    // post-partial (source,bin) exchange. Pre-reuse the shared packing
+    // branch (chash + (source,grp) exchanges) prints on both consumers:
+    // 2×2 + 1 + 1 = 6; runtime materializes the duplicates once
     val shuffles = nodes(df) { case e: ShuffleExchangeExec => e }
-    assert(shuffles.count(_.outputPartitioning.isInstanceOf[HashPartitioning]) == 2,
-      s"expected exactly 2 hash exchanges:\n$plan")
-    assert(nodes(df) { case w: WindowExec => w }.size == 2,
-      s"expected dedup + packing windows:\n$plan")
+    assert(shuffles.count(_.outputPartitioning.isInstanceOf[HashPartitioning]) == 6,
+      s"expected 6 hash exchanges pre-reuse:\n$plan")
+    assert(nodes(df) { case w: WindowExec => w }.size == 5,
+      s"expected 2× dedup + 2× local-prefix + offsets windows:\n$plan")
+    // at runtime the packing stage's two consumers (local prefix + the
+    // subtotal aggregation) share ONE materialized exchange: the corpus is
+    // scanned and shuffled once, not once per consumer
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"packing exchange computed per consumer:\n$executed")
   }
 
   test("q64: at no-broadcast scale the band self-join reuses one exchange") {
