@@ -63,7 +63,8 @@ object ProductQuantization {
     * rely on. Init is farthest-point (maximin) from the seed row —
     * deterministic, no RNG stream to keep portable. A fixed 10 Lloyd's
     * iterations is plenty for quantizer quality (FAISS uses 25 on 10⁵+
-    * samples; empty cells re-seed from the farthest point). */
+    * samples); a cell emptied during an update re-seeds from the sample
+    * point farthest from its assigned centroid, so no codeword goes dead. */
   def train(emb: DataFrame, m: Int = 16, k: Int = 16,
             sampleN: Int = 2048): PQCodebook = {
     val sample: Array[Array[Float]] = emb
@@ -104,6 +105,7 @@ object ProductQuantization {
       while (iter < 10) {
         val sums = Array.fill(kEff, subDim)(0.0)
         val counts = new Array[Int](kEff)
+        val assignD = new Array[Double](sample.length)
         var i = 0
         while (i < sample.length) {
           var best = 0
@@ -115,6 +117,7 @@ object ProductQuantization {
             cc += 1
           }
           counts(best) += 1
+          assignD(i) = bestD
           var j = 0
           while (j < subDim) { sums(best)(j) += sample(i)(off + j); j += 1 }
           i += 1
@@ -127,6 +130,19 @@ object ProductQuantization {
               cents(cc)(j) = (sums(cc)(j) / counts(cc)).toFloat
               j += 1
             }
+          } else {
+            // dead codeword: re-seed from the sample point farthest from
+            // its assigned centroid (deterministic — farthest first, ties
+            // to the lowest index; each point consumed once per pass)
+            var far = -1
+            var farD = -1.0
+            var ii = 0
+            while (ii < sample.length) {
+              if (assignD(ii) > farD) { farD = assignD(ii); far = ii }
+              ii += 1
+            }
+            cents(cc) = java.util.Arrays.copyOfRange(sample(far), off, off + subDim)
+            assignD(far) = -1.0
           }
           cc += 1
         }
@@ -194,7 +210,13 @@ object ProductQuantization {
     * resolution. Cell assignment comes from a seeded Spark ML k-means fit
     * (same recipe as [[SimilarityOps.ivfTopK]]); the candidate scan is
     * cell-partition-pruned by the broadcast (query, cell) probe list, then
-    * ADC + exact rescore as in [[searchTopK]]. */
+    * ADC + exact rescore as in [[searchTopK]].
+    *
+    * A query may return FEWER than k rows when its nProbe probed cells
+    * hold fewer than k non-query vectors (tiny corpora, skewed k-means
+    * cells) — inherent to IVF pruning, same as FAISS: unprobed cells are
+    * invisible by design. Raise nProbe (or fall back to [[searchTopK]])
+    * when exact k matters more than the pruning. */
   def ivfPqTopK(emb: DataFrame, book: PQCodebook, queryIds: Seq[Long],
                 k: Int, nList: Int = 16, nProbe: Int = 4,
                 refine: Int = 4, seed: Long = 42): DataFrame = {
@@ -239,6 +261,11 @@ object ProductQuantization {
       .filter(col("vec_id").isInCollection(queryIds))
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // fail fast on the driver: an id missing from emb would otherwise
+    // surface as an opaque NoSuchElementException inside an executor task
+    require(queryIds.forall(queryVecs.contains),
+      s"query ids absent from the embedding table: " +
+        queryIds.filterNot(queryVecs.contains).mkString(", "))
     val tables: Map[Long, Array[Array[Double]]] = queryVecs.map {
       case (qid, qv) =>
         qid -> Array.tabulate(book.m, book.k)((s, c) =>
@@ -328,5 +355,23 @@ object ProductQuantization {
       pinned.count() // materialize before releasing the parent cache
       emb.unpersist()
       pinned
+    }
+
+  /** q83: the IVF-PQ gate entry (rows-only, like q81 — k-means isn't
+    * SQL-portable): same content-addressed query panel as q81, but served
+    * by [[ivfPqTopK]] — cell-pruned ADC instead of the exhaustive code
+    * scan. This is the configuration a 10¹⁰-vector deployment actually
+    * runs; gating it keeps the scale path, not just the oracle fallback,
+    * under the driver's per-round check. */
+  val q83IvfPqAnn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d).cache()
+      val qids = emb.select(col("vec_id"))
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq
+      val book = train(emb)
+      val out = ivfPqTopK(emb, book, qids, k = 5) // materializes internally
+      emb.unpersist()
+      out
     }
 }

@@ -446,6 +446,7 @@ object SimilarityOps {
     "q70_dim_stats" -> q70DimStats,
     // rows-only (k-means codebooks aren't SQL-portable), like q41/q67
     "q81_pq_ann" -> ProductQuantization.q81PqAnn,
+    "q83_ivfpq_ann" -> ProductQuantization.q83IvfPqAnn,
   )
   val oracle: Map[String, String] = Map(
     "q29_ann_bruteforce" -> q29Sql,

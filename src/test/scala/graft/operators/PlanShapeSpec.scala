@@ -320,6 +320,28 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q81 ADC: both rank filters push into WindowGroupLimit partial top-k") {
+    // searchOverCandidates ranks |candidates| rows per query; only the
+    // rank-filter pushdown (ark <= k*refine, rk <= k) keeps that a partial
+    // top-k instead of a full per-query sort — q65 pins the optimization
+    // for SQL, this pins it for the ADC path where a silent regression
+    // would turn the 100 TB code scan into a global sort per query
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qids = emb.select(org.apache.spark.sql.functions.col("vec_id"))
+      .orderBy("vec_id").limit(3).collect().map(_.getLong(0)).toSeq
+    val book = ProductQuantization.train(emb)
+    val df = ProductQuantization.searchTopK(
+      emb, ProductQuantization.encode(emb, book), book, qids, k = 5)
+    val limits = nodes(df) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    val orderedCols = limits.map(_.orderSpec.flatMap(_.references.map(_.name)).toSet)
+    assert(orderedCols.exists(_.contains("approx_d")),
+      s"ADC rank window lost its WindowGroupLimit pushdown:\n${physicalPlan(df)}")
+    assert(orderedCols.exists(_.contains("d2")),
+      s"exact-rescore rank window lost its WindowGroupLimit pushdown:\n${physicalPlan(df)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead

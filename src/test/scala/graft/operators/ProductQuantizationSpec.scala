@@ -128,6 +128,49 @@ class ProductQuantizationSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.4, s"IVF-PQ recall@10 $recall below 0.4")
   }
 
+  test("q83 gate shape: IVF-PQ panel ranked by true distance, recall bounded") {
+    // the EXACT configuration the driver gate runs (rows-only there):
+    // 8-query content-addressed panel, k=5, default nList/nProbe/refine
+    val got = ProductQuantization.q83IvfPqAnn(spark, sf).collect()
+    val qids = got.map(_.getLong(0)).distinct
+    assert(qids.length == 8, s"expected the 8-query panel, got ${qids.length}")
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = all.toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < a.length) {
+        val diff = a(i).toDouble - b(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    var hit = 0
+    var tot = 0
+    for (q <- qids) {
+      val rows = got.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      // probed cells may legally under-fill on a tiny corpus, but the
+      // panel must never come back empty and never overshoot k
+      assert(rows.nonEmpty && rows.length <= 5)
+      // returned d2 is the TRUE distance, ranked ascending
+      val ds = rows.map(_.getDouble(2))
+      assert(ds.sameElements(ds.sorted))
+      for (r <- rows) {
+        val expect = math.rint(d2(byId(q), byId(r.getLong(1))) * 1e6) / 1e6
+        assert(math.abs(r.getDouble(2) - expect) < 1e-9)
+      }
+      val truth = all.filter(_._1 != q)
+        .map { case (id, v) => (id, d2(byId(q), v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(5).map(_._1).toSet
+      hit += truth.intersect(rows.map(_.getLong(1)).toSet).size
+      tot += 5
+    }
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.4, s"gate-shape IVF-PQ recall@5 $recall below 0.4")
+  }
+
   test("searchTopK: recall@10 vs brute-force L2 oracle, exact rescore order") {
     val qids = emb.select(col("vec_id"))
       .withColumn("h", md5(col("vec_id").cast("string")))
