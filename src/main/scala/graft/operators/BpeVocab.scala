@@ -187,9 +187,10 @@ object BpeVocab {
   }
 
   /** q67: the BPE merge table learned from the documents corpus (20
-    * merges). Rows-only at the driver gate (the iterative argmax loop is
-    * not single-statement SQL); BpeVocabSpec pins the exact merge sequence
-    * on a hand-computed corpus instead. */
+    * merges). Hash-exact at the driver gate: [[q67Sql]] replays the greedy
+    * loop in DuckDB as a generated chain of per-round CTEs;
+    * BpeVocabSpec additionally pins the exact merge sequence on a
+    * hand-computed corpus. */
   val q67BpeMerges: Q = (s, d) => {
     val merges = train(documents(s, d), "text", nMerges = 20)
     s.createDataFrame(merges.map(m => Row(m.rank, m.left, m.right, m.pairCount)).asJava,
@@ -210,6 +211,65 @@ object BpeVocab {
   }
 
   val queries: Map[String, Q] = Map("q67_bpe_merges" -> q67BpeMerges)
-  /** No DuckDB oracle (iterative) — driver records the rows-only check. */
-  val oracle: Map[String, String] = Map.empty
+
+  /** DuckDB replay of the greedy merge loop, generated as one SQL
+    * statement: a recursive CTE can't aggregate over its own working
+    * table, but the round count is a fixed training parameter, so the
+    * loop unrolls into 20 chained (pair-count → argmax → apply) CTE
+    * rounds — the oracle is the loop, not an approximation of it. Every
+    * CTE is MATERIALIZED: round i references round i-1 twice (the word
+    * table and the argmax), so inlined CTEs would expand the plan 2^20×.
+    *
+    * Greedy left-to-right application (overlaps consume: "aaa" + (a,a) →
+    * [aa, a]) is exactly non-overlapping string `replace` IF each symbol
+    * is wrapped in distinct start/end sentinels (chr(31)/chr(30), absent
+    * from the corpus): the pattern "␟a␞␟b␞" never shares a character with
+    * the next occurrence, unlike a single-separator encoding where the
+    * shared boundary breaks back-to-back merges ([a,a,a,a] must give
+    * [aa, aa]). Character splitting uses string_split(word, '') — the
+    * same engine pair q80 proves hash-exact against Spark's split("").
+    * Tie-break ORDER BY (cnt DESC, l, r) is DuckDB's binary UTF-8
+    * collation, matching the engine's UTF8String order. A round whose
+    * best pair falls under minCount yields an empty b_i, every later
+    * round inherits the unchanged table (and stays empty), and the final
+    * UNION simply has no rows at those ranks — the loop's early stop. */
+  private def q67SqlGen(nMerges: Int, minCount: Long): String = {
+    val rounds = (1 to nMerges).map { i =>
+      val prev = s"m${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(sy[j], 2) AS l, substr(sy[j + 1], 2) AS r, freq FROM (
+         |      SELECT sy, freq, unnest(range(1, len(sy))) AS j
+         |      FROM (SELECT list_filter(string_split(s, chr(30)), x -> x <> '') AS sy,
+         |                   freq FROM $prev)))
+         |  GROUP BY l, r),
+         |b$i AS MATERIALIZED (
+         |  SELECT * FROM (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)
+         |  WHERE cnt >= $minCount),
+         |m$i AS MATERIALIZED (
+         |  SELECT CASE WHEN b.l IS NULL THEN w.s
+         |    ELSE replace(w.s, chr(31) || b.l || chr(30) || chr(31) || b.r || chr(30),
+         |                 chr(31) || b.l || b.r || chr(30)) END AS s, w.freq
+         |  FROM $prev w LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to nMerges).map(i =>
+      s"""SELECT $i AS "rank", l AS "left", r AS "right", cnt AS pair_count FROM b$i""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(string_split(word, ''),
+       |           x -> chr(31) || x || chr(30)), '') AS s, freq
+       |  FROM (
+       |    SELECT word, COUNT(*) AS freq
+       |    FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+       |          FROM documents)
+       |    GROUP BY word)),
+       |$rounds
+       |SELECT * FROM (
+       |  $finalSel
+       |) ORDER BY "rank"""".stripMargin
+  }
+
+  val q67Sql: String = q67SqlGen(nMerges = 20, minCount = 2L)
+
+  val oracle: Map[String, String] = Map("q67_bpe_merges" -> q67Sql)
 }
