@@ -426,10 +426,13 @@ object Relational {
     * style metrics when ±% error is acceptable: HyperLogLog++ distinct
     * counts and a mergeable quantile sketch, both single-pass partial-agg
     * friendly (constant-size state per group merged across partitions, vs
-    * the exact versions' per-group buffers). NO oracle SQL on purpose:
-    * sketch internals are engine-specific, so the driver records the
-    * weaker rows-only check — the exact counterparts (q09/q10) carry the
-    * value-level verification for the same inputs. */
+    * the exact versions' per-group buffers). NO hash oracle on purpose
+    * (sketch internals are engine-specific), but NOT unchecked: the gate
+    * (tools/check_correctness.py SKETCH_CHECKS) compares each output
+    * against DuckDB exact values within the declared sketch contracts —
+    * HLL++ within 3*rsd relative error, the quantile sketch by rank (the
+    * exact CDF at the returned value must bracket 0.5). The exact
+    * counterparts (q09/q10) carry bit-level verification separately. */
   val q41ApproxStats: Q = (s, d) => {
     lineitem(s, d)
       .groupBy("l_returnflag")

@@ -444,7 +444,8 @@ object SimilarityOps {
     "q33_ann_native" -> q33AnnNative,
     "q61_embedding_outliers" -> q61EmbeddingOutliers,
     "q70_dim_stats" -> q70DimStats,
-    // rows-only (k-means codebooks aren't SQL-portable), like q41/q67
+    // rows-only (k-means codebooks aren't SQL-portable); recall bounds
+    // are spec'd in ProductQuantizationSpec instead
     "q81_pq_ann" -> ProductQuantization.q81PqAnn,
     "q83_ivfpq_ann" -> ProductQuantization.q83IvfPqAnn,
   )

@@ -71,12 +71,62 @@ def values_equal(a, b):
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 
+def check_q41(con, ours):
+    """Sketch bound check: q41 has no hash oracle (HLL++/KLL internals are
+    engine-specific), but the sketch CONTRACT is checkable against DuckDB
+    exact values — approx_count_distinct(rsd=0.02) within 3*rsd = 6%
+    relative error, and percentile_approx(0.5, acc=10000) by RANK: the
+    exact CDF at the returned value must bracket 0.5 within 0.01 (100x
+    the 1e-4 rank guarantee, so never flaky). Group keys and the exact
+    count column still compare bit-equal."""
+    errs = []
+    rows = {r["l_returnflag"]: r for r in ours.to_pylist()}
+    exact = con.execute(
+        "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS orders, COUNT(*) AS n "
+        "FROM lineitem GROUP BY 1").arrow().to_pylist()
+    if len(exact) != len(rows):
+        errs.append(f"groups duck={len(exact)} spark={len(rows)}")
+    for er in exact:
+        g = er["l_returnflag"]
+        sr = rows.get(g)
+        if sr is None:
+            errs.append(f"missing group {g!r}")
+            continue
+        if sr["n"] != er["n"]:
+            errs.append(f"{g}: n spark={sr['n']} exact={er['n']}")
+        rel = abs(sr["approx_orders"] - er["orders"]) / er["orders"]
+        if rel > 0.06:
+            errs.append(f"{g}: approx_orders rel err {rel:.4f} > 0.06 (3*rsd)")
+        v = sr["approx_p50"]
+        lt, le = con.execute(
+            "SELECT COUNT(*) FILTER (WHERE l_extendedprice < ?) * 1.0 / COUNT(*), "
+            "COUNT(*) FILTER (WHERE l_extendedprice <= ?) * 1.0 / COUNT(*) "
+            "FROM lineitem WHERE l_returnflag = ?", [v, v, g]).fetchone()
+        if not (lt <= 0.5 + 0.01 and le >= 0.5 - 0.01):
+            errs.append(f"{g}: p50={v} CDF window [{lt:.4f},{le:.4f}] excludes 0.5±0.01")
+    return errs
+
+# Queries whose outputs are sketches: verified against DuckDB EXACT
+# values within the sketch's declared error bound instead of by hash.
+SKETCH_CHECKS = {"q41_approx_stats": check_q41}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    for name, check in sorted(SKETCH_CHECKS.items()):
+        ours = load_spark_result(f"{out_dir}/{name}")
+        if ours is None:
+            continue  # query not in this (possibly filtered) dump
+        errs = check(con, ours)
+        if errs:
+            print(f"FAIL {name}: {'; '.join(errs)}")
+            n_fail += 1
+        else:
+            print(f"PASS(bounds) {name}: {ours.num_rows} rows within declared sketch bounds")
+            n_pass += 1
     for name, sql in sorted(oracle.items()):
         try:
             duck = con.execute(sql).arrow()
