@@ -31,6 +31,10 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HintSteeringRule)
+    // join-ORDER dimension: a Once batch after the operator fixpoint (and
+    // after HintSteeringRule has stamped strategy hints) — see
+    // JoinOrderSteeringRule for why it must not live in the fixpoint batch
+    ext.injectPreCBORule(_ => JoinOrderSteeringRule)
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
   }
 }
@@ -66,7 +70,7 @@ object GraftExtensions {
 object HintSteeringRule extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.steering.strategy"
 
-  private def hintFor(strategy: String): Option[JoinHint] = {
+  private[catalyst] def hintFor(strategy: String): Option[JoinHint] = {
     def both(h: JoinStrategyHint) =
       Some(JoinHint(Some(HintInfo(Some(h))), Some(HintInfo(Some(h)))))
     strategy match {

@@ -64,6 +64,18 @@ object SteeringLoop {
     ("", Map.empty),
     ("noaqe", Map("spark.sql.adaptive.enabled" -> "false")))
 
+  /** Join-order axis ([[JoinOrderSteeringRule]]): each entry pins one
+    * permutation of the canonically-sorted leaves of the query's
+    * inner-join chain; "" keeps Catalyst's own order (so column 0 of a
+    * crossed space stays the unsteered default). Non-viable permutations
+    * (wrong arity for a query, cartesian-forcing orders) degenerate to
+    * the default plan by construction, so one axis can safely serve a
+    * heterogeneous workload — the loop just observes ~default time for
+    * those cells. */
+  def joinOrderAxis(perms: Seq[Seq[Int]]): Seq[(String, Map[String, String])] =
+    ("", Map.empty[String, String]) +: perms.map(p =>
+      (s"jo_${p.mkString("")}", Map(JoinOrderSteeringRule.ConfKey -> p.mkString(","))))
+
   /** Shuffle-partition tiers: the knob whose best value is query-shaped
     * (small dims want few partitions, big facts want many). */
   def partitionTiers(ns: Int*): Seq[(String, Map[String, String])] =

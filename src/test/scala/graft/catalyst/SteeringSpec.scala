@@ -359,6 +359,150 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     assert(spark.conf.getOption(HintSteeringRule.ConfKey).isEmpty)
   }
 
+  // ---- join-order dimension ----------------------------------------------
+
+  /** Leaf relations of the optimized plan, in join-tree order, tagged by
+    * their column prefix ("c_", "o_", "l_", "s_", "n_", "r_"). */
+  private def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().map(_.output.head.name.take(2))
+
+  /** The q68 core: the 4-relation hint-free inner chain (customer ⋈
+    * orders ⋈ lineitem ⋈ supplier) with the cyclic nationkey edge. */
+  private def q68Core(s: org.apache.spark.sql.SparkSession) = {
+    val c = graft.Tables.customer(s, sf); val o = graft.Tables.orders(s, sf)
+    val l = graft.Tables.lineitem(s, sf); val sup = graft.Tables.supplier(s, sf)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+      .orderBy("c_mktsegment")
+  }
+
+  test("joinorder spec parses only true permutations") {
+    assert(JoinOrderSteeringRule.parse("2,0,1,3").contains(Seq(2, 0, 1, 3)))
+    assert(JoinOrderSteeringRule.parse("0").contains(Seq(0)))
+    assert(JoinOrderSteeringRule.parse("1,2").isEmpty)      // not 0-based
+    assert(JoinOrderSteeringRule.parse("0,0,1").isEmpty)    // repeated index
+    assert(JoinOrderSteeringRule.parse("0,x").isEmpty)
+    assert(JoinOrderSteeringRule.parse(",").isEmpty)
+  }
+
+  test("join-order steering permutes the executed join order and preserves results") {
+    val default = leafOrder(q68Core(spark))
+    val expected = q68Core(spark).collect().toSeq
+    val perms = Seq(0, 1, 2, 3).permutations.toSeq
+    val changed = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    try {
+      perms.foreach { p =>
+        spark.conf.set(JoinOrderSteeringRule.ConfKey, p.mkString(","))
+        val order = leafOrder(q68Core(spark))
+        if (order != default) changed += ((p.mkString(","), order))
+      }
+      // the cycle c-o-l-s-c admits several valid left-deep orders: steering
+      // must actually produce different trees, not silently no-op
+      assert(changed.nonEmpty, s"no permutation changed the join order (default=$default)")
+      assert(changed.map(_._2).distinct.size > 1,
+        "distinct permutations must yield distinct orders")
+      // semantics: any steered order returns bit-identical results
+      changed.take(2).foreach { case (spec, _) =>
+        spark.conf.set(JoinOrderSteeringRule.ConfKey, spec)
+        assert(q68Core(spark).collect().toSeq == expected, s"results differ under $spec")
+      }
+    } finally spark.conf.unset(JoinOrderSteeringRule.ConfKey)
+  }
+
+  test("join-order steering never emits a cartesian product") {
+    // a-b-c chain: only orders keeping the prefix connected are viable;
+    // the rest must fall back to the untouched plan — never a cartesian
+    try {
+      Seq(0, 1, 2).permutations.foreach { p =>
+        spark.conf.set(JoinOrderSteeringRule.ConfKey, p.mkString(","))
+        val c = graft.Tables.customer(spark, sf)
+        val o = graft.Tables.orders(spark, sf)
+        val l = graft.Tables.lineitem(spark, sf)
+        val df = c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("c_mktsegment").count().orderBy("c_mktsegment")
+        val phys = df.queryExecution.executedPlan.toString
+        assert(!phys.contains("CartesianProduct"), s"cartesian under ${p.mkString(",")}")
+        assert(df.count() > 0)
+      }
+    } finally spark.conf.unset(JoinOrderSteeringRule.ConfKey)
+  }
+
+  test("join-order composes with the strategy dimension") {
+    val default = leafOrder(q68Core(spark))
+    // find one order-changing permutation with no strategy set
+    val spec = Seq(0, 1, 2, 3).permutations.find { p =>
+      spark.conf.set(JoinOrderSteeringRule.ConfKey, p.mkString(","))
+      try leafOrder(q68Core(spark)) != default
+      finally spark.conf.unset(JoinOrderSteeringRule.ConfKey)
+    }.map(_.mkString(",")).getOrElse(fail("no order-changing permutation found"))
+    spark.conf.set(JoinOrderSteeringRule.ConfKey, spec)
+    spark.conf.set(HintSteeringRule.ConfKey, "merge")
+    try {
+      val df = q68Core(spark)
+      val ordered = leafOrder(df)
+      assert(ordered != default, "order dimension lost when strategy is set")
+      assert(physical(df).contains("SortMergeJoin"), "strategy dimension lost")
+    } finally {
+      spark.conf.unset(JoinOrderSteeringRule.ConfKey)
+      spark.conf.unset(HintSteeringRule.ConfKey)
+    }
+  }
+
+  test("loop learns the join order; exploration regret below random") {
+    // strategy × join-order space; the order axis dominates (10× between
+    // best and worst) — argmin is broadcast+jo_201 for every query
+    val space = SteeringLoop.crossed(
+      SteeringLoop.defaultConfigs.take(2), // default, broadcast
+      SteeringLoop.joinOrderAxis(Seq(Seq(1, 0, 2), Seq(2, 0, 1), Seq(2, 1, 0))))
+    def cost(q: Int, c: Int): Double = {
+      val cfg = space(c)
+      val order = cfg.confs.get(JoinOrderSteeringRule.ConfKey) match {
+        case Some("2,0,1") => 1.0
+        case Some("2,1,0") => 4.0
+        case Some("1,0,2") => 6.0
+        case None          => 10.0
+      }
+      val strat = if (cfg.strategy == "broadcast") 0.8 else 1.0
+      (1.0 + 0.5 * q) * order * strat
+    }
+    def censoredExec(q: Int, c: Int, tol: Double): SteeringLoop.Outcome =
+      if (cost(q, c) > tol) SteeringLoop.Censored(tol)
+      else SteeringLoop.Completed(cost(q, c))
+    val res = SteeringLoop.runCensored(
+      Seq("qa", "qb"), space.map(_.name), censoredExec,
+      batch = 4, rounds = 6, alpha = 2.0, beta = 100.0)
+    // final regret 0: the optimum is found for every query
+    res.recommendations.foreach { r =>
+      assert(r.configName == "broadcast+jo_201", r.toString)
+    }
+    // exploration regret: the model steers probes toward predicted-cheap
+    // cells (and censors the rest at 2×best), so total spend beats the
+    // mean of seeded random exploration orders under the SAME censoring
+    val loopSpend = res.totalExplorationSeconds
+    val rng = new scala.util.Random(7)
+    val randSpends = (1 to 300).map { _ =>
+      val defaults = (0 until 2).map(q => cost(q, 0))
+      val minObs = Array(defaults(0), defaults(1))
+      var spend = defaults.sum
+      rng.shuffle((for (q <- 0 until 2; c <- 1 until space.length) yield (q, c)).toVector)
+        .foreach { case (q, c) =>
+          val tol = 2.0 * minObs(q)
+          val t = math.min(cost(q, c), tol)
+          spend += t
+          if (cost(q, c) <= tol) minObs(q) = math.min(minObs(q), cost(q, c))
+        }
+      spend
+    }
+    val randMean = randSpends.sum / randSpends.size
+    assert(loopSpend < randMean,
+      s"loop spend $loopSpend not below random mean $randMean")
+  }
+
   test("non-finite censored cutoffs never poison the loop (warm start or round 0)") {
     val cost = Array(Array(10.0, 1.0), Array(12.0, 1.2))
     // warm start carries a censored-at-∞ default for q0 (a crashed prior
