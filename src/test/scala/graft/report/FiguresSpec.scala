@@ -84,6 +84,48 @@ class FiguresSpec extends AnyFunSuite with graft.SharedSpark {
     assert(!flat.contains("NaN"))
   }
 
+  test("censor-ablation figure renders from the reference's stored CEB traces") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val w = graft.sources.Workloads.matrixFromCsv("/root/reference/dataset/ceb-matrix.csv")
+    val e = "/root/reference/experiment/ceb"
+    def render = Figures.censorFigure(spark,
+      censoredGlob = s"$e/limeqo/[0-9]*.json",
+      wocensoredGlob = s"$e/limeqo/wocensored_*.json",
+      pgTotal = w.defaultTime, optimalTotal = w.optTime, nGrid = 200)
+    val svg = render
+    assert(svg.startsWith("<svg"))
+    assert(count(svg, "<polyline") == 2, "censored + wocensored series")
+    assert(count(svg, "<polygon") == 2, "both mean±std bands present")
+    assert(svg.contains(">Default<") && svg.contains(">Optimal<"))
+    assert(svg.contains("wocensored"))
+    assert(svg == render, "not deterministic")
+  }
+
+  test("new-query figure renders with the shifted exploration cost") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val w = graft.sources.Workloads.matrixFromCsv("/root/reference/dataset/ceb-matrix.csv")
+    val e = "/root/reference/experiment/ceb"
+    val shiftedGlob =
+      s"$e/newquery/als_newquery_timeout_rank5_lambda0.2_alpha1_beta15_run*.json"
+    def render = Figures.newQueryFigure(spark,
+      shifted = Seq("LimeQO (with shift)" -> shiftedGlob),
+      baselines = Seq("LimeQO" -> s"$e/limeqo/[0-9]*.json"),
+      pgTotal = w.defaultTime, pgTotalBefore = 7886.0, nGrid = 200)
+    val svg = render
+    assert(svg.startsWith("<svg"))
+    assert(count(svg, "<polyline") == 2, "shifted + baseline series")
+    assert(count(svg, "<polygon") == 2)
+    assert(svg.contains("with shift"))
+    assert(svg == render, "not deterministic")
+    // the shift must matter: treating the newquery traces as UNshifted
+    // yields a different rendering (x re-bases only in the shifted path)
+    val unshifted = Figures.newQueryFigure(spark,
+      shifted = Nil,
+      baselines = Seq("LimeQO (with shift)" -> shiftedGlob, "LimeQO" -> s"$e/limeqo/[0-9]*.json"),
+      pgTotal = w.defaultTime, pgTotalBefore = 7886.0, nGrid = 200)
+    assert(svg != unshifted, "shifted and unshifted renderings coincide")
+  }
+
   test("labels with XML metacharacters stay well-formed") {
     val svg = Figures.lineChart(
       Seq(Figures.Series("LimeQO & ALS", Seq((0.0, 1.0), (1.0, 2.0)))),
