@@ -239,37 +239,59 @@ object SimilarityOps {
     *
     * Scale contract: shuffle volume ∝ vectors × bands (each vector emits 2
     * (band, key) rows), never ∝ pairs; only bucket-colliding pairs reach
-    * the rescoring join. Recall is the banded-LSH tradeoff — for true
-    * near-dups (sim ≥ 0.95) two 6-bit bands catch ~78 %; more bands raise
-    * recall linearly in cost. The exact threshold is oracle-mirrored.
+    * the rescoring join. A 6-bit band has only 64 keys, so bucket size
+    * grows LINEARLY with the corpus and an uncapped in-bucket self-join
+    * re-quadratizes (measured: 75 s → 249 s for a 2× corpus in the soak).
+    * The per-(band, key) cap below — each vector pairs with at most
+    * [[DedupOps.DefaultCandidateCap]] following vectors in vec_id order,
+    * same contract as [[DedupOps.jaccardPairs]] — bounds candidates at
+    * O(N·bands·cap) while keeping buckets at-or-under the cap EXACT; the
+    * oracle mirrors the window, so parity is scale-independent, and a
+    * capped bucket still links transitively (the chain preserves its
+    * connected component for downstream clustering).
+    * Recall is the banded-LSH tradeoff — for true near-dups (sim ≥ 0.95)
+    * two 6-bit bands catch ~78 %; more bands raise recall linearly in
+    * cost. The exact threshold is oracle-mirrored.
     */
-  val q32EmbeddingNearDup: Q = (s, d) => {
-    val nPar = s.sparkContext.defaultParallelism
-    val emb = embeddings(s, d).withColumn("bucket", bucketExpr(12))
-    val bands = emb.select(col("vec_id"),
+  /** Reusable near-dup kernel over any (vec_id, embedding) frame — the
+    * banded sign-LSH candidate pass plus exact rescoring described on
+    * [[q32EmbeddingNearDup]]. `bucketCap`: per-(band, key) candidate
+    * window, same contract as [[DedupOps.jaccardPairs]]'s blockCap. */
+  def embeddingNearDupPairs(emb: DataFrame, minSim: Double,
+                            bucketCap: Int = DedupOps.DefaultCandidateCap): DataFrame = {
+    val nPar = emb.sparkSession.sparkContext.defaultParallelism
+    // repartition on the full window/join key: the rank window and both
+    // self-join sides then share ONE exchange (ReusedExchange) — the cap
+    // adds a sort, not an exchange
+    val w = Window.partitionBy("band", "key").orderBy("vec_id")
+    val bands = emb.withColumn("bucket", bucketExpr(12))
+      .select(col("vec_id"),
         posexplode(array((0 until 2).map(b =>
           shiftright(col("bucket"), b * 6).bitwiseAND(lit(63L))): _*)).as(Seq("band", "key")))
       .repartition(nPar, col("band"), col("key"))
+      .withColumn("rn", row_number().over(w).cast("long"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.vec_id") < col("y.vec_id"))
+          && col("x.vec_id") < col("y.vec_id")
+          && col("y.rn") <= col("x.rn") + lit(bucketCap.toLong))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     // rescore with the native fused cosine (deterministic sequential
     // accumulation — see q33) instead of a per-element decimal join: the
     // candidate set × 64 dims would otherwise dominate the query
     // (measured 29 s → ~3 s at sf0.1)
-    val plain = embeddings(s, d)
     cand
-      .join(plain.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
-      .join(plain.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 6).as("sim"))
-      .filter(col("sim") >= 0.45)
-      .orderBy("vec_a", "vec_b")
+      .filter(col("sim") >= minSim)
   }
+
+  val q32EmbeddingNearDup: Q = (s, d) =>
+    embeddingNearDupPairs(embeddings(s, d), minSim = 0.45).orderBy("vec_a", "vec_b")
   val q32Sql: String =
-    """WITH planes AS (
+    s"""WITH planes AS (
       |  SELECT p, i,
       |    CAST((ascii(SUBSTR(md5('p:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
       |                       (i % 32) + 1, 1)) % 2) * 2 - 1 AS DOUBLE) AS w
@@ -289,10 +311,15 @@ object SimilarityOps {
       |bands AS (
       |  SELECT vec_id, b.band, (bucket >> (b.band * 6)) & 63 AS key
       |  FROM buckets, (SELECT CAST(unnest(range(0, 2)) AS INT) AS band) b),
+      |rbands AS (
+      |  SELECT vec_id, band, key,
+      |    ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+      |  FROM bands),
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      |  FROM bands x JOIN bands y
-      |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      |  FROM rbands x JOIN rbands y
+      |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+      |       AND y.rn <= x.rn + ${DedupOps.DefaultCandidateCap}),
       |scored AS (
       |  SELECT c.vec_a, c.vec_b,
       |    ROUND(

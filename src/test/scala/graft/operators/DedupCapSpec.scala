@@ -108,6 +108,41 @@ class DedupCapSpec extends AnyFunSuite with SharedSpark {
     val cappedL = DedupOps.lshCandidatePairs(docs)
     val freeL = DedupOps.lshCandidatePairs(docs, bucketCap = Int.MaxValue)
     assert(cappedL.exceptAll(freeL).isEmpty && freeL.exceptAll(cappedL).isEmpty)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cappedE = SimilarityOps.embeddingNearDupPairs(emb, 0.45)
+    val freeE = SimilarityOps.embeddingNearDupPairs(emb, 0.45, bucketCap = Int.MaxValue)
+    assert(cappedE.exceptAll(freeE).isEmpty && freeE.exceptAll(cappedE).isEmpty)
+  }
+
+  /** N byte-identical 64-dim vectors — every sign-LSH band bucket
+    * degenerates to the full set (q32's adversarial shape: a 6-bit band
+    * has 64 keys, so real bucket sizes grow linearly with the corpus). */
+  private def identicalVectors(n: Int): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    (1L to n.toLong).map(i => (i, v)).toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup cap: N identical vectors yield O(N·cap) candidates, not O(N²)") {
+    val n = 40
+    val cap = 4
+    val out = SimilarityOps.embeddingNearDupPairs(identicalVectors(n),
+      minSim = 0.45, bucketCap = cap).collect()
+    // both bands produce the same vec_id-ordered chain; distinct collapses
+    // them, so the surviving pair set is exactly the cap-width chain
+    assert(out.length == chainPairCount(n, cap),
+      s"expected ${chainPairCount(n, cap)} chained candidates, got ${out.length}")
+    assert(out.length < n.toLong * (n - 1) / 4, "cap did not bound the pair blow-up")
+    assert(out.forall(_.getDouble(2) == 1.0), "identical vectors must score sim=1 exactly")
+    // the chain keeps the degenerate bucket one connected component
+    val sp = spark
+    import sp.implicits._
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("doc_a", "doc_b")
+    val comps = DedupOps.connectedComponents((1L to n.toLong).toDF("doc_id"), pairs,
+        maxIter = 12)
+      .select("component").distinct().collect()
+    assert(comps.length == 1 && comps.head.getLong(0) == 1L)
   }
 
   test("decontaminate: set-probe and join fallback produce identical rows") {
