@@ -46,10 +46,17 @@ object Bench {
       }
     // best of 2 measured passes: this host shows sporadic multi-second
     // whole-JVM stalls (futex storms, system-time waves) unrelated to the
-    // query; min-of-k reports steady-state per standard bench practice
+    // query; min-of-k reports steady-state per standard bench practice.
+    // Reps are taken as whole-suite PASSES (every query once, then every
+    // query again), not back-to-back: a stall wave lasting minutes
+    // blankets consecutive runs, so adjacent reps would both land inside
+    // it — separating a query's reps by a full pass lets the min escape
+    // any wave shorter than the suite (observed: the same suite run twice
+    // put 12-22 s on q73-q75 once and on q12-q22/q37 the other time).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = names.map { n =>
-      val ts = (1 to reps).map(_ => runOnce(n, SparkEntry.queries(n)))
+    val passes = (1 to reps).map(_ => names.map(n => runOnce(n, SparkEntry.queries(n))))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      val ts = passes.map(_(i))
       val ok = ts.filter(_ >= 0)
       val t = if (ok.nonEmpty) ok.min else -1.0
       System.err.println(f"[bench] $n: $t%.2f s (${ts.map(x => f"$x%.2f").mkString("/")})")
