@@ -320,6 +320,24 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q32: at no-broadcast scale the banded self-join reuses one exchange") {
+    // the per-(band, key) cap's rank window and both self-join sides all
+    // consume the same explicit repartition on (band, key) — the sign-LSH
+    // signature pipeline must run once, not twice, whenever AQE doesn't
+    // broadcast a side (the 100 TB regime); the cap adds a sort, never a
+    // second exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SimilarityOps.embeddingNearDupPairs(
+        graft.Tables.embeddings(spark, sf), minSim = 0.45)
+      df.collect() // AQE materializes exchange reuse at runtime
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"band subtree computed per join side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q81 ADC: both rank filters push into WindowGroupLimit partial top-k") {
     // searchOverCandidates ranks |candidates| rows per query; only the
     // rank-filter pushdown (ark <= k*refine, rk <= k) keeps that a partial
