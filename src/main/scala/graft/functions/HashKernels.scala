@@ -80,6 +80,73 @@ object HashKernels {
     (c: Column) => f(c)
   }
 
+  /** Production MinHash: long signatures from ONE base hash per shingle.
+    *
+    * The md5 [[minhash]] kernel above is the ORACLE path — its per-seed
+    * hex strings are reproducible in DuckDB SQL, which is what the q26
+    * gate checks. But it pays nSeeds full md5 digests per shingle, and at
+    * soak scale that is the entire cost of the MinHash family (~153 s per
+    * 100k docs ≈ 160M md5 calls). Production MinHash needs only a UNIFORM
+    * hash family, not a portable one: hash each shingle once (FNV-1a 64
+    * over UTF-8 bytes), then derive seed s's value with a splitmix64
+    * finalizer of (base ^ s·golden) — two multiplies and three shifts
+    * instead of an md5 digest, the standard k-permutation construction
+    * (Broder's minwise hashing with splitmix-derived permutations).
+    * ~10× less work per (shingle, seed); same collision statistics, NOT
+    * the same signatures — so the md5 kernel keeps the gate and this one
+    * takes the 100 TB corpus (FastMinHashSpec pins the exchange-rate:
+    * exact dups collide on every band deterministically, and near-dup
+    * LSH recall on the adversarial corpus matches the md5 family). */
+  def minhashFast(nSeeds: Int): Column => Column = {
+    val f = udf { (shs: Seq[String]) =>
+      val out = new Array[Long](nSeeds)
+      java.util.Arrays.fill(out, Long.MaxValue)
+      val it = shs.iterator
+      while (it.hasNext) {
+        val bytes = it.next().getBytes(UTF_8)
+        var base = 0xcbf29ce484222325L // FNV-1a 64
+        var i = 0
+        while (i < bytes.length) {
+          base = (base ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        var s = 0
+        while (s < nSeeds) {
+          var z = base ^ (s * 0x9e3779b97f4a7c15L) // golden-ratio gamma
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L // splitmix64 finalizer
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          if (z < out(s)) out(s) = z
+          s += 1
+        }
+      }
+      out
+    }
+    (c: Column) => f(c)
+  }
+
+  /** Band keys over a long MinHash signature ([[minhashFast]]): band b =
+    * order-dependent mix of its rowsPerBand signature entries (seed order
+    * is fixed, so no sort is needed — unlike the md5 variant, whose
+    * string entries are sorted only to match the oracle SQL's list_sort). */
+  def bandKeysFast(nBands: Int, rowsPerBand: Int): Column => Column = {
+    val f = udf { (mh: Seq[Long]) =>
+      Array.tabulate(nBands) { b =>
+        var acc = 0x9e3779b97f4a7c15L * (b + 1)
+        var r = 0
+        while (r < rowsPerBand) {
+          var z = acc ^ mh(b * rowsPerBand + r)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          acc = z ^ (z >>> 31)
+          r += 1
+        }
+        acc
+      }
+    }
+    (c: Column) => f(c)
+  }
+
   /** LSH band keys over a MinHash signature: band b (of nBands, each
     * rowsPerBand entries) = md5 of the band's "SS=hash" entries (seed
     * zero-padded to 2 digits), sorted lexicographically, joined with '|'. */

@@ -208,20 +208,17 @@ object DedupOps {
     * Trade-off: the chain raises the component's DIAMETER, so downstream
     * label propagation needs ~N/cap rounds on a degenerate bucket — size
     * [[connectedComponents]]'s maxIter accordingly (DedupCapSpec). */
-  def lshCandidatePairs(docs: DataFrame,
-                        bucketCap: Int = DefaultCandidateCap): DataFrame = {
-    val nPar = docs.sparkSession.sparkContext.defaultParallelism
+  /** The capped band-bucket self-join shared by the md5 (oracle) and fast
+    * (production) LSH variants: input is (doc_id, band, band_key) rows. */
+  private def bandedPairs(bands0: DataFrame, bucketCap: Int): DataFrame = {
+    val nPar = bands0.sparkSession.sparkContext.defaultParallelism
     val w = Window.partitionBy("band", "band_key").orderBy("doc_id")
-    val bands = docShinglesOf(docs, withSource = false)
-      .select(col("doc_id"),
-        posexplode(HashKernels.bandKeys(nBands = 4, rowsPerBand = 4)(
-          HashKernels.minhash(16)(col("shs")))).as(Seq("band", "band_key")))
-      // repartition on the join key: both self-join sides then share ONE
-      // exchange (ReusedExchange), so the md5-heavy signature pipeline
-      // runs once, not twice. HashPartitioning(band_key) satisfies both the
-      // rank window's and the join's ClusteredDistribution(band, band_key)
-      // (subset rule) — the cap adds a sort, not an exchange.
-      .repartition(nPar, col("band_key"))
+    // repartition on the join key: both self-join sides then share ONE
+    // exchange (ReusedExchange), so the hash-heavy signature pipeline
+    // runs once, not twice. HashPartitioning(band_key) satisfies both the
+    // rank window's and the join's ClusteredDistribution(band, band_key)
+    // (subset rule) — the cap adds a sort, not an exchange.
+    val bands = bands0.repartition(nPar, col("band_key"))
       .withColumn("rn", row_number().over(w).cast("long"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
@@ -230,6 +227,33 @@ object DedupOps {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  def lshCandidatePairs(docs: DataFrame,
+                        bucketCap: Int = DefaultCandidateCap): DataFrame =
+    bandedPairs(
+      docShinglesOf(docs, withSource = false)
+        .select(col("doc_id"),
+          posexplode(HashKernels.bandKeys(nBands = 4, rowsPerBand = 4)(
+            HashKernels.minhash(16)(col("shs")))).as(Seq("band", "band_key"))),
+      bucketCap)
+
+  /** Production LSH candidates — [[HashKernels.minhashFast]] signatures
+    * (one base hash per shingle + splitmix-derived seeds) through the same
+    * banding, caps, and join shape as the oracle-gated [[lshCandidatePairs]].
+    * ~10× less signature work; same collision statistics but a different
+    * hash family, so candidates are equivalent-in-distribution rather than
+    * bit-identical — which is why this variant is spec-gated
+    * (FastMinHashSpec: exact-dup collisions are deterministic, near-dup
+    * LSH recall matches the md5 family on the adversarial corpus) instead
+    * of oracle-gated. This is the kernel the 100 TB corpus runs. */
+  def lshCandidatePairsFast(docs: DataFrame,
+                            bucketCap: Int = DefaultCandidateCap): DataFrame =
+    bandedPairs(
+      docShinglesOf(docs, withSource = false)
+        .select(col("doc_id"),
+          posexplode(HashKernels.bandKeysFast(nBands = 4, rowsPerBand = 4)(
+            HashKernels.minhashFast(16)(col("shs")))).as(Seq("band", "band_key"))),
+      bucketCap)
 
   val q27LshPairs: Q = (s, d) =>
     lshCandidatePairs(documents(s, d)).orderBy("doc_a", "doc_b")

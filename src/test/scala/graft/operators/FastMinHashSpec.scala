@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Contract of the production MinHash family
+  * ([[graft.functions.HashKernels.minhashFast]] / [[DedupOps.lshCandidatePairsFast]])
+  * against the oracle-gated md5 family: signatures differ (different hash
+  * family by design — that is what buys the ~10× kernel), but the
+  * DEDUP BEHAVIOR must match:
+  *  - determinism: same corpus → bit-identical candidates, every run;
+  *  - exact duplicates collide on all four bands with probability 1
+  *    (identical text → identical signature → identical band keys);
+  *  - near-dup LSH recall on an adversarial template corpus tracks the
+  *    md5 family (both are uniform families over the same shingle sets,
+  *    so the banding theory gives them the same expected recall).
+  */
+class FastMinHashSpec extends AnyFunSuite with SharedSpark {
+
+  private val vocab = (0 until 120).map(i => s"w${i}x")
+
+  /** Deterministic corpus: nTpl template docs each with a one-word-
+    * perturbed near-dup twin (ground-truth pairs (2t, 2t+1)), plus
+    * nNoise unique background docs. No RNG — seeded index arithmetic. */
+  private def corpus(nTpl: Int, nNoise: Int): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until nTpl).flatMap { t =>
+      val words = Seq.tabulate(40)(i => vocab((t * 31 + i * 7) % vocab.size))
+      val twin = words.updated(t % 40, s"uniq$t")
+      Seq((2L * t, words.mkString(" ")), (2L * t + 1, twin.mkString(" ")))
+    } ++ (0 until nNoise).map { u =>
+      (10000L + u, Seq.tabulate(40)(i => vocab((u * 13 + i * 11 + 5) % vocab.size)).mkString(" "))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def recallOf(cands: DataFrame, nTpl: Int): Double = {
+    val found = cands.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until nTpl).count(t => found.contains((2L * t, 2L * t + 1))).toDouble / nTpl
+  }
+
+  test("fast minhash is deterministic across runs") {
+    val docs = corpus(nTpl = 20, nNoise = 40)
+    val a = DedupOps.lshCandidatePairsFast(docs).orderBy("doc_a", "doc_b").collect()
+    val b = DedupOps.lshCandidatePairsFast(docs).orderBy("doc_a", "doc_b").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("exact duplicates collide on all four bands deterministically") {
+    val sp = spark
+    import sp.implicits._
+    val text = vocab.take(30).mkString(" ")
+    val docs = Seq((1L, text), (2L, text),
+      (3L, vocab.drop(60).take(30).mkString(" "))).toDF("doc_id", "text")
+    val out = DedupOps.lshCandidatePairsFast(docs)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 4,
+      s"exact-dup pair must share all 4 bands: ${out.mkString(", ")}")
+  }
+
+  test("near-dup LSH recall tracks the md5 family on the template corpus") {
+    val nTpl = 60
+    val docs = corpus(nTpl, nNoise = 120)
+    val rMd5 = recallOf(DedupOps.lshCandidatePairs(docs), nTpl)
+    val rFast = recallOf(DedupOps.lshCandidatePairsFast(docs), nTpl)
+    // one perturbed word in 40 → shingle Jaccard ≈ 0.85 → banding theory
+    // expects ~0.95 recall for ANY uniform family; allow generous slack
+    // but pin both floors and the family gap
+    assert(rMd5 >= 0.6, s"md5 recall $rMd5")
+    assert(rFast >= 0.6, s"fast recall $rFast")
+    assert(math.abs(rFast - rMd5) <= 0.25,
+      s"family recall gap too wide: md5 $rMd5 vs fast $rFast")
+  }
+}
