@@ -76,6 +76,19 @@ object DedupOps {
     * whole block (DedupCapSpec). */
   val DefaultCandidateCap = 32
 
+  /** Upper bound on any candidate cap: the window-based pair generators
+    * expand `cap` lead() expressions, so the cap is a STRUCTURAL constant
+    * sizing the plan, not a data-sized tunable — a huge value would build
+    * a huge expression tree on the driver. 1024 is far above any real
+    * blocking config (and above every block the gate corpora produce, so
+    * specs can use it as the "effectively uncapped" comparator). */
+  val MaxCandidateCap = 1024
+
+  private[operators] def requireCap(cap: Int): Unit =
+    require(cap >= 1 && cap <= MaxCandidateCap,
+      s"candidate cap $cap out of range [1, $MaxCandidateCap]: the cap sizes " +
+        "the plan's lead() expansion and must stay a small structural constant")
+
   /** DuckDB equivalent of shingleExpr as a CTE over `documents`:
     * (doc_id, sh) — one row per shingle. DuckDB lists are 1-based. */
   private val duckShingles: String =
@@ -123,20 +136,30 @@ object DedupOps {
     * with its full intersection count); over-full blocks — stopword-like
     * shingles on an adversarial corpus — degrade gracefully to a bounded
     * candidate chain instead of re-quadratizing the join. The DuckDB
-    * oracle mirrors the window, so parity is scale-independent.
-    * The rank window shuffles on the same (source, sh) key the self-join
-    * clusters on, so it adds a sort but NO extra exchange. */
+    * oracle mirrors the window (a ROW_NUMBER rank join, the declarative
+    * form of the same contract), so parity is scale-independent.
+    *
+    * Candidates come FROM THE WINDOW ITSELF — each row pairs with its
+    * next ≤cap block neighbors via a lead() array — not from a capped
+    * self-join. The r7 soak showed why: a rank-filtered self-join still
+    * materializes every same-key row pair into joined rows before the
+    * rank predicate prunes them, and the join output feeding the pair
+    * aggregation dominated the query (29 s → 84 s for 100k → 200k docs
+    * on the spam shard, against 10 s → 7 s for this shape — identical
+    * output, measured row-for-row). O(B·cap) by construction, one
+    * exchange + sort on the block key, no join machinery. */
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
                    blockCap: Int = DefaultCandidateCap): DataFrame = {
+    requireCap(blockCap)
     val w = Window.partitionBy("source", "sh").orderBy("doc_id")
     val sh = shinglesOf(docs, withSource = true)
-      .withColumn("rn", row_number().over(w).cast("long"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
-          && col("a.doc_id") < col("b.doc_id")
-          && col("b.rn") <= col("a.rn") + lit(blockCap.toLong))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = sh
+      .withColumn("nbrs", array((1 to blockCap).map(j =>
+        lead(col("doc_id"), j).over(w)): _*))
+      .select(col("doc_id").as("doc_a"), explode(col("nbrs")).as("doc_b"))
+      .filter(col("doc_b").isNotNull)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -208,23 +231,23 @@ object DedupOps {
     * Trade-off: the chain raises the component's DIAMETER, so downstream
     * label propagation needs ~N/cap rounds on a degenerate bucket — size
     * [[connectedComponents]]'s maxIter accordingly (DedupCapSpec). */
-  /** The capped band-bucket self-join shared by the md5 (oracle) and fast
-    * (production) LSH variants: input is (doc_id, band, band_key) rows. */
+  /** The capped band-bucket candidate pass shared by the md5 (oracle) and
+    * fast (production) LSH variants: input is (doc_id, band, band_key)
+    * rows. JOIN-FREE — each row pairs with its next ≤cap bucket
+    * neighbors via a lead() array over the bucket window, the same shape
+    * (and for the same soak-measured reason) as [[jaccardPairs]]: one
+    * exchange + sort on (band, band_key), O(bucket·cap) work and output,
+    * no self-join to materialize pruned row pairs. The signature
+    * pipeline below the window runs exactly once per band row. */
   private def bandedPairs(bands0: DataFrame, bucketCap: Int): DataFrame = {
-    val nPar = bands0.sparkSession.sparkContext.defaultParallelism
+    requireCap(bucketCap)
     val w = Window.partitionBy("band", "band_key").orderBy("doc_id")
-    // repartition on the join key: both self-join sides then share ONE
-    // exchange (ReusedExchange), so the hash-heavy signature pipeline
-    // runs once, not twice. HashPartitioning(band_key) satisfies both the
-    // rank window's and the join's ClusteredDistribution(band, band_key)
-    // (subset rule) — the cap adds a sort, not an exchange.
-    val bands = bands0.repartition(nPar, col("band_key"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
-          && col("x.doc_id") < col("y.doc_id")
-          && col("y.rn") <= col("x.rn") + lit(bucketCap.toLong))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    bands0
+      .withColumn("nbrs", array((1 to bucketCap).map(j =>
+        lead(col("doc_id"), j).over(w)): _*))
+      .select(col("doc_id").as("doc_a"), explode(col("nbrs")).as("doc_b"))
+      .filter(col("doc_b").isNotNull)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
@@ -257,6 +280,15 @@ object DedupOps {
 
   val q27LshPairs: Q = (s, d) =>
     lshCandidatePairs(documents(s, d)).orderBy("doc_a", "doc_b")
+
+  /** q84: the production-kernel LSH candidate pass ([[lshCandidatePairsFast]])
+    * as a gate query — rows-only by design: the fast hash family is
+    * intentionally not replayable in SQL (that non-portability is what
+    * buys the ~10× kernel), so the oracle-style contract lives in
+    * FastMinHashSpec and the gate pins rows + schema + determinism while
+    * the bench row makes the md5-vs-fast gap measurable next to q27. */
+  val q84LshPairsFast: Q = (s, d) =>
+    lshCandidatePairsFast(documents(s, d)).orderBy("doc_a", "doc_b")
   val q27Sql: String =
     s"""WITH $duckShingles,
        |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
@@ -741,6 +773,7 @@ object DedupOps {
     "q49_decontaminate" -> q49Decontaminate,
     "q59_source_overlap" -> q59SourceOverlap,
     "q60_chunk_dedup" -> q60ChunkDedup,
+    "q84_lsh_fast" -> q84LshPairsFast,
   )
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,

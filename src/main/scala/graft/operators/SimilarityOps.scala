@@ -259,22 +259,23 @@ object SimilarityOps {
     * window, same contract as [[DedupOps.jaccardPairs]]'s blockCap. */
   def embeddingNearDupPairs(emb: DataFrame, minSim: Double,
                             bucketCap: Int = DedupOps.DefaultCandidateCap): DataFrame = {
-    val nPar = emb.sparkSession.sparkContext.defaultParallelism
-    // repartition on the full window/join key: the rank window and both
-    // self-join sides then share ONE exchange (ReusedExchange) — the cap
-    // adds a sort, not an exchange
+    DedupOps.requireCap(bucketCap)
+    // candidates come from the bucket window itself (lead() array — each
+    // vector pairs with its next ≤cap bucket neighbors), not from a
+    // rank-capped self-join: the join shape materializes every same-key
+    // row pair before the rank predicate prunes it, which the r7 soak
+    // measured as the dominant cost of the pair family (see
+    // [[DedupOps.jaccardPairs]]). One exchange + sort on (band, key),
+    // O(bucket·cap) work, the sign-LSH signature pipeline runs once.
     val w = Window.partitionBy("band", "key").orderBy("vec_id")
-    val bands = emb.withColumn("bucket", bucketExpr(12))
+    val cand = emb.withColumn("bucket", bucketExpr(12))
       .select(col("vec_id"),
         posexplode(array((0 until 2).map(b =>
           shiftright(col("bucket"), b * 6).bitwiseAND(lit(63L))): _*)).as(Seq("band", "key")))
-      .repartition(nPar, col("band"), col("key"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.vec_id") < col("y.vec_id")
-          && col("y.rn") <= col("x.rn") + lit(bucketCap.toLong))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .withColumn("nbrs", array((1 to bucketCap).map(j =>
+        lead(col("vec_id"), j).over(w)): _*))
+      .select(col("vec_id").as("vec_a"), explode(col("nbrs")).as("vec_b"))
+      .filter(col("vec_b").isNotNull)
       .distinct()
     // rescore with the native fused cosine (deterministic sequential
     // accumulation — see q33) instead of a per-element decimal join: the

@@ -101,17 +101,25 @@ class DedupCapSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("default caps leave the gate corpus bit-identical to uncapped") {
+    // MaxCandidateCap is the "effectively uncapped" comparator: the
+    // window generators expand cap lead() expressions, so the cap is a
+    // bounded structural constant (requireCap) — and 1024 is far above
+    // every block the gate corpora produce (max 6 at sf0.1, measured)
+    val free = DedupOps.MaxCandidateCap
     val docs = graft.Tables.documents(spark, sf)
     val cappedJ = DedupOps.jaccardPairs(docs, 0.2)
-    val freeJ = DedupOps.jaccardPairs(docs, 0.2, blockCap = Int.MaxValue)
+    val freeJ = DedupOps.jaccardPairs(docs, 0.2, blockCap = free)
     assert(cappedJ.exceptAll(freeJ).isEmpty && freeJ.exceptAll(cappedJ).isEmpty)
     val cappedL = DedupOps.lshCandidatePairs(docs)
-    val freeL = DedupOps.lshCandidatePairs(docs, bucketCap = Int.MaxValue)
+    val freeL = DedupOps.lshCandidatePairs(docs, bucketCap = free)
     assert(cappedL.exceptAll(freeL).isEmpty && freeL.exceptAll(cappedL).isEmpty)
     val emb = graft.Tables.embeddings(spark, sf)
     val cappedE = SimilarityOps.embeddingNearDupPairs(emb, 0.45)
-    val freeE = SimilarityOps.embeddingNearDupPairs(emb, 0.45, bucketCap = Int.MaxValue)
+    val freeE = SimilarityOps.embeddingNearDupPairs(emb, 0.45, bucketCap = free)
     assert(cappedE.exceptAll(freeE).isEmpty && freeE.exceptAll(cappedE).isEmpty)
+    intercept[IllegalArgumentException] {
+      DedupOps.jaccardPairs(docs, 0.2, blockCap = DedupOps.MaxCandidateCap + 1)
+    }
   }
 
   /** N byte-identical 64-dim vectors — every sign-LSH band bucket

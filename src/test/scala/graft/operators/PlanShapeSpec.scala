@@ -320,22 +320,30 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("q32: at no-broadcast scale the banded self-join reuses one exchange") {
-    // the per-(band, key) cap's rank window and both self-join sides all
-    // consume the same explicit repartition on (band, key) — the sign-LSH
-    // signature pipeline must run once, not twice, whenever AQE doesn't
-    // broadcast a side (the 100 TB regime); the cap adds a sort, never a
-    // second exchange
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = SimilarityOps.embeddingNearDupPairs(
-        graft.Tables.embeddings(spark, sf), minSim = 0.45)
-      df.collect() // AQE materializes exchange reuse at runtime
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("ReusedExchange"),
-        s"band subtree computed per join side:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  test("q25/q27/q32: capped candidate generation is join-free") {
+    // the r7 soak found the rank-capped SELF-JOIN shape superlinear in
+    // practice: the join materializes every same-key row pair before the
+    // rank predicate prunes it, and that output feeding the pair
+    // aggregation dominated the family (q25: 29 s -> 84 s per 2x corpus,
+    // vs 10 s -> 7 s for the window shape). Candidates must come from
+    // the block window itself (lead() array + explode) — the ONLY joins
+    // allowed in the pair queries are the post-candidate lookups (q25's
+    // two size joins, q32's two rescore joins; q27 has none at all).
+    // count on the optimizer-final INITIAL plan: after execution AQE
+    // wraps materialized stages as leaves, hiding their operators from
+    // collect — and join EXISTENCE (unlike strategy) is settled before
+    // runtime anyway
+    def joins(df: DataFrame): Int =
+      nodes(df) { case j: BaseJoinExec => j }.size
+    assert(joins(DedupOps.q27LshPairs(spark, sf)) == 0,
+      "q27 candidate generation regressed to a self-join")
+    assert(joins(DedupOps.lshCandidatePairsFast(
+      graft.Tables.documents(spark, sf))) == 0,
+      "fast-LSH candidate generation regressed to a self-join")
+    assert(joins(DedupOps.q25NgramJaccard(spark, sf)) == 2,
+      "q25 must join only the two per-doc size lookups")
+    assert(joins(SimilarityOps.q32EmbeddingNearDup(spark, sf)) == 2,
+      "q32 must join only the two rescore embedding lookups")
   }
 
   test("q81 ADC: both rank filters push into WindowGroupLimit partial top-k") {
