@@ -1,0 +1,159 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew/scale soak harness (beyond the sf0.1 bench): generates a
+  * synthetic corpus with the adversarial shapes a crawl corpus has at
+  * 100 TB — then runs the dedup/text/ANN/packing query families against
+  * it and prints per-query wall times (the SOAK.md table).
+  *
+  *   graft.tools.Soak gen <dir> [nDocs] [nVecs]   # write documents/embeddings.parquet
+  *   graft.tools.Soak run <dir>                   # time the families, print a table
+  *
+  * Generator shapes (all chosen to stress a specific scale mechanism):
+  *  - ONE DOMINANT SOURCE: "web" holds ~88% of all documents — the shape
+  *    that made the pre-r7 per-source packing window a single task
+  *    (VERDICT r6 "What's wrong #1"); the two-level prefix sum must
+  *    spread it across partitions.
+  *  - STOPWORD-HEAVY SHARD: "spam" (~2%) draws from a 10-word
+  *    vocabulary, so every shingle block in the n-gram/MinHash/overlap
+  *    family collapses onto a handful of keys — the per-block caps and
+  *    per-source distincts are what keep those self-joins bounded.
+  *  - DUP CLUSTERS: ~10% of documents copy a template (exact dups in
+  *    clusters of ~5); another ~10% copy a template with one word
+  *    perturbed (near-dups) — dedup output sizes stay meaningful.
+  *  - CLUSTERED EMBEDDINGS: 64-dim vectors around 50 centers with small
+  *    noise — IVF/PQ cell pruning sees realistic cluster structure.
+  *
+  * Everything is generated DISTRIBUTED and deterministically (seeded
+  * hash expressions, no driver loops, no RNG state), so the soak scales
+  * with nDocs and reproduces bit-identically.
+  */
+object Soak {
+
+  /** Content vocabulary (deterministic): 200 "content" words plus the
+    * 10-word stopword core the spam shard is restricted to. */
+  private val stopwords = Seq("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
+  private val content = (0 until 200).map(i => s"w${i}x")
+
+  def genDocuments(spark: SparkSession, nDocs: Long): DataFrame = {
+    val nPar = spark.sparkContext.defaultParallelism * 4
+    val vocabAll = (stopwords ++ content).map(w => s"'$w'").mkString(", ")
+    val vocabSpam = stopwords.map(w => s"'$w'").mkString(", ")
+    spark.range(0, nDocs, 1, nPar)
+      .withColumn("r", pmod(hash(col("id"), lit(1)), lit(1000)))
+      // 88% web / 2% spam / 10% across ten minor sources
+      .withColumn("source",
+        when(col("r") < 880, lit("web"))
+          .when(col("r") < 900, lit("spam"))
+          .otherwise(concat(lit("src"), pmod(col("r"), lit(10)))))
+      // dup structure: 10% exact-dup clusters (~5 docs/template), 10%
+      // near-dups (template + 1 perturbed word), 80% unique text seeded
+      // by the doc id itself
+      .withColumn("d", pmod(hash(col("id"), lit(2)), lit(10)))
+      .withColumn("tpl",
+        when(col("d") === 0, pmod(hash(col("id"), lit(3)), lit(nDocs / 50)))
+          .when(col("d") === 1, pmod(hash(col("id"), lit(4)), lit(nDocs / 50)))
+          .otherwise(col("id")))
+      .withColumn("n_words",
+        (lit(30) + pmod(hash(col("tpl"), lit(5)), lit(90))).cast("int"))
+      .withColumn("words", expr(
+        s"""transform(sequence(1, n_words), i ->
+           |  CASE WHEN source = 'spam'
+           |    THEN elt(1 + pmod(hash(tpl, i, 7), ${stopwords.length}), $vocabSpam)
+           |    ELSE elt(1 + pmod(hash(tpl, i, 8), ${stopwords.length + content.length}), $vocabAll)
+           |  END)""".stripMargin))
+      // near-dups perturb exactly one position of the template's text
+      .withColumn("text",
+        when(col("d") === 1,
+          concat_ws(" ", expr(
+            s"transform(words, (w, i) -> IF(i = pmod(hash(id, 9), n_words), 'uniq' || id, w))")))
+          .otherwise(concat_ws(" ", col("words"))))
+      .withColumn("lang", elt(lit(1) + pmod(hash(col("tpl"), lit(10)), lit(5)),
+        lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        col("lang"),
+        col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  def genEmbeddings(spark: SparkSession, nVecs: Long, dim: Int = 64,
+                    nCenters: Int = 50): DataFrame = {
+    val nPar = spark.sparkContext.defaultParallelism * 4
+    spark.range(0, nVecs, 1, nPar)
+      .withColumn("c", pmod(hash(col("id"), lit(11)), lit(nCenters)))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dim - 1}), i -> CAST(
+           |  sin(c * 31 + i) * 2.0 +
+           |  (pmod(hash(id, i, 12), 1000) / 1000.0 - 0.5) * 0.3 AS FLOAT))""".stripMargin))
+      .select(col("id").as("vec_id"), col("embedding"), col("c").cast("int").as("label"))
+  }
+
+  /** The soak families: every gate query that reads ONLY documents /
+    * embeddings — dedup, text analysis, similarity/ANN, packing, and the
+    * composed pipeline. (TPC-H-backed queries soak via the driver bench.) */
+  val families: Seq[String] = Seq(
+    // dedup
+    "q24_dedup_exact", "q25_ngram_jaccard", "q26_minhash_signatures",
+    "q27_lsh_pairs", "q84_lsh_fast", "q28_simhash", "q64_hamming_profile", "q42_dedup_clusters",
+    "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
+    // text analysis
+    "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
+    "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
+    "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
+    // multimodal plumbing
+    "q31_multimodal_decode", "q43_frame_sample",
+    // similarity / ANN
+    "q29_ann_bruteforce", "q30_ann_lsh_bucketed", "q32_embedding_neardup",
+    "q33_ann_native", "q61_embedding_outliers", "q70_dim_stats",
+    "q81_pq_ann", "q83_ivfpq_ann",
+    // sequence assembly + pipeline
+    "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
+    "q79_lang_drift", "q82_e2e_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("run")
+    val dir = args.lift(1).getOrElse("target/soak")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.catalyst.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    mode match {
+      case "gen" =>
+        val nDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
+        val nVecs = args.lift(3).map(_.toLong).getOrElse(200000L)
+        val t0 = System.nanoTime()
+        genDocuments(spark, nDocs).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        genEmbeddings(spark, nVecs).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+        println(f"generated $nDocs docs + $nVecs vecs in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir")
+      case "run" =>
+        val only = sys.env.get("SPARK_GRAFT_QUERIES")
+          .map(_.split(",").toSet).getOrElse(families.toSet)
+        val rows = families.filter(only).map { name =>
+          val fn = graft.SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          val outcome =
+            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); "ok" }
+            catch { case e: Throwable => s"FAIL ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}" }
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"$name%-28s $secs%8.2f s  $outcome")
+          (name, secs, outcome)
+        }
+        val total = rows.map(_._2).sum
+        println(f"TOTAL ${rows.length} queries ${total}%.1f s; failures: ${rows.count(_._3 != "ok")}")
+      case other => sys.error(s"unknown mode $other (gen|run)")
+    }
+    spark.stop()
+  }
+}
