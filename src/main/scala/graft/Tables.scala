@@ -21,17 +21,31 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and convert to a microsecond timestamp
-    * (truncation — matches DuckDB's ns→us cast in the oracle).
+  /** events.ts has shipped in two parquet encodings across testdata
+    * regenerations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts via the nanosAsLong legacy flag) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Sniff the decoded type
+    * and normalize to TimestampType so every downstream operator sees one
+    * stable type regardless of which encoding the driver generated. The
+    * session timezone is UTC in every entrypoint, so the NTZ→TZ cast is a
+    * value-preserving reinterpretation, matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)` in the oracles.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Harmless when no NANOS columns exist; required to even read the old
+    // encoding (it surfaces as LongType epoch-nanos instead of a read error).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // `div` (integer division), not `/` (floating point — loses precision
-    // above 2^53, and epoch-nanos are ~1.7e18)
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // `div` (integer division), not `/` (floating point — loses precision
+        // above 2^53, and epoch-nanos are ~1.7e18)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
