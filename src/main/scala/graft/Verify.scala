@@ -21,13 +21,6 @@ object Verify {
       case Some(qs) => SparkEntry.queries.filter(kv => qs.split(",").contains(kv._1))
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +33,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        // A failed query must leave an explicit red entry downstream, not a
+        // silent gap: round 7 shipped with 11 analysis-broken queries that
+        // were simply ABSENT from the correctness artifact because no output
+        // dir existed. Write a one-row error frame so any compare that
+        // iterates over output dirs records a mismatch instead of nothing.
+        try {
+          import spark.implicits._
+          Seq(msg.take(500)).toDF("query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
+      }
+    }
+    // Machine-readable failure manifest for the local gate
+    // (tools/check_correctness.py reports these with the real message).
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     val json = SparkEntry.oracleSql.filter(kv => selected.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

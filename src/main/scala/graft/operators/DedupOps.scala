@@ -197,12 +197,29 @@ object DedupOps {
     * (doc_id, seed, minhash). One narrow pass: the signature is an array
     * function of the per-doc shingle array (no seed crossJoin, no shuffle —
     * the only exchange is the output sort). */
-  val q26MinhashSignatures: Q = (s, d) => {
-    docShingles(s, d, withSource = false)
+  /** MinHash signatures over any (doc_id, text) frame, long format
+    * (doc_id, seed, minhash). `useFastKernel = true` (the PRODUCTION
+    * default) runs [[HashKernels.minhashFast]] — one FNV-1a base hash per
+    * shingle + splitmix64-derived per-seed mixes, ~10× less hash work and
+    * a LongType signature; `false` runs the md5 family, which is what the
+    * DuckDB oracle can replay (q26). Same narrow plan either way: the
+    * signature is an array function of the per-doc shingle array — no
+    * seed crossJoin, no shuffle. The soak showed the md5 family is the
+    * single most expensive kernel in the corpus suite (224 s of a 419 s
+    * 100k-doc run), which is why production paths default to fast. */
+  def minhashSignatures(docs: DataFrame, nSeeds: Int = 16,
+                        useFastKernel: Boolean = true): DataFrame = {
+    val kernel =
+      if (useFastKernel) HashKernels.minhashFast(nSeeds)
+      else HashKernels.minhash(nSeeds)
+    docShinglesOf(docs, withSource = false)
       .select(col("doc_id"),
-        posexplode(HashKernels.minhash(16)(col("shs"))).as(Seq("seed", "minhash")))
-      .orderBy("doc_id", "seed")
+        posexplode(kernel(col("shs"))).as(Seq("seed", "minhash")))
   }
+
+  val q26MinhashSignatures: Q = (s, d) =>
+    minhashSignatures(documents(s, d), useFastKernel = false)
+      .orderBy("doc_id", "seed")
   val q26Sql: String =
     s"""WITH $duckShingles,
        |dsh AS (SELECT DISTINCT doc_id, sh FROM shing)

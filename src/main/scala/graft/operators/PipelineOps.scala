@@ -231,8 +231,13 @@ object PipelineOps {
     * three shuffles land on the SAME key so Catalyst reuses one exchange
     * partitioning (and at scale a bucketed-by-user events table makes them
     * all zero-exchange). Time arithmetic in exact integer microseconds. */
-  val q56Funnel: Q = (s, d) => {
-    val e = events(s, d).select(col("user_id"), col("event_type"),
+  val q56Funnel: Q = (s, d) => funnelStages(events(s, d))
+
+  /** The q56 funnel over ANY events frame (user_id, event_type, ts) — split
+    * out so the streaming parity specs can certify the same code path on
+    * synthetic frames, independent of the driver testdata's encoding. */
+  def funnelStages(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("v_us"))

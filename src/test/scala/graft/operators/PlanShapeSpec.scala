@@ -368,6 +368,29 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"exact-rescore rank window lost its WindowGroupLimit pushdown:\n${physicalPlan(df)}")
   }
 
+  test("q83 IVF-PQ: probe pruning broadcasts and ADC keeps its rank pushdown") {
+    // same guarantee as the q81 pin, but through the IVF path: the cell
+    // probe list must join BROADCAST (the pruning that makes a 10^10-vector
+    // corpus scannable) and both ADC rank filters must still reach
+    // WindowGroupLimit. ivfPqTopK caches + materializes its result, so the
+    // physical operators live in the cached subtree — assert on the full
+    // executed tree string (InMemoryRelation prints its cached plan as an
+    // inner child), not on collect(), which stops at the InMemoryTableScan.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qids = emb.select(org.apache.spark.sql.functions.col("vec_id"))
+      .orderBy("vec_id").limit(3).collect().map(_.getLong(0)).toSeq
+    val book = ProductQuantization.train(emb)
+    val df = ProductQuantization.ivfPqTopK(emb, book, qids, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    val wgl = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(wgl.exists(_.contains("approx_d")),
+      s"IVF ADC rank window lost its WindowGroupLimit pushdown:\n$plan")
+    assert(wgl.exists(_.contains("d2")),
+      s"IVF exact-rescore rank window lost its WindowGroupLimit pushdown:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell probe list not broadcast — IVF pruning would shuffle the codes:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead

@@ -97,6 +97,64 @@ class EventStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(rows(2L).isEmpty) // unmatched user survives the left join
   }
 
+  /** Deterministic synthetic corpus for the parity twins below: 20 users,
+    * ~600 events, inter-event gaps drawn to straddle the 30-minute session
+    * boundary (including exact-gap ties), event types weighted so funnels
+    * reach every stage. The REAL-data parity tests remain, but streaming
+    * correctness must not be hostage to the driver testdata's encoding —
+    * round 7 lost this suite to an events-loader change, not a streaming
+    * bug. */
+  private def syntheticEvents: Seq[Ev] = {
+    val rnd = new scala.util.Random(4217)
+    val types = Array("view", "view", "view", "click", "click", "purchase", "other")
+    var id = 0L
+    (1L to 20L).flatMap { user =>
+      var tsMs = 1700000000000L + rnd.nextInt(60000)
+      (1 to 30).map { _ =>
+        // gaps cluster around the 1800 s boundary: 0–59 min, with exact
+        // 30-minute steps mixed in so the >gap vs >=gap rule is exercised
+        val gapMs = if (rnd.nextInt(5) == 0) 1800000L else rnd.nextInt(3600) * 1000L
+        tsMs += gapMs
+        id += 1
+        Ev(id, new Timestamp(tsMs), user, types(rnd.nextInt(types.length)),
+          rnd.nextInt(100) / 10.0)
+      }
+    }
+  }
+
+  test("session_window agrees with the gap-rule sessionizer on synthetic frames") {
+    val sp = spark
+    import sp.implicits._
+    val ev = syntheticEvents.toDF()
+    val builtin = EventStreams.sessionWindows(ev)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val manual = graft.operators.EventOps.sessionize(ev, 1800)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"))
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(builtin == manual)
+  }
+
+  test("funnel: batch execution matches the q56 shape on synthetic frames") {
+    val sp = spark
+    import sp.implicits._
+    val ev = syntheticEvents.toDF()
+    val streamed = EventStreams.funnel(sp, ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val batch = graft.operators.PipelineOps.funnelStages(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"diff: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+  }
+
   test("session_window agrees with the gap-rule sessionizer on real data") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, sf)

@@ -115,33 +115,64 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify.scala writes a manifest of queries that died at plan/run time;
+    # surface those as explicit FAILs with the real engine message (round 7
+    # shipped with 11 broken queries invisible because absence looked like
+    # "not declared").
+    try:
+        query_errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        query_errors = {}
+    # Persisted alongside the dump so the round artifact trail carries a
+    # machine-readable verdict per query (incl. bounds_pass for sketches),
+    # not just printed lines.
+    results = {}
     n_pass = n_fail = 0
     for name, check in sorted(SKETCH_CHECKS.items()):
+        if name in query_errors:
+            print(f"FAIL {name}: query error: {query_errors[name][:300]}")
+            results[name] = {"pass": False, "bounds_pass": False,
+                             "err": query_errors[name][:500]}
+            n_fail += 1
+            continue
         ours = load_spark_result(f"{out_dir}/{name}")
         if ours is None:
             continue  # query not in this (possibly filtered) dump
         errs = check(con, ours)
         if errs:
             print(f"FAIL {name}: {'; '.join(errs)}")
+            results[name] = {"pass": False, "bounds_pass": False,
+                             "err": "; ".join(errs)[:500]}
             n_fail += 1
         else:
             print(f"PASS(bounds) {name}: {ours.num_rows} rows within declared sketch bounds")
+            results[name] = {"pass": True, "bounds_pass": True,
+                             "spark_rows": ours.num_rows, "err": None}
             n_pass += 1
     for name, sql in sorted(oracle.items()):
+        if name in query_errors:
+            print(f"FAIL {name}: query error: {query_errors[name][:300]}")
+            results[name] = {"pass": False, "err": query_errors[name][:500]}
+            n_fail += 1
+            continue
         try:
             duck = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"pass": False, "err": f"duckdb error: {e}"[:500]}
             n_fail += 1
             continue
         ours = load_spark_result(f"{out_dir}/{name}")
         if ours is None:
             print(f"FAIL {name}: no spark output")
+            results[name] = {"pass": False, "err": "no spark output"}
             n_fail += 1
             continue
         dcols, scols = sorted(duck.column_names), sorted(ours.column_names)
         if dcols != scols:
             print(f"FAIL {name}: columns differ duck={dcols} spark={scols}")
+            results[name] = {"pass": False,
+                             "err": f"columns differ duck={dcols} spark={scols}"[:500]}
             n_fail += 1
             continue
         # The driver hashes TYPED values: a decimal128 session_idx vs an
@@ -159,11 +190,14 @@ def main(sf_dir, out_dir):
             msg = f"{name}: col {c} type duck={dt} spark={st}"
             if EXACT:
                 print(f"FAIL {msg} (typed driver hash would differ)")
+                results[name] = {"pass": False, "err": f"type mismatch: {msg}"[:500]}
                 n_fail += 1
                 continue
             print(f"WARN {msg}")
         if duck.num_rows != ours.num_rows:
             print(f"FAIL {name}: rows duck={duck.num_rows} spark={ours.num_rows}")
+            results[name] = {"pass": False,
+                             "err": f"rows duck={duck.num_rows} spark={ours.num_rows}"}
             n_fail += 1
             continue
         drows = duck.select(dcols).to_pylist()
@@ -179,12 +213,18 @@ def main(sf_dir, out_dir):
         if bad:
             i, c, dv, sv = bad
             print(f"FAIL {name}: row {i} col {c}: duck={dv!r} spark={sv!r}")
+            results[name] = {"pass": False,
+                             "err": f"row {i} col {c}: duck={dv!r} spark={sv!r}"[:500]}
             n_fail += 1
         else:
             exact = all(norm(dr[c]) == norm(sr[c]) for dr, sr in zip(drows, srows) for c in dcols)
             tag = "PASS" if exact else "PASS~(1e-9)"
             print(f"{tag} {name}: {duck.num_rows} rows")
+            results[name] = {"pass": True, "exact": exact,
+                             "spark_rows": ours.num_rows, "err": None}
             n_pass += 1
+    with open(f"{out_dir}/correctness_local.json", "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
 
