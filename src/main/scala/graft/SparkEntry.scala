@@ -24,7 +24,7 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ EventOps.queries ++
       PipelineOps.queries ++ CorpusOps.queries ++ BpeVocab.queries ++
-      PackingOps.queries ++ CorpusPipeline.queries
+      PackingOps.queries ++ CorpusPipeline.queries ++ MixtureOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ EventOps.oracle ++
       PipelineOps.oracle ++ CorpusOps.oracle ++ BpeVocab.oracle ++
-      PackingOps.oracle ++ CorpusPipeline.oracle
+      PackingOps.oracle ++ CorpusPipeline.oracle ++ MixtureOps.oracle
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-8 mixture / scheduling operators — the corpus-level decisions a
+  * training-data pipeline makes AFTER per-document cleaning and dedup:
+  * how much of each source to keep (temperature re-weighting), which
+  * output shard each surviving document lands in (deterministic shard
+  * assignment), and how much of each document is new text vs text already
+  * seen earlier in the corpus (n-gram novelty attribution).
+  *
+  * These complement the existing sampling family — q50 (fixed per-language
+  * rates), q58 (per-source document quota), q69 (per-source token budget)
+  * — by deriving the keep decision FROM the data (q85), and by covering the
+  * write side (q86) and the cross-document-redundancy audit (q87) that the
+  * per-document ops can't express.
+  *
+  * All keep/route decisions are content-addressed through md5 like the
+  * rest of the sampling family: stateless, engine-portable (the DuckDB
+  * oracles replay them exactly), and stable under corpus growth.
+  */
+object MixtureOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
+
+  /** q85: temperature-weighted source mixture (the GPT-3/PaLM data-recipe
+    * shape): a source with n docs is kept at rate (n_min/n)^(1-α) with
+    * α = 0.5, so effective counts go as n^α — big sources are downsampled
+    * toward the small ones instead of drowning them. The smallest source
+    * anchors at keep-rate 1, which avoids any cross-source float SUM whose
+    * accumulation order could differ between engines: every input to the
+    * rate is an exact integer, and /, sqrt, *, floor are IEEE-deterministic,
+    * so Spark and DuckDB compute bit-identical thresholds.
+    *
+    * The per-doc keep decision compares the first 6 hex chars of
+    * md5(doc_id) — a uniform in [0, 16^6) — against the rate scaled to the
+    * same grid. Plan shape at 100 TB: the per-source count is a partial
+    * agg collapsing to |sources| rows; the rate table broadcasts back onto
+    * the corpus scan (no shuffle of the big side); the keep filter runs at
+    * scan speed; the final per-source agg is again |sources| rows.
+    */
+  val q85TemperatureMix: Q = (s, d) => {
+    val docs = documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("source"), col("n_docs"),
+        least(sqrt(col("n_min").cast("double") / col("n_docs").cast("double")),
+          lit(1.0)).as("keep_rate"))
+    val thr = format_string("%06x",
+      least(floor(col("keep_rate") * lit(16777216.0)), lit(16777215L)))
+    docs.join(broadcast(rates.withColumn("thr", thr)), Seq("source"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 6) <= col("thr"))
+      .groupBy(col("source"), col("n_docs"), col("keep_rate"))
+      .agg(count(lit(1)).as("n_kept"), sum(nTokens).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("tokens_kept"),
+        round(col("keep_rate"), 6).as("keep_rate"))
+      .orderBy("source")
+  }
+  val q85Sql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+      |r AS (SELECT source, n_docs,
+      |        LEAST(SQRT(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)), 1.0) AS keep_rate
+      |      FROM c, m),
+      |t AS (SELECT source, n_docs, keep_rate,
+      |        printf('%06x', LEAST(CAST(FLOOR(keep_rate * 16777216.0) AS BIGINT),
+      |                             16777215)) AS thr
+      |      FROM r)
+      |SELECT d.source, t.n_docs,
+      |  COUNT(*) AS n_kept,
+      |  CAST(SUM(LEN(string_split_regex(TRIM(d.text), '\s+'))) AS BIGINT) AS tokens_kept,
+      |  ROUND(t.keep_rate, 6) AS keep_rate
+      |FROM documents d JOIN t ON d.source = t.source
+      |WHERE SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <= t.thr
+      |GROUP BY d.source, t.n_docs, t.keep_rate
+      |ORDER BY d.source""".stripMargin
+
+  /** q86: deterministic shard assignment + balance audit — the write side
+    * of a training-data pipeline. Each doc routes to shard
+    * instr('0123456789abcdef', md5(doc_id)[0]) - 1 (16 shards here), so
+    * shard membership is a pure function of the doc id: any engine, any
+    * rerun, any corpus growth produces the same routing, which is what
+    * makes incremental shard rebuilds and cross-run reproducibility work.
+    * The gate query audits the balance (doc counts, token sums, source
+    * spread per shard); the production sink is the same expression feeding
+    * `.repartition(col("shard")).write.partitionBy("shard")` — one shuffle
+    * whose keys are uniform by construction (md5), so no shard skew at any
+    * scale. The audit agg itself is 16 rows out of a map-side partial agg.
+    */
+  val q86ShardAssign: Q = (s, d) => {
+    val shard = expr(
+      "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
+      .cast("int")
+    documents(s, d)
+      .select(shard.as("shard"), col("doc_id"), col("source"), nTokens.as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+  val q86Sql: String =
+    """SELECT CAST(INSTR('0123456789abcdef',
+      |         SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc
+      |FROM documents
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** q87: n-gram novelty attribution — per document, the fraction of its
+    * distinct word-3-grams whose FIRST corpus occurrence (min doc_id) is
+    * this document. This is the cross-document complement of q51's
+    * within-document repetition score: a doc full of 3-grams already seen
+    * earlier in the corpus contributes little new text even if it is not a
+    * near-dup of any single document, and novelty-weighted token counts
+    * are how pipeline audits measure effective (non-redundant) corpus
+    * size.
+    *
+    * Shape: explode distinct shingles, groupBy shingle for the first-owner
+    * table (map-side partial agg), shuffle-join it back on the shingle
+    * key, then a per-doc agg. The first-owner side has exactly one row per
+    * shingle, so join output = exploded input (no blow-up on repeated
+    * shingles). The join is deliberate — a window min over the shingle
+    * partition computes the same thing in one shuffle, but a hot shingle
+    * (a boilerplate phrase in millions of docs) then pins one task with no
+    * recourse, while AQE's skew-join splitter can split the probe side of
+    * this join. Both agg shuffles hash on the same key, so Catalyst reuses
+    * the exchange for the build side.
+    */
+  val q87NgramNovelty: Q = (s, d) => {
+    val toks = split(trim(col("text")), "\\s+")
+    val ex = documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.HashKernels.shingles3(toks)).as("sh"))
+    val firsts = ex.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    ex.join(firsts, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+  val q87Sql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents)
+      |  WHERE LEN(l) >= 3),
+      |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM ex GROUP BY sh),
+      |j AS (SELECT ex.doc_id,
+      |        CASE WHEN ex.doc_id = f.first_doc THEN 1 ELSE 0 END AS nov
+      |      FROM ex JOIN f USING (sh))
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(nov) AS BIGINT) AS n_novel,
+      |  ROUND(CAST(SUM(nov) AS DOUBLE) / COUNT(*), 6) AS novelty
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q85_temperature_mix" -> q85TemperatureMix,
+    "q86_shard_assign" -> q86ShardAssign,
+    "q87_ngram_novelty" -> q87NgramNovelty)
+
+  val oracle: Map[String, String] = Map(
+    "q85_temperature_mix" -> q85Sql,
+    "q86_shard_assign" -> q86Sql,
+    "q87_ngram_novelty" -> q87Sql)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Structural invariants for the round-8 mixture/scheduling family
+  * (q85–q87) on sf0.001; value-level parity is the driver's DuckDB gate.
+  */
+class MixtureOpsSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
+  test("q85 temperature mix: smallest source keeps rate 1, rates anti-monotone in size") {
+    val df = MixtureOps.q85TemperatureMix(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // kept is a subsample, and every source survives (rate >= sqrt(nMin/nMax) > 0)
+    rows.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept >= 0 && kept <= n)
+    }
+    val bySize = rows.sortBy(_.getAs[Long]("n_docs"))
+    val rates = bySize.map(_.getAs[Double]("keep_rate"))
+    assert(rates.head == 1.0, "smallest source anchors at keep-rate 1")
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b },
+      "bigger sources never keep a higher rate")
+    // deterministic: identical on re-run
+    val again = MixtureOps.q85TemperatureMix(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+
+  test("q86 shard assign: 16 shards partition the corpus exactly") {
+    val df = MixtureOps.q86ShardAssign(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 16).toSet))
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "every document lands in exactly one shard")
+    // md5 routing is roughly balanced: no shard more than 3x the mean
+    val mean = total.toDouble / rows.length
+    assert(rows.forall(_.getAs[Long]("n_docs") <= 3 * mean))
+  }
+
+  test("q87 novelty: a verbatim copy of an earlier doc has novelty 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "web", 29L),
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 29L), // copy of 0
+      (2L, "zeta eta theta iota kappa", "en", "web", 25L)       // all new
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = MixtureOps.q87NgramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(out(0L) == 1.0 && out(1L) == 0.0 && out(2L) == 1.0)
+  }
+
+  test("q87 novelty on testdata: ratios consistent, first doc fully novel") {
+    val df = MixtureOps.q87NgramNovelty(spark, sf).cache()
+    assert(df.filter(col("n_novel") > col("n_shingles")).count() == 0)
+    assert(df.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    // doc_id 0 (if it has >= 3 tokens) can only own first occurrences
+    val d0 = df.filter(col("doc_id") === 0).collect()
+    d0.foreach(r => assert(r.getAs[Double]("novelty") == 1.0))
+  }
+}
