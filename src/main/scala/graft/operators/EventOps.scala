@@ -47,10 +47,79 @@ object EventOps {
       .drop("prev_us", "is_new")
   }
 
+  /** Skew-safe two-level sessionizer — identical output to [[sessionize]],
+    * but no task ever holds more than one (user, `bucketSeconds`) slice of
+    * the timeline.
+    *
+    * Why: the classic one-window formulation serializes each user's entire
+    * history into a single task. The events soak (SOAK.md) measured q34 at
+    * exactly 2.0× per 2× data on a corpus where one user holds 50 % of all
+    * events — the hot user's window IS the wall-clock, and at 100 TB that
+    * one task pins one executor (and its memory) no matter how many
+    * executors exist. Gap-rule sessionization looks inherently sequential,
+    * but only the BOUNDARIES need sequencing:
+    *
+    *  1. bucket each event by `floor(us / bucket)` and sessionize within
+    *     (user, bucket) — bounded tasks, full parallelism over the hot
+    *     user's timeline;
+    *  2. on the per-(user, bucket) summary table (~bucket-count rows per
+    *     user, thousands of times smaller than the events), decide per
+    *     boundary whether the first local session of bucket b continues
+    *     the last session of bucket b-1 (gap between the adjacent events
+    *     across the boundary ≤ gap — valid because time-bucketing makes
+    *     every event of b-1 precede every event of b), and prefix-sum the
+    *     merge-corrected session counts into per-bucket offsets;
+    *  3. join the tiny offset table back on (user, bucket) — the big side
+    *     is already hash-partitioned on exactly that key from step 1's
+    *     window, so the join adds no new shuffle of the events.
+    *
+    * A session spanning many buckets chains through step 2: a bucket whose
+    * single local session merges backward contributes n−m = 0 new sessions,
+    * so the offset carries the previous global index forward. Same
+    * two-level shape as q76's packing prefix sum (PackingOps.scala) — the
+    * r6/r7 playbook for de-stragglering per-key sequential semantics.
+    */
+  def sessionizeScalable(events: DataFrame, gapSeconds: Long,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val bucketUs = bucketSeconds * 1000000L
+    val ev = events
+      .withColumn("us", unix_micros(col("ts")))
+      // integer division: `/` on longs is double division, whose rounding
+      // could in principle misplace an edge-aligned event past 2^53 µs;
+      // `div` is exact for every long, and any monotone bucketing is valid
+      .withColumn("bucket", expr(s"us div ${bucketUs}L"))
+    val wb = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    val local = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(wb))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("local_idx", sum(col("is_new")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wu = Window.partitionBy("user_id").orderBy("bucket")
+    val offsets = local.groupBy("user_id", "bucket")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        max(col("local_idx")).as("n_sessions"))
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wu))
+      .withColumn("m",
+        when(col("prev_last").isNotNull &&
+          col("first_us") - col("prev_last") <= gapUs, 1L).otherwise(0L))
+      .withColumn("offset", coalesce(sum(col("n_sessions") - col("m")).over(
+        wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("bucket"), col("m"), col("offset"))
+    local.join(offsets, Seq("user_id", "bucket"))
+      // a merged-back bucket contributes n−m new sessions, so every local
+      // index shifts down by m: j=1 lands ON the previous bucket's last
+      // global index (the continued session), j≥2 continue from there
+      .withColumn("session_idx", col("offset") + col("local_idx") - col("m"))
+      .drop("us", "bucket", "prev_us", "is_new", "local_idx", "m", "offset")
+  }
+
   /** q34: sessionization — 30-minute-gap sessions per user with per-session
     * event count, span, and value sum. */
-  val q34Sessionize: Q = (s, d) => {
-    sessionize(events(s, d), gapSeconds = 1800)
+  private def sessionSummary(sessions: DataFrame): DataFrame =
+    sessions
       .groupBy("user_id", "session_idx")
       .agg(
         count(lit(1)).as("n_events"),
@@ -63,7 +132,19 @@ object EventOps {
         (col("end_us") - col("start_us")).as("duration_us"),
         col("sum_value"))
       .orderBy("user_id", "session_idx")
-  }
+
+  val q34Sessionize: Q = (s, d) =>
+    sessionSummary(sessionize(events(s, d), gapSeconds = 1800))
+
+  /** q88: q34's sessionization through the two-level skew-safe
+    * [[sessionizeScalable]] — same DuckDB oracle (the outputs are
+    * identical by construction; SessionizeScaleSpec asserts row-level
+    * parity on adversarial shapes, the gate asserts it against DuckDB).
+    * 6-hour buckets so the sf0.01 gate data actually crosses boundaries.
+    */
+  val q88SessionizeScaled: Q = (s, d) =>
+    sessionSummary(sessionizeScalable(events(s, d), gapSeconds = 1800,
+      bucketSeconds = 21600L))
   val q34Sql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, value,
@@ -391,6 +472,7 @@ object EventOps {
 
   val queries: Map[String, Q] = Map(
     "q34_sessionize" -> q34Sessionize,
+    "q88_sessionize_scaled" -> q88SessionizeScaled,
     "q35_asof_join" -> q35AsofJoin,
     "q36_json_props" -> q36JsonProps,
     "q37_range_join" -> q37RangeJoin,
@@ -402,6 +484,7 @@ object EventOps {
   )
   val oracle: Map[String, String] = Map(
     "q34_sessionize" -> q34Sql,
+    "q88_sessionize_scaled" -> q34Sql,
     "q35_asof_join" -> q35Sql,
     "q36_json_props" -> q36Sql,
     "q37_range_join" -> q37Sql,
