@@ -434,6 +434,46 @@ object EventOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q89: q73's event paths through the two-level bound — the soak
+    * measured q73 at 2.2× per 2× data on the hot-user corpus for the same
+    * reason as q34 (SOAK.md finding 5): the per-user rank window sorts the
+    * 50 %-user's whole timeline in one task, and the count-over-partition
+    * column blocks Spark's WindowGroupLimit pushdown that would otherwise
+    * pre-filter map-side. Two-level form:
+    *
+    *  1. rank within (user, time-bucket) and keep ≤10 per bucket — valid
+    *    because the global k earliest events each have within-bucket rank
+    *    ≤ k (earlier buckets hold strictly earlier events);
+    *  2. rank the ≤10·buckets surviving candidates per user (trivial);
+    *  3. total event counts from a plain groupBy count — partial agg
+    *    collapses map-side, no sort, instead of q73's count window that
+    *    rode the (now gone) full per-user sort.
+    *
+    * Same DuckDB oracle as q73; parity spec in SessionizeScaleSpec.
+    */
+  val q89EventPathsScaled: Q = (s, d) => {
+    val bucketUs = 21600L * 1000000L
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", expr(s"us div ${bucketUs}L"))
+    val wb = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val top = ev
+      .withColumn("rn_local", row_number().over(wb))
+      .filter(col("rn_local") <= 10)
+      .withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= 10)
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    top.groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .join(counts, Seq("user_id"))
+      .select(col("user_id"), col("path"), col("n_events"))
+      .orderBy("user_id")
+  }
+
   /** q74: cohort retention — users cohorted by first-signup day, activity
     * counted per (cohort, weeks-since) cell as distinct active users: the
     * standard retention matrix. Day/week arithmetic in integer epoch-day
@@ -480,6 +520,7 @@ object EventOps {
     "q66_decay_engagement" -> q66DecayEngagement,
     "q71_sliding_windows" -> q71SlidingWindows,
     "q73_event_paths" -> q73EventPaths,
+    "q89_event_paths_scaled" -> q89EventPathsScaled,
     "q74_cohort_retention" -> q74CohortRetention,
   )
   val oracle: Map[String, String] = Map(
@@ -492,6 +533,7 @@ object EventOps {
     "q66_decay_engagement" -> q66Sql,
     "q71_sliding_windows" -> q71Sql,
     "q73_event_paths" -> q73Sql,
+    "q89_event_paths_scaled" -> q73Sql,
     "q74_cohort_retention" -> q74Sql,
   )
 }

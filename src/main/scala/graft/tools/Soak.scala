@@ -149,7 +149,8 @@ object Soak {
     "q19_event_windows", "q34_sessionize", "q88_sessionize_scaled",
     "q35_asof_join", "q36_json_props",
     "q38_salted_agg", "q45_pivot", "q56_funnel", "q66_decay_engagement",
-    "q71_sliding_windows", "q73_event_paths", "q74_cohort_retention")
+    "q71_sliding_windows", "q73_event_paths", "q89_event_paths_scaled",
+    "q74_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")

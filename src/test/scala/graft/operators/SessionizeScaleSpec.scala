@@ -73,6 +73,20 @@ class SessionizeScaleSpec extends AnyFunSuite with SharedSpark {
     assertParity(tiny, 1800L, 1L)
   }
 
+  test("q89 bounded event paths equals q73 (same two-level bound, top-k form)") {
+    val sf = "/root/testdata/sf0.001"
+    val a = EventOps.q73EventPaths(spark, sf)
+    val b = EventOps.q89EventPathsScaled(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // and on the hot-user skew shape, where bucket boundaries cut paths
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    graft.tools.Soak.genEvents(spark, 20000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val c = EventOps.q73EventPaths(spark, dir)
+    val e = EventOps.q89EventPathsScaled(spark, dir)
+    assert(c.exceptAll(e).count() == 0 && e.exceptAll(c).count() == 0)
+  }
+
   test("q88 gate entry equals q34 on real testdata") {
     val sf = "/root/testdata/sf0.001"
     val a = EventOps.q34Sessionize(spark, sf)
