@@ -97,55 +97,15 @@ object HashKernels {
     * takes the 100 TB corpus (FastMinHashSpec pins the exchange-rate:
     * exact dups collide on every band deterministically, and near-dup
     * LSH recall on the adversarial corpus matches the md5 family). */
-  def minhashFast(nSeeds: Int): Column => Column = {
-    val f = udf { (shs: Seq[String]) =>
-      val out = new Array[Long](nSeeds)
-      java.util.Arrays.fill(out, Long.MaxValue)
-      val it = shs.iterator
-      while (it.hasNext) {
-        val bytes = it.next().getBytes(UTF_8)
-        var base = 0xcbf29ce484222325L // FNV-1a 64
-        var i = 0
-        while (i < bytes.length) {
-          base = (base ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-          i += 1
-        }
-        var s = 0
-        while (s < nSeeds) {
-          var z = base ^ (s * 0x9e3779b97f4a7c15L) // golden-ratio gamma
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L // splitmix64 finalizer
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^= z >>> 31
-          if (z < out(s)) out(s) = z
-          s += 1
-        }
-      }
-      out
-    }
-    (c: Column) => f(c)
-  }
+  def minhashFast(nSeeds: Int): Column => Column =
+    (c: Column) => MinHashFastExpr(c, nSeeds)
 
   /** Band keys over a long MinHash signature ([[minhashFast]]): band b =
     * order-dependent mix of its rowsPerBand signature entries (seed order
     * is fixed, so no sort is needed — unlike the md5 variant, whose
     * string entries are sorted only to match the oracle SQL's list_sort). */
-  def bandKeysFast(nBands: Int, rowsPerBand: Int): Column => Column = {
-    val f = udf { (mh: Seq[Long]) =>
-      Array.tabulate(nBands) { b =>
-        var acc = 0x9e3779b97f4a7c15L * (b + 1)
-        var r = 0
-        while (r < rowsPerBand) {
-          var z = acc ^ mh(b * rowsPerBand + r)
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          acc = z ^ (z >>> 31)
-          r += 1
-        }
-        acc
-      }
-    }
-    (c: Column) => f(c)
-  }
+  def bandKeysFast(nBands: Int, rowsPerBand: Int): Column => Column =
+    (c: Column) => BandKeysFastExpr(c, nBands, rowsPerBand)
 
   /** LSH band keys over a MinHash signature: band b (of nBands, each
     * rowsPerBand entries) = md5 of the band's "SS=hash" entries (seed

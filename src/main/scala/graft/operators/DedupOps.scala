@@ -55,6 +55,19 @@ object DedupOps {
       .select(keep :+ HashKernels.shingles3(col("l")).as("shs"): _*)
   }
 
+  /** Token-array view (doc_id, l) with the same repartition + ≥3-token
+    * contract as [[docShinglesOf]] — the input of the FUSED production
+    * MinHash ([[graft.functions.MinHashTokensExpr]]), which hashes the
+    * 3-grams straight off the token array: the shingle strings and their
+    * per-doc dedup set exist only on the oracle (md5) path. */
+  private def docTokensOf(docs: DataFrame): DataFrame = {
+    val nPar = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .repartition(nPar, col("doc_id"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("l"))
+      .filter(size(col("l")) >= 3)
+  }
+
   private def docShingles(s: SparkSession, d: String, withSource: Boolean): DataFrame =
     docShinglesOf(documents(s, d), withSource)
 
@@ -209,12 +222,14 @@ object DedupOps {
     * 100k-doc run), which is why production paths default to fast. */
   def minhashSignatures(docs: DataFrame, nSeeds: Int = 16,
                         useFastKernel: Boolean = true): DataFrame = {
-    val kernel =
-      if (useFastKernel) HashKernels.minhashFast(nSeeds)
-      else HashKernels.minhash(nSeeds)
-    docShinglesOf(docs, withSource = false)
-      .select(col("doc_id"),
-        posexplode(kernel(col("shs"))).as(Seq("seed", "minhash")))
+    if (useFastKernel)
+      docTokensOf(docs).select(col("doc_id"),
+        posexplode(graft.functions.MinHashTokensExpr(col("l"), nSeeds))
+          .as(Seq("seed", "minhash")))
+    else
+      docShinglesOf(docs, withSource = false)
+        .select(col("doc_id"),
+          posexplode(HashKernels.minhash(nSeeds)(col("shs"))).as(Seq("seed", "minhash")))
   }
 
   val q26MinhashSignatures: Q = (s, d) =>
@@ -289,10 +304,10 @@ object DedupOps {
   def lshCandidatePairsFast(docs: DataFrame,
                             bucketCap: Int = DefaultCandidateCap): DataFrame =
     bandedPairs(
-      docShinglesOf(docs, withSource = false)
+      docTokensOf(docs)
         .select(col("doc_id"),
           posexplode(HashKernels.bandKeysFast(nBands = 4, rowsPerBand = 4)(
-            HashKernels.minhashFast(16)(col("shs")))).as(Seq("band", "band_key"))),
+            graft.functions.MinHashTokensExpr(col("l"), 16))).as(Seq("band", "band_key"))),
       bucketCap)
 
   val q27LshPairs: Q = (s, d) =>

@@ -37,6 +37,27 @@ class FastMinHashSpec extends AnyFunSuite with SharedSpark {
     rows.toDF("doc_id", "text")
   }
 
+  test("fused token-array MinHash is bit-identical to shingles3 -> fast kernel") {
+    import graft.functions.{HashKernels, MinHashTokensExpr}
+    // adversarial token shapes: empty tokens from double spaces, repeated
+    // shingles (dedup invariance of MIN), multi-byte UTF-8, single shingle
+    val sp = spark
+    import sp.implicits._
+    val docs = corpus(40, 100).select(col("doc_id"), col("text"))
+      .union(Seq(
+        (90001L, "a b c"),
+        (90002L, "a a a a a a"),
+        (90003L, "héllo wörld ünïcode ünïcode héllo wörld"),
+        (90004L, "x  y   z  x  y")).toDF("doc_id", "text"))
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("l"))
+      .filter(size(col("l")) >= 3)
+    val viaShingles = toks.select(col("doc_id"),
+      graft.functions.HashKernels.minhashFast(16)(HashKernels.shingles3(col("l"))).as("sig"))
+    val fused = toks.select(col("doc_id"), MinHashTokensExpr(col("l"), 16).as("sig"))
+    assert(viaShingles.exceptAll(fused).count() == 0 &&
+      fused.exceptAll(viaShingles).count() == 0)
+  }
+
   private def recallOf(cands: DataFrame, nTpl: Int): Double = {
     val found = cands.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
