@@ -133,6 +133,8 @@ object Soak {
     "q64_hamming_profile", "q42_dedup_clusters",
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
     // text analysis
+    // mixture / scheduling (round 8)
+    "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",

@@ -87,6 +87,25 @@ class SessionizeScaleSpec extends AnyFunSuite with SharedSpark {
     assert(c.exceptAll(e).count() == 0 && e.exceptAll(c).count() == 0)
   }
 
+  test("plan pins: q88 windows carry the bucket key, q89 gets WindowGroupLimit") {
+    val sf = "/root/testdata/sf0.001"
+    // q88: the event-sized windows must partition on (user_id, bucket) —
+    // a refactor that drops the bucket key silently reintroduces the
+    // hot-user single-task straggler this operator exists to kill
+    val p88 = EventOps.q88SessionizeScaled(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p88.contains("bucket"), "q88 lost its bucket partitioning")
+    // q89: BOTH rank filters must push into WindowGroupLimit with a
+    // Partial (map-side, pre-shuffle) stage — this is what q73's
+    // count-over-partition blocks, and the reason q89 exists
+    val p89 = EventOps.q89EventPathsScaled(spark, sf)
+      .queryExecution.executedPlan.toString
+    val partials = p89.split("\n").count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partials >= 2,
+      s"expected map-side WindowGroupLimit on both q89 ranks, found $partials")
+  }
+
   test("q88 gate entry equals q34 on real testdata") {
     val sf = "/root/testdata/sf0.001"
     val a = EventOps.q34Sessionize(spark, sf)
