@@ -92,12 +92,16 @@ object MixtureOps {
     * whose keys are uniform by construction (md5), so no shard skew at any
     * scale. The audit agg itself is 16 rows out of a map-side partial agg.
     */
+  /** Deterministic shard id of a doc_id — shared by the q86 batch audit
+    * and the streaming router ([[graft.streaming.CorpusStreams.shardRouter]]),
+    * so ingest-time routing and batch rebuilds always agree. */
+  val shardCol: org.apache.spark.sql.Column = expr(
+    "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
+    .cast("int")
+
   val q86ShardAssign: Q = (s, d) => {
-    val shard = expr(
-      "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
-      .cast("int")
     documents(s, d)
-      .select(shard.as("shard"), col("doc_id"), col("source"), nTokens.as("n_tok"))
+      .select(shardCol.as("shard"), col("doc_id"), col("source"), nTokens.as("n_tok"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),

@@ -174,4 +174,14 @@ object CorpusStreams {
           out.result().iterator
       }.toDF()
   }
+
+  /** Stateless shard router — the ingest-time form of q86's assignment
+    * ([[graft.operators.MixtureOps.shardCol]], same expression): adds the
+    * deterministic shard id so the stream sink can `partitionBy("shard")`
+    * into the same layout a batch rebuild would produce. Stateless by
+    * construction (pure function of doc_id), so restarts, replays, and
+    * batch backfills route every document identically — the property that
+    * makes incremental shard maintenance safe. */
+  def shardRouter(docs: DataFrame): DataFrame =
+    docs.withColumn("shard", graft.operators.MixtureOps.shardCol)
 }

@@ -217,4 +217,26 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(streamed == Set((1L, 5L), (2L, 8L)), streamed.toString)
     assert(streamed.forall(_._2 <= 10))
   }
+
+  test("shard router: streamed routing equals the q86 batch assignment") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val docs = (0L until 64L).map(i => SourcedDoc(i, s"src${i % 3}", s"doc $i text"))
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.shardRouter(stream.toDF())
+      .writeStream.format("memory").queryName("shards").outputMode("append").start()
+    stream.addData(docs.take(32): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(32): _*) // restart-shaped second batch
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("shards").select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = docs.toDF().select(col("doc_id"),
+        graft.operators.MixtureOps.shardCol.as("shard")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.forall(s => s >= 0 && s < 16))
+  }
 }
