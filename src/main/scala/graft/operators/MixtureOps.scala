@@ -170,13 +170,60 @@ object MixtureOps {
       |  ROUND(CAST(SUM(nov) AS DOUBLE) / COUNT(*), 6) AS novelty
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q90: per-source winsorization audit — clamp every document's token
+    * count into its source's [p05, p95] band (the outlier-trimming /
+    * length-clipping pass a corpus runs before per-source statistics or
+    * curriculum decisions are trusted). Exact `percentile` matches
+    * DuckDB's `quantile_cont` (the q09 pairing); the clamped-token sum
+    * goes through DECIMAL(38,6) on both engines so accumulation order
+    * can't break the typed hash. Plan shape at 100 TB: the cut table is
+    * |sources| rows from one partial agg, broadcast back onto the scan
+    * (no shuffle of the corpus); exact per-source percentiles buffer the
+    * group — the huge-group path swaps in `approx_percentile` (mergeable
+    * sketch), not used here because the oracle is exact. */
+  val q90Winsorize: Q = (s, d) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val docs = documents(s, d).select(col("source"), nTokens.as("n_tok"))
+    val cuts = docs.groupBy("source").agg(
+      percentile(col("n_tok"), lit(0.05)).as("lo"),
+      percentile(col("n_tok"), lit(0.95)).as("hi"))
+    val w = greatest(least(col("n_tok").cast("double"), col("hi")), col("lo"))
+    docs.join(broadcast(cuts), Seq("source"))
+      .groupBy(col("source"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") < col("lo"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("n_tok") > col("hi"), 1L).otherwise(0L)).as("n_clamped_high"),
+        sum(w.cast(DecimalType(38, 6))).cast(DoubleType).as("winsorized_tokens"))
+      .select(col("source"), round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+        col("n_docs"), col("n_clamped_low"), col("n_clamped_high"),
+        col("winsorized_tokens"))
+      .orderBy("source")
+  }
+  val q90Sql: String =
+    """WITH d AS (SELECT source, LEN(string_split_regex(TRIM(text), '\s+')) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT source, quantile_cont(n_tok, 0.05) AS lo,
+      |             quantile_cont(n_tok, 0.95) AS hi
+      |      FROM d GROUP BY source)
+      |SELECT d.source, ROUND(c.lo, 6) AS lo, ROUND(c.hi, 6) AS hi,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.n_tok < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+      |  CAST(SUM(CASE WHEN d.n_tok > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+      |  CAST(SUM(CAST(GREATEST(LEAST(CAST(d.n_tok AS DOUBLE), c.hi), c.lo)
+      |       AS DECIMAL(38,6))) AS DOUBLE) AS winsorized_tokens
+      |FROM d JOIN c USING (source)
+      |GROUP BY d.source, c.lo, c.hi
+      |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q85_temperature_mix" -> q85TemperatureMix,
     "q86_shard_assign" -> q86ShardAssign,
-    "q87_ngram_novelty" -> q87NgramNovelty)
+    "q87_ngram_novelty" -> q87NgramNovelty,
+    "q90_winsorize" -> q90Winsorize)
 
   val oracle: Map[String, String] = Map(
     "q85_temperature_mix" -> q85Sql,
     "q86_shard_assign" -> q86Sql,
-    "q87_ngram_novelty" -> q87Sql)
+    "q87_ngram_novelty" -> q87Sql,
+    "q90_winsorize" -> q90Sql)
 }

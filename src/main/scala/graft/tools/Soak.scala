@@ -135,6 +135,7 @@ object Soak {
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
+    "q90_winsorize",
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",

@@ -60,6 +60,22 @@ class MixtureOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(0L) == 1.0 && out(1L) == 0.0 && out(2L) == 1.0)
   }
 
+  test("q90 winsorize: clamp counts bounded, winsorized sum within [lo*n, hi*n]") {
+    val df = MixtureOps.q90Winsorize(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n_docs"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val (cl, ch) = (r.getAs[Long]("n_clamped_low"), r.getAs[Long]("n_clamped_high"))
+      val w = r.getAs[Double]("winsorized_tokens")
+      assert(lo <= hi)
+      // at p05/p95, each tail clamps at most ~5% of the source (+1 slack)
+      assert(cl <= n / 20 + 1 && ch <= n / 20 + 1, s"$cl/$ch of $n")
+      assert(w >= lo * n - 1e-6 && w <= hi * n + 1e-6)
+    }
+  }
+
   test("q87 novelty on testdata: ratios consistent, first doc fully novel") {
     val df = MixtureOps.q87NgramNovelty(spark, sf).cache()
     assert(df.filter(col("n_novel") > col("n_shingles")).count() == 0)
