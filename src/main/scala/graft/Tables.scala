@@ -24,7 +24,10 @@ object Tables {
   /** events.ts has shipped in two parquet encodings across testdata
     * regenerations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
     * accepts via the nanosAsLong legacy flag) and TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Sniff the decoded type
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ); a plain un-annotated
+    * int64 in nanos/micros/millis is the remaining plausible drift and is
+    * disambiguated by magnitude (misreading micros as nanos would be
+    * silently wrong by 1000×, not an error). Sniff the decoded type
     * and normalize to TimestampType so every downstream operator sees one
     * stable type regardless of which encoding the driver generated. The
     * session timezone is UTC in every entrypoint, so the NTZ→TZ cast is a
@@ -40,9 +43,23 @@ object Tables {
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        // `div` (integer division), not `/` (floating point — loses precision
-        // above 2^53, and epoch-nanos are ~1.7e18)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // A LongType ts is either TIMESTAMP(NANOS) surfaced by the legacy
+        // flag OR a plain int64 with no logical type (a third encoding the
+        // driver could plausibly emit — misreading micros as nanos would be
+        // silently wrong by 1000×, not an error). Disambiguate by
+        // magnitude from ONE row — 2020s epochs are ~1.7e18 ns, ~1.7e15 µs,
+        // ~1.7e12 ms, three decades apart, and one encoding covers the
+        // whole column. The limit(1) probe reads a single row group.
+        import org.apache.spark.sql.functions.timestamp_millis
+        val probe = df.select(col("ts")).limit(1).collect()
+        val v = probe.headOption.map(_.getLong(0).abs).getOrElse(2000000000000000000L)
+        if (v > 300000000000000000L) // nanos: `div`, not `/` (float loses
+          // precision above 2^53, and epoch-nanos are ~1.7e18)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else if (v > 300000000000000L) // micros
+          df.withColumn("ts", timestamp_micros(col("ts")))
+        else // millis
+          df.withColumn("ts", timestamp_millis(col("ts")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
