@@ -247,6 +247,62 @@ object EventOps {
         col("last_purchase_value").as("purchase_value"))
       .orderBy("event_id")
   }
+  /** q91: q35's as-of join through the two-level bound — the third member
+    * of the segmented family (q88 = running segmentation, q89 = top-k,
+    * q91 = last-value carry). The union-and-window as-of is the right
+    * SHAPE (no pair blow-up) but its per-user window is the same hot-user
+    * single task as q34/q73. Segmenting: the last purchase at-or-before a
+    * click is either in the click's own (user, bucket) window — the local
+    * carry — or it is the FINAL purchase of some earlier bucket, and
+    * bucket ranges are disjoint in time, so a per-(user, bucket) summary
+    * (one max-struct row per bucket) prefix-scanned per user gives the
+    * carry-in. The carried fields travel as ONE struct so a click never
+    * pairs fields from two different purchases. Same DuckDB oracle as
+    * q35; parity spec in SessionizeScaleSpec.
+    */
+  val q91AsofScaled: Q = (s, d) => {
+    val bucketUs = 21600L * 1000000L
+    val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "us")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("us"), lit(0).as("tag"),
+        lit(null).cast("long").as("click_id"),
+        col("m.event_id").as("purchase_id"), col("m.value").as("purchase_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(1).as("tag"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("purchase_value"))
+    val u = purchases.union(clicks).withColumn("b", expr(s"us div ${bucketUs}L"))
+    val wb = Window.partitionBy("user_id", "b")
+      .orderBy(col("us"), col("tag"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rstruct = when(col("tag") === 0,
+      struct(col("purchase_id"), col("us").as("pus"), col("purchase_value")))
+    val local = u.withColumn("lc", last(rstruct, ignoreNulls = true).over(wb))
+    val bl = u.filter(col("tag") === 0)
+      .groupBy("user_id", "b")
+      .agg(max(struct(col("us").as("pus"), col("purchase_id"), col("purchase_value"))).as("m"))
+      .select(col("user_id"), col("b"),
+        struct(col("m.purchase_id").as("purchase_id"), col("m.pus").as("pus"),
+          col("m.purchase_value").as("purchase_value")).as("bl"))
+    val wu = Window.partitionBy("user_id").orderBy("b")
+    val carry = u.select("user_id", "b").distinct()
+      .join(bl, Seq("user_id", "b"), "left")
+      .withColumn("ci", last(col("bl"), ignoreNulls = true).over(
+        wu.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("user_id"), col("b"), col("ci"))
+    local.join(carry, Seq("user_id", "b"))
+      .withColumn("eff", coalesce(col("lc"), col("ci")))
+      .filter(col("tag") === 1)
+      .select(col("click_id").as("event_id"), col("user_id"),
+        col("eff.purchase_id").as("purchase_id"),
+        (col("us") - col("eff.pus")).as("lag_us"),
+        col("eff.purchase_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   val q35Sql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, value,
@@ -514,6 +570,7 @@ object EventOps {
     "q34_sessionize" -> q34Sessionize,
     "q88_sessionize_scaled" -> q88SessionizeScaled,
     "q35_asof_join" -> q35AsofJoin,
+    "q91_asof_scaled" -> q91AsofScaled,
     "q36_json_props" -> q36JsonProps,
     "q37_range_join" -> q37RangeJoin,
     "q38_salted_agg" -> q38SaltedAgg,
@@ -527,6 +584,7 @@ object EventOps {
     "q34_sessionize" -> q34Sql,
     "q88_sessionize_scaled" -> q34Sql,
     "q35_asof_join" -> q35Sql,
+    "q91_asof_scaled" -> q35Sql,
     "q36_json_props" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "q38_salted_agg" -> q38Sql,

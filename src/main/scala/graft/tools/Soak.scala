@@ -150,7 +150,7 @@ object Soak {
     "q79_lang_drift", "q82_e2e_pipeline",
     // events (skewed-user stream; every query here reads ONLY events)
     "q19_event_windows", "q34_sessionize", "q88_sessionize_scaled",
-    "q35_asof_join", "q36_json_props",
+    "q35_asof_join", "q91_asof_scaled", "q36_json_props",
     "q38_salted_agg", "q45_pivot", "q56_funnel", "q66_decay_engagement",
     "q71_sliding_windows", "q73_event_paths", "q89_event_paths_scaled",
     "q74_cohort_retention")

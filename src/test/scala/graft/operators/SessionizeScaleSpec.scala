@@ -106,6 +106,20 @@ class SessionizeScaleSpec extends AnyFunSuite with SharedSpark {
       s"expected map-side WindowGroupLimit on both q89 ranks, found $partials")
   }
 
+  test("q91 segmented as-of equals q35 (two-level last-value carry)") {
+    val sf = "/root/testdata/sf0.001"
+    val a = EventOps.q35AsofJoin(spark, sf)
+    val b = EventOps.q91AsofScaled(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // hot-user skew shape: purchases sparse, carries cross many buckets
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    graft.tools.Soak.genEvents(spark, 20000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val c = EventOps.q35AsofJoin(spark, dir)
+    val e = EventOps.q91AsofScaled(spark, dir)
+    assert(c.exceptAll(e).count() == 0 && e.exceptAll(c).count() == 0)
+  }
+
   test("q88 gate entry equals q34 on real testdata") {
     val sf = "/root/testdata/sf0.001"
     val a = EventOps.q34Sessionize(spark, sf)
