@@ -38,6 +38,36 @@ class SessionizePropSpec extends AnyFunSuite with SharedSpark {
     g.apply(Gen.Parameters.default, Seed(k.toLong))
       .getOrElse(fail(s"generator produced no value for seed $k"))
 
+  test("segmented as-of (q91) == classic as-of (q35) on random tie-heavy corpora") {
+    val sp = spark
+    import sp.implicits._
+    // purchases and clicks on the SAME second lattice, so exact
+    // click-ts == purchase-ts ties (the inclusive-<= pick) and
+    // bucket-edge purchases are frequent
+    val gen: Gen[Seq[(Long, Long, String, Long)]] = for {
+      n <- Gen.choose(4, 80)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.frequency(3 -> Gen.const(0L), 2 -> Gen.choose(1L, 2L))
+        typ <- Gen.frequency(3 -> Gen.const("click"), 1 -> Gen.const("purchase"),
+          1 -> Gen.const("view"))
+        k <- Gen.choose(0L, 30L)
+        jit <- Gen.oneOf(-1L, 0L, 1L)
+      } yield (user, typ, math.max(0L, k * 21600L + jit)))
+    } yield rows.zipWithIndex.map { case ((u, ty, s), i) => (i.toLong, u, ty, s) }
+    (1 to 6).foreach { k =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-asof-$k").toString
+      draw(gen, k).toDF("event_id", "user_id", "event_type", "s")
+        .select(col("event_id"), timestamp_seconds(col("s")).as("ts"),
+          col("user_id"), col("event_type"),
+          (col("event_id") % 7).cast("double").as("value"),
+          lit("{\"k\": 1}").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val a = EventOps.q35AsofJoin(spark, dir)
+      val b = EventOps.q91AsofScaled(spark, dir)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, s"seed $k")
+    }
+  }
+
   test("sessionizeScalable == sessionize on adversarial random corpora") {
     val sp = spark
     import sp.implicits._
