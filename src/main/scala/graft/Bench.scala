@@ -66,7 +66,35 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy of the FULL per-query map: the driver's BENCH_r*.json
+    // keeps only the tail of stdout, which truncated q01–q29 out of the
+    // round-8 artifact and cost round 7 a noise-vs-regression fight. The
+    // committed file (overwritten per run, one pretty line per query for
+    // reviewable diffs) makes every timing recoverable from the repo.
+    val benchDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
+    try {
+      java.nio.file.Files.createDirectories(benchDir)
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val pretty = new StringBuilder()
+      pretty.append("{\n  \"metric\": \"total\",\n")
+      pretty.append(f"""  "value": $total%.3f,""" + "\n")
+      pretty.append("  \"unit\": \"sec\",\n")
+      pretty.append(s"""  "sf": "$sfDir",\n""")
+      pretty.append("  \"queries\": {\n")
+      pretty.append(results.map { case (k, v) =>
+        f"""    "$k": $v%.3f"""
+      }.mkString(",\n"))
+      pretty.append("\n  }\n}\n")
+      java.nio.file.Files.writeString(
+        benchDir.resolve(s"bench_$sfName.json"), pretty.toString)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] durable artifact write failed: $e")
+    }
+    // the driver contract: the compact JSON line is the LAST stdout line
+    println(line)
     spark.stop()
   }
 }

@@ -50,8 +50,14 @@ object Tables {
         // magnitude from ONE row — 2020s epochs are ~1.7e18 ns, ~1.7e15 µs,
         // ~1.7e12 ms, three decades apart, and one encoding covers the
         // whole column. The limit(1) probe reads a single row group.
+        // Null-safe probe: a null ts in the sampled row would NPE the
+        // loader; filter to a non-null row first (same single-row-group
+        // cost). An all-null column defaults to the nanos branch —
+        // timestamp_micros(null div 1000) stays null either way.
+        // Supported epoch range for the magnitude sniff: |epoch| within
+        // ~1979–2065 (3e14 µs / 3e17 ns pivots); driver testdata is 2020s.
         import org.apache.spark.sql.functions.timestamp_millis
-        val probe = df.select(col("ts")).limit(1).collect()
+        val probe = df.select(col("ts")).where(col("ts").isNotNull).limit(1).collect()
         val v = probe.headOption.map(_.getLong(0).abs).getOrElse(2000000000000000000L)
         if (v > 300000000000000000L) // nanos: `div`, not `/` (float loses
           // precision above 2^53, and epoch-nanos are ~1.7e18)

@@ -53,6 +53,12 @@ object Verify {
         } catch { case _: Throwable => () }
       }
     }
+    // Manifest of the queries THIS run executed: the compare's rows-only
+    // fallback iterates it instead of os.listdir, so stale output dirs
+    // from earlier runs (or since-removed queries) can't inflate the pass
+    // total.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // Machine-readable failure manifest for the local gate
     // (tools/check_correctness.py reports these with the real message).
     val errJson = failures

@@ -82,6 +82,33 @@ object SteeringLoop {
     ("", Map.empty[String, String]) +:
       ns.toSeq.map(n => (s"p$n", Map("spark.sql.shuffle.partitions" -> n.toString)))
 
+  /** Scale-plumbing axis — the third steering dimension, covering the
+    * exact knobs a 100 TB deployment tunes per query:
+    *
+    *  - `bloom`: runtime bloom-filter join pruning
+    *    ([[graft.operators.RuntimeFilters]] thresholds, local-triggerable)
+    *    — pays a build-side filter aggregation to prune the probe side's
+    *    shuffle BEFORE it happens. Wins exactly when the build side is
+    *    selectively filtered and the probe side large; loses the build
+    *    cost when it isn't — which is why it's a steered dimension, not a
+    *    default.
+    *  - `nobucket`: disables reading on-disk bucketing
+    *    ([[graft.operators.Bucketing]]), forcing a co-located join's
+    *    shuffle back in. The loop should never END on it for a bucketed
+    *    join — it exists as the contrast cell that lets the model PRICE
+    *    the bucketing win (and catches layouts whose stale bucketing
+    *    costs more than it saves).
+    *
+    * "" keeps the session defaults, so column 0 of a crossed space stays
+    * the unsteered plan (the LimeQO always-observed init column). */
+  val scalePlumbingAxis: Seq[(String, Map[String, String])] = Seq(
+    ("", Map.empty),
+    ("bloom", Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")),
+    ("nobucket", Map("spark.sql.sources.bucketing.enabled" -> "false")))
+
   /** Outcome of executing one (query, config) cell under a tolerance. */
   sealed trait Outcome
   /** Ran to completion in `seconds`. */

@@ -53,22 +53,26 @@ object MinHashFastExpr {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
-      var base = 0xcbf29ce484222325L // FNV-1a 64 over the raw UTF-8 bytes
-      val len = s.numBytes()
-      var i = 0
-      while (i < len) {
-        base = (base ^ (s.getByte(i) & 0xffL)) * 0x100000001b3L
-        i += 1
-      }
-      var seed = 0
-      while (seed < nSeeds) {
-        var z = base ^ (seed * 0x9e3779b97f4a7c15L) // golden-ratio gamma
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L // splitmix64 finalizer
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^= z >>> 31
-        if (z < out(seed)) out(seed) = z
-        seed += 1
+      // a null shingle (containsNull=true upstream) contributes nothing —
+      // mirrors the UDF kernel, whose Seq[String] inputs never carry nulls
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        var base = 0xcbf29ce484222325L // FNV-1a 64 over the raw UTF-8 bytes
+        val len = s.numBytes()
+        var i = 0
+        while (i < len) {
+          base = (base ^ (s.getByte(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        var seed = 0
+        while (seed < nSeeds) {
+          var z = base ^ (seed * 0x9e3779b97f4a7c15L) // golden-ratio gamma
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L // splitmix64 finalizer
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          if (z < out(seed)) out(seed) = z
+          seed += 1
+        }
       }
       j += 1
     }
@@ -118,27 +122,31 @@ object MinHashTokensExpr {
     val n = arr.numElements()
     var i = 0
     while (i + 2 < n) {
-      var base = 0xcbf29ce484222325L // FNV-1a 64 over "t[i] t[i+1] t[i+2]"
-      var k = i
-      while (k <= i + 2) {
-        val s = arr.getUTF8String(k)
-        val len = s.numBytes()
-        var b = 0
-        while (b < len) {
-          base = (base ^ (s.getByte(b) & 0xffL)) * 0x100000001b3L
-          b += 1
+      // a window touching a null token (containsNull=true upstream) is
+      // skipped whole — no partial shingles, mirroring the UDF kernel
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1) && !arr.isNullAt(i + 2)) {
+        var base = 0xcbf29ce484222325L // FNV-1a 64 over "t[i] t[i+1] t[i+2]"
+        var k = i
+        while (k <= i + 2) {
+          val s = arr.getUTF8String(k)
+          val len = s.numBytes()
+          var b = 0
+          while (b < len) {
+            base = (base ^ (s.getByte(b) & 0xffL)) * 0x100000001b3L
+            b += 1
+          }
+          if (k < i + 2) base = (base ^ 0x20L) * 0x100000001b3L // ' '
+          k += 1
         }
-        if (k < i + 2) base = (base ^ 0x20L) * 0x100000001b3L // ' '
-        k += 1
-      }
-      var seed = 0
-      while (seed < nSeeds) {
-        var z = base ^ (seed * 0x9e3779b97f4a7c15L)
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^= z >>> 31
-        if (z < out(seed)) out(seed) = z
-        seed += 1
+        var seed = 0
+        while (seed < nSeeds) {
+          var z = base ^ (seed * 0x9e3779b97f4a7c15L)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          if (z < out(seed)) out(seed) = z
+          seed += 1
+        }
       }
       i += 1
     }
@@ -176,13 +184,24 @@ case class BandKeysFastExpr(child: Expression, nBands: Int, rowsPerBand: Int)
 
 object BandKeysFastExpr {
   def compute(mh: ArrayData, nBands: Int, rowsPerBand: Int): ArrayData = {
+    // fail fast with a diagnosable message: a short signature would
+    // otherwise read out of bounds (or, worse, silently hash garbage),
+    // and a null entry (containsNull=true upstream) has no defined place
+    // in the order-dependent chain
+    require(mh.numElements() >= nBands * rowsPerBand,
+      s"band_keys_fast: signature has ${mh.numElements()} entries, " +
+        s"need nBands*rowsPerBand = ${nBands * rowsPerBand}")
     val out = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {
       var acc = 0x9e3779b97f4a7c15L * (b + 1)
       var r = 0
       while (r < rowsPerBand) {
-        var z = acc ^ mh.getLong(b * rowsPerBand + r)
+        val idx = b * rowsPerBand + r
+        require(!mh.isNullAt(idx),
+          s"band_keys_fast: null signature entry at $idx — minhash " +
+            "signatures are non-null by construction")
+        var z = acc ^ mh.getLong(idx)
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
         acc = z ^ (z >>> 31)

@@ -42,21 +42,78 @@ final class DistributedCensoredALS(
                    cutoffs: DenseMatrix[Double],
                    a0: DenseMatrix[Double], b0: DenseMatrix[Double]): DenseMatrix[Double] = {
     val n = x.rows; val m = x.cols
-    // local copies so Spark closures don't capture `this` (which holds the
-    // non-serializable SparkSession)
-    val rk = rank; val lam = lambda
+    val rk = rank
     val sc = spark.sparkContext
     val parts = if (numPartitions > 0) numPartitions else sc.defaultParallelism
 
     import DistributedCensoredALS.RowState
-    var rows = sc.parallelize(
+    val rows0 = sc.parallelize(
       (0 until n).map(i => RowState(i,
         Array.tabulate(m)(j => x(i, j)),
         Array.tabulate(m)(j => mask(i, j)),
         Array.tabulate(m)(j => cutoffs(i, j)),
         Array.tabulate(rk)(k => a0(i, k)))),
       parts).cache()
+    val (rows, b) = runIters(rows0, m, b0)
 
+    // assemble completion X + (1−mask)∘ABᵀ
+    val aFinal = DenseMatrix.zeros[Double](n, rk)
+    rows.collect().foreach(st => (0 until rk).foreach(k => aFinal(st.i, k) = st.ar(k)))
+    rows.unpersist(false)
+    val out = x.copy
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        if (mask(i, j) == 0.0) {
+          var dot = 0.0; var k = 0
+          while (k < rk) { dot += aFinal(i, k) * b(j, k); k += 1 }
+          out(i, j) = x(i, j) + dot
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Scale entry point: rows are GENERATED ON EXECUTORS from the row index
+    * — at 1M×49 the matrix-in API above would build ~1.2 GB of driver
+    * DenseMatrix and serialize all of it through `parallelize`, which is
+    * exactly the regime this class exists to escape. `rowGen(i)` returns
+    * (xRow, maskRow, cutoffRow); `a0Gen(i)` the row's initial factors;
+    * both must be pure (deterministic from i — the same contract as the
+    * engine's seeded generators). Returns the FACTORS (row-factor RDD,
+    * still cached, plus B) rather than a completed n×m matrix: at this
+    * scale the completion itself wouldn't fit a driver, so callers
+    * predict cells on demand via aᵢ·bⱼ and must unpersist the returned
+    * RDD when done. */
+  private[graft] def factorsFromRowGen(nRows: Int, m: Int,
+      rowGen: Int => (Array[Double], Array[Double], Array[Double]),
+      a0Gen: Int => Array[Double],
+      b0: DenseMatrix[Double]): (org.apache.spark.rdd.RDD[DistributedCensoredALS.RowState], DenseMatrix[Double]) = {
+    import DistributedCensoredALS.RowState
+    val sc = spark.sparkContext
+    val parts = if (numPartitions > 0) numPartitions else sc.defaultParallelism
+    val rows0 = sc.range(0, nRows.toLong, 1, parts).map { iL =>
+      val i = iL.toInt
+      val (xr, mr, cr) = rowGen(i)
+      RowState(i, xr, mr, cr, a0Gen(i))
+    }.cache()
+    rows0.count() // materialize generation apart from the first iteration
+    runIters(rows0, m, b0)
+  }
+
+  /** The shared ALS loop over a cached row RDD; returns the final cached
+    * row RDD (caller unpersists) and B. */
+  private def runIters(rows0: org.apache.spark.rdd.RDD[DistributedCensoredALS.RowState],
+                       m: Int, b0: DenseMatrix[Double]): (org.apache.spark.rdd.RDD[DistributedCensoredALS.RowState], DenseMatrix[Double]) = {
+    import DistributedCensoredALS.RowState
+    // local copies so Spark closures don't capture `this` (which holds the
+    // non-serializable SparkSession)
+    val rk = rank; val lam = lambda
+    val sc = spark.sparkContext
+    var rows = rows0
     var b = b0.copy
 
     def clampedTargetRow(st: RowState, bLocal: DenseMatrix[Double]): DenseVector[Double] = {
@@ -116,33 +173,14 @@ final class DistributedCensoredALS(
       // broadcast; B is m×rank doubles (KBs), GC reclaims it after the run
       it += 1
     }
-
-    // assemble completion X + (1−mask)∘ABᵀ
-    val aFinal = DenseMatrix.zeros[Double](n, rk)
-    rows.collect().foreach(st => (0 until rk).foreach(k => aFinal(st.i, k) = st.ar(k)))
-    rows.unpersist(false)
-    val out = x.copy
-    var i = 0
-    while (i < n) {
-      var j = 0
-      while (j < m) {
-        if (mask(i, j) == 0.0) {
-          var dot = 0.0; var k = 0
-          while (k < rk) { dot += aFinal(i, k) * b(j, k); k += 1 }
-          out(i, j) = x(i, j) + dot
-        }
-        j += 1
-      }
-      i += 1
-    }
-    out
+    (rows, b)
   }
 }
 
 object DistributedCensoredALS {
   /** Row-partitioned immutable state: (rowIdx, xRow, maskRow, cutRow, aRow).
     * Top-level so Spark closures don't drag an `$outer` reference along. */
-  private[linalg] final case class RowState(
+  private[graft] final case class RowState(
       i: Int, xr: Array[Double], mr: Array[Double],
       cr: Array[Double], ar: Array[Double])
 }

@@ -619,6 +619,27 @@ object DedupOps {
     connectedComponents(documents(s, d).select("doc_id"), pairs)
       .orderBy("doc_id")
   }
+
+  /** Production dedup clustering: the full FAST-kernel chain —
+    * [[lshCandidatePairsFast]] candidates (fused token-array MinHash +
+    * splitmix band keys, zero String allocation) into the same
+    * [[connectedComponents]] loop as q42. This is what the 100 TB corpus
+    * actually runs end-to-end; the md5 chain (q27→q42) exists to stay
+    * DuckDB-replayable. Candidates differ in-distribution only (different
+    * hash family), so clusters are spec-gated: FastMinHashSpec pins that
+    * exact-dup groups land in one component on both chains. */
+  def dedupClustersFast(docs: DataFrame,
+                        bucketCap: Int = DefaultCandidateCap): DataFrame =
+    connectedComponents(docs.select("doc_id"),
+      lshCandidatePairsFast(docs, bucketCap).select("doc_a", "doc_b"))
+
+  /** q92: the production fast-kernel dedup chain as a gate query —
+    * rows-only by design (the fast hash family is intentionally not
+    * SQL-replayable; see q84). Rows = |corpus| and determinism are gated;
+    * cluster-equivalence with the md5 chain on exact dups lives in
+    * FastMinHashSpec. */
+  val q92DedupClustersFast: Q = (s, d) =>
+    dedupClustersFast(documents(s, d)).orderBy("doc_id")
   val q42Sql: String =
     s"""WITH RECURSIVE $duckShingles,
        |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
@@ -806,6 +827,7 @@ object DedupOps {
     "q59_source_overlap" -> q59SourceOverlap,
     "q60_chunk_dedup" -> q60ChunkDedup,
     "q84_lsh_fast" -> q84LshPairsFast,
+    "q92_dedup_clusters_fast" -> q92DedupClustersFast,
   )
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,

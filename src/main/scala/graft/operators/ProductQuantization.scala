@@ -153,6 +153,60 @@ object ProductQuantization {
     PQCodebook(m, kEff, subDim, books)
   }
 
+  /** Coarse quantizer for IVF cell assignment: `nList` full-vector
+    * centroids from the SAME deterministic sampled-Lloyd's trainer as the
+    * PQ codebooks — [[train]] with m=1 is exactly a full-vector k-means
+    * (one "subspace" spanning all dims). Replaces the former Spark-ML
+    * KMeans fit: content-addressed sampling, farthest-point init, fixed
+    * iterations — a pure function of the corpus, no RNG stream, and no
+    * Kryo/JDK-module surface (the engine's last `--add-opens`-sensitive
+    * path, SOAK.md round-8 finding 3). */
+  def trainCoarse(emb: DataFrame, nList: Int, sampleN: Int = 2048): Array[Array[Float]] =
+    train(emb, m = 1, k = nList, sampleN = sampleN).centroids(0)
+
+  /** Assign every vector to its nearest coarse centroid — one narrow
+    * compiled pass with the broadcast centroid table (nList × dim floats,
+    * tiny at any corpus scale). Output: (vec_id, cell). At rest a real
+    * deployment partitions/buckets the corpus BY this cell id so a probe
+    * touches nProbe/nList of the data. */
+  def assignCells(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    emb.select(col("vec_id"),
+      cellExpr(emb.sparkSession, cents)(col("embedding")).as("cell"))
+
+  /** Nearest-coarse-centroid id as a reusable function over an embedding
+    * column — lets callers compute the cell inline on a frame they are
+    * already scanning instead of joining [[assignCells]]' output back. */
+  def cellExpr(spark: org.apache.spark.sql.SparkSession,
+               cents: Array[Array[Float]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(cents)
+    udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val arr = v.toArray
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = sqdist(arr, 0, cs(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Per-query probe list: the `nProbe` nearest coarse cells, computed
+    * driver-side (centroid table is tiny), distance ties broken by cell
+    * id for determinism. */
+  private[operators] def probeCells(queryVecs: Seq[(Long, Array[Float])],
+                                    cents: Array[Array[Float]],
+                                    nProbe: Int): Seq[(Long, Int)] =
+    queryVecs.flatMap { case (qid, qv) =>
+      cents.zipWithIndex
+        .map { case (c, i) => (i, sqdist(qv, 0, c)) }
+        .sortBy { case (i, d) => (d, i) }.take(nProbe)
+        .map { case (cell, _) => (qid, cell) }
+    }
+
   /** Encode every vector to its m-byte PQ code: per subspace, the id of
     * the nearest centroid. One narrow compiled pass with the broadcast
     * codebook — no shuffle, O(m·k·subDim) per row. Output:
@@ -207,10 +261,11 @@ object ProductQuantization {
     * Codes are trained on RAW vectors (FAISS IndexIVFPQ with
     * by_residual=false): one codebook serves every cell, so cell count and
     * codebook train independently — at the cost of some per-cell
-    * resolution. Cell assignment comes from a seeded Spark ML k-means fit
-    * (same recipe as [[SimilarityOps.ivfTopK]]); the candidate scan is
-    * cell-partition-pruned by the broadcast (query, cell) probe list, then
-    * ADC + exact rescore as in [[searchTopK]].
+    * resolution. Cell assignment comes from the engine's OWN deterministic
+    * coarse quantizer ([[trainCoarse]] + [[assignCells]] — same recipe as
+    * [[SimilarityOps.ivfTopK]]); the candidate scan is cell-partition-
+    * pruned by the broadcast (query, cell) probe list, then ADC + exact
+    * rescore as in [[searchTopK]].
     *
     * A query may return FEWER than k rows when its nProbe probed cells
     * hold fewer than k non-query vectors (tiny corpora, skewed k-means
@@ -219,35 +274,20 @@ object ProductQuantization {
     * when exact k matters more than the pruning. */
   def ivfPqTopK(emb: DataFrame, book: PQCodebook, queryIds: Seq[Long],
                 k: Int, nList: Int = 16, nProbe: Int = 4,
-                refine: Int = 4, seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+                refine: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val withVec = emb.withColumn("fv", toVec(col("embedding"))).cache()
-    val model = new KMeans().setK(nList).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
-    val assigned = model.transform(withVec).select(col("vec_id"), col("cell"))
-
-    val queryVecs = withVec.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id"), col("fv")).collect()
-      .map(r => (r.getLong(0), r.getAs[MlVector]("fv")))
-    val probes = queryVecs.flatMap { case (qid, qv) =>
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, Vectors.sqdist(qv, c)) }
-        .sortBy(_._2).take(nProbe)
-        .map { case (cell, _) => (qid, cell) }
-    }
-    val probeDF = broadcast(probes.toSeq.toDF("query_id", "cell"))
+    val cents = trainCoarse(emb, nList)
+    val assigned = assignCells(emb, cents)
+    val queryVecs = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val probeDF = broadcast(
+      probeCells(queryVecs, cents, nProbe).toDF("query_id", "cell"))
     val cellCodes = encode(emb, book).join(assigned, "vec_id")
-    val out = searchOverCandidates(emb,
+    searchOverCandidates(emb,
       cellCodes.join(probeDF, "cell").select("query_id", "vec_id", "code"),
       book, queryIds, k, refine)
-    val pinned = out.cache()
-    pinned.count() // materialize before dropping the k-means input cache
-    withVec.unpersist()
-    pinned
   }
 
   /** ADC + exact rescore over a prepared (query_id, vec_id, code)
@@ -370,8 +410,10 @@ object ProductQuantization {
         .withColumn("h", md5(col("vec_id").cast("string")))
         .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq
       val book = train(emb)
-      val out = ivfPqTopK(emb, book, qids, k = 5) // materializes internally
+      val out = ivfPqTopK(emb, book, qids, k = 5)
+      val pinned = out.cache()
+      pinned.count() // materialize before releasing the parent cache
       emb.unpersist()
-      out
+      pinned
     }
 }

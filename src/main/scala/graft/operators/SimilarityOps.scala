@@ -340,37 +340,31 @@ object SimilarityOps {
     * their nearest of `nList` learned centroids; a query probes only its
     * `nProbe` nearest cells and rescans those exactly.
     *
-    * Not a gate query: k-means centroids aren't reproducible across
-    * engines, so correctness is a recall bound against the exact top-k
-    * (PipelineOpsSpec). Scale shape: train on a sample, broadcast the
-    * centroid table (nList × dim, tiny), assignment is one narrow pass,
-    * and at rest the corpus is partitioned/bucketed BY CELL so a probe
-    * touches nProbe/nList of the data.
+    * Not a gate query: k-means centroids aren't SQL-portable, so
+    * correctness is a recall bound against the exact top-k (IvfRecallSpec).
+    * Scale shape: train on a content-addressed sample
+    * ([[ProductQuantization.trainCoarse]] — the engine's own deterministic
+    * sampled-Lloyd's, no Spark-ML/Kryo surface), broadcast the centroid
+    * table (nList × dim, tiny), assignment is one narrow pass
+    * ([[ProductQuantization.assignCells]]), and at rest the corpus is
+    * partitioned/bucketed BY CELL so a probe touches nProbe/nList of the
+    * data.
     */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              nList: Int, nProbe: Int, seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val withVec = emb.withColumn("fv", toVec(col("embedding"))).cache()
-    val model = new KMeans().setK(nList).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
-    val assigned = model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell"))
-
-    // per query: nProbe nearest centroids (driver-side — centroid table is tiny)
-    val centroids: Array[MlVector] = model.clusterCenters
-    val queryVecs = withVec.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id"), col("fv")).collect()
-      .map(r => (r.getLong(0), r.getAs[MlVector]("fv")))
-    val probes = queryVecs.flatMap { case (qid, qv) =>
-      centroids.zipWithIndex
-        .map { case (c, i) => (i, Vectors.sqdist(qv, c)) }
-        .sortBy(_._2).take(nProbe)
-        .map { case (cell, _) => (qid, cell) }
-    }
+              nList: Int, nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val probeDF = broadcast(probes.toSeq.toDF("query_id", "cell"))
+    val cents = ProductQuantization.trainCoarse(emb, nList)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      ProductQuantization.cellExpr(spark, cents)(col("embedding")).as("cell"))
+
+    // per query: nProbe nearest centroids (driver-side — centroid table is tiny)
+    val queryVecs = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val probeDF = broadcast(
+      ProductQuantization.probeCells(queryVecs, cents, nProbe)
+        .toDF("query_id", "cell"))
     val q = broadcast(emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
 
@@ -379,16 +373,9 @@ object SimilarityOps {
       .join(q, Seq("query_id"))
       .withColumn("sim", round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
-    val out = cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("target_id"), col("sim"), col("rk"))
       .orderBy("query_id", "rk")
-    // pin the result before releasing the cache the lineage depends on —
-    // unpersisting first would make the caller's action recompute the
-    // toVec pass and cell assignment uncached
-    val rows = out.collect()
-    withVec.unpersist()
-    val spark2 = emb.sparkSession
-    spark2.createDataFrame(spark2.sparkContext.parallelize(rows.toSeq), out.schema)
   }
 
   /** q61: embedding outlier score — L2 distance from each vector to its

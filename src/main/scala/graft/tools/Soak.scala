@@ -130,7 +130,7 @@ object Soak {
     // dedup
     "q24_dedup_exact", "q25_ngram_jaccard", "q26_minhash_signatures",
     "q26_minhash_fast", "q27_lsh_pairs", "q84_lsh_fast", "q28_simhash",
-    "q64_hamming_profile", "q42_dedup_clusters",
+    "q64_hamming_profile", "q42_dedup_clusters", "q92_dedup_clusters_fast",
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
     // text analysis
     // mixture / scheduling (round 8)
@@ -191,11 +191,17 @@ object Soak {
         val only = sys.env.get("SPARK_GRAFT_QUERIES")
           .map(_.split(",").toSet).getOrElse(families.toSet)
         val rows = families.filter(only).map { name =>
-          val fn = graft.SparkEntry.queries.getOrElse(name, soakOnly(name))
+          // resolve via Option: an entry missing from BOTH maps (renamed
+          // query, stale families list) records as that one query's
+          // failure instead of aborting the whole soak mid-run
+          val fn = graft.SparkEntry.queries.get(name).orElse(soakOnly.get(name))
           val t0 = System.nanoTime()
-          val outcome =
-            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); "ok" }
-            catch { case e: Throwable => s"FAIL ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}" }
+          val outcome = fn match {
+            case None => "FAIL unresolved: not in SparkEntry.queries or soakOnly"
+            case Some(f) =>
+              try { f(spark, dir).write.format("noop").mode("overwrite").save(); "ok" }
+              catch { case e: Throwable => s"FAIL ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}" }
+          }
           val secs = (System.nanoTime() - t0) / 1e9
           println(f"$name%-28s $secs%8.2f s  $outcome")
           (name, secs, outcome)

@@ -83,6 +83,43 @@ class FastMinHashSpec extends AnyFunSuite with SharedSpark {
       s"exact-dup pair must share all 4 bands: ${out.mkString(", ")}")
   }
 
+  test("fast-chain clusters: exact-dup groups land in one component, parity with md5 chain") {
+    val sp = spark
+    import sp.implicits._
+    // five exact-dup groups of 4 docs plus unique noise: both chains MUST
+    // put every group into a single component (exact dups collide with
+    // probability 1 in any minhash family), and on this corpus — where
+    // every true pair is an exact dup — the two chains' cluster maps
+    // should agree entirely
+    val groups = (0 until 5).flatMap { g =>
+      // group tokens carry the group id → shingle sets disjoint ACROSS
+      // groups (no probabilistic cross-group band collisions), identical
+      // WITHIN a group
+      val text = Seq.tabulate(35)(i => s"g${g}t$i").mkString(" ")
+      (0 until 4).map(m => (100L * g + m, text))
+    }
+    // noise tokens carry the doc id, so shingle sets are pairwise DISJOINT
+    // across noise docs — no accidental near-dups whose (probabilistic,
+    // family-dependent) band collisions could differ between chains
+    val noise = (0 until 50).map { u =>
+      (5000L + u, Seq.tabulate(35)(i => s"n${u}w$i").mkString(" "))
+    }
+    val docs = (groups ++ noise).toDF("doc_id", "text")
+    def clustersOf(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = clustersOf(DedupOps.dedupClustersFast(docs))
+    val md5c = clustersOf(DedupOps.connectedComponents(
+      docs.select("doc_id"), DedupOps.lshCandidatePairs(docs).select("doc_a", "doc_b")))
+    assert(fast.keySet == md5c.keySet)
+    for (g <- 0 until 5) {
+      val ids = (0 until 4).map(m => 100L * g + m)
+      assert(ids.map(fast).distinct.size == 1, s"fast chain split exact-dup group $g")
+      assert(ids.map(fast).head == ids.min, s"fast component label != min doc_id for group $g")
+    }
+    assert(fast == md5c,
+      "fast and md5 chains disagree on a corpus whose only true pairs are exact dups")
+  }
+
   test("near-dup LSH recall tracks the md5 family on the template corpus") {
     val nTpl = 60
     val docs = corpus(nTpl, nNoise = 120)

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Pins [[MultimodalOps.parseImageDims]] on GOLDEN bytes — real-world
+  * header structures the q93 builder does NOT emit (EXIF APP1, DQT
+  * segments, progressive SOF2, the canonical 1×1 PNG) — so builder and
+  * parser cannot be consistently wrong together, plus the malformed-input
+  * contract (None, never a throw). */
+class ImageMetaSpec extends AnyFunSuite with SharedSpark {
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("golden PNG: the canonical 1x1 transparent PNG parses as 1x1") {
+    // the ubiquitous real-world tracking-pixel PNG header (signature +
+    // IHDR with its real CRC)
+    val png = hx("89504e470d0a1a0a 0000000d 49484452 00000001 00000001" +
+      " 08 06 00 00 00 1f15c489")
+    assert(MultimodalOps.parseImageDims(png).contains(("png", 1, 1)))
+  }
+
+  test("golden PNG: 640x480 RGB header") {
+    val png = hx("89504e470d0a1a0a 0000000d 49484452 00000280 000001e0" +
+      " 08 02 00 00 00 00000000")
+    assert(MultimodalOps.parseImageDims(png).contains(("png", 640, 480)))
+  }
+
+  test("golden JPEG: EXIF APP1 + DQT before a baseline SOF0 (camera-file shape)") {
+    // ffd8, APP1 "Exif\0\0" (len 0x18), DQT (len 0x43), SOF0 240x320 —
+    // markers the q93 builder never emits; only a real marker WALK finds
+    // the SOF
+    val jpg = hx("ffd8" +
+      " ffe1 0018 457869660000" + "00" * 16 +
+      " ffdb 0043" + "00" * 65 +
+      " ffc0 0011 08 00f0 0140 03 011100 021101 031101" +
+      " ffd9")
+    assert(MultimodalOps.parseImageDims(jpg).contains(("jpeg", 320, 240)))
+  }
+
+  test("golden JPEG: progressive SOF2 parses too") {
+    val jpg = hx("ffd8 ffe0 0010 4a46494600 0101 00 0001 0001 0000" +
+      " ffc2 0011 08 0100 0180 03 011100 021101 031101 ffd9")
+    assert(MultimodalOps.parseImageDims(jpg).contains(("jpeg", 384, 256)))
+  }
+
+  test("malformed inputs return None, never throw") {
+    assert(MultimodalOps.parseImageDims(Array.emptyByteArray).isEmpty)
+    assert(MultimodalOps.parseImageDims("not an image at all".getBytes).isEmpty)
+    // PNG signature but truncated before IHDR dims
+    assert(MultimodalOps.parseImageDims(hx("89504e470d0a1a0a 0000000d 4948")).isEmpty)
+    // JPEG SOI but scan data (SOS) arrives before any SOF
+    assert(MultimodalOps.parseImageDims(
+      hx("ffd8 ffda 0008" + "00" * 6 + "ffd9")).isEmpty)
+    // JPEG desynced stream (non-marker byte where a marker must be)
+    assert(MultimodalOps.parseImageDims(hx("ffd8 0041414141414141414141")).isEmpty)
+    // non-SOF segment whose declared length runs past the payload end
+    assert(MultimodalOps.parseImageDims(hx("ffd8 ffe0 7fff 0000")).isEmpty)
+  }
+
+  test("q93 gate shape: every synthetic payload parses, aggregates stay int-exact") {
+    val out = MultimodalOps.q93ImageMeta(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // the builder emits only valid payloads — a null fmt row means the
+    // parser failed one
+    assert(out.forall(r => r.getString(1) == "png" || r.getString(1) == "jpeg"))
+    val total = out.map(_.getLong(3)).sum
+    val nDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(total == nDocs, s"aggregate covers $total of $nDocs documents")
+  }
+}

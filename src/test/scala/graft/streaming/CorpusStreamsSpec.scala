@@ -239,4 +239,100 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(streamed == batch)
     assert(streamed.values.forall(s => s >= 0 && s < 16))
   }
+
+  test("checkpoint restart: packing state survives a kill and resumes exactly") {
+    // The durability contract behind every stateful stream here: stop the
+    // query mid-corpus, restart FROM THE CHECKPOINT (same sink, same state
+    // store), feed the rest — final output must equal an uninterrupted run
+    // over the same batches. Uses the parquet file sink (exactly-once via
+    // its metadata log); the memory sink can't test this — it starts empty
+    // on every restart.
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val batch1 = Seq(SourcedDoc(1, "A", "a b c"), SourcedDoc(2, "A", "d e"),
+      SourcedDoc(3, "B", "x y z"))
+    val batch2 = Seq(SourcedDoc(4, "A", "f"), // A resumed at 5 tokens → bin 1
+      SourcedDoc(5, "B", "p q"), SourcedDoc(6, "C", "m n o"))
+
+    def runWith(tag: String, interrupted: Boolean): Map[Long, (String, Long, Long)] = {
+      val stream = MemoryStream[SourcedDoc]
+      val out = s"$base/$tag-out"
+      val ck = s"$base/$tag-ck"
+      def start() = CorpusStreams.packingAssignment(sp, stream.toDF(), budget = 4)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      val q1 = start()
+      stream.addData(batch1: _*)
+      q1.processAllAvailable()
+      if (interrupted) {
+        q1.stop() // the kill: state is only in the checkpoint now
+        stream.addData(batch2: _*)
+        val q2 = start() // resume from checkpoint
+        q2.processAllAvailable()
+        q2.stop()
+      } else {
+        stream.addData(batch2: _*)
+        q1.processAllAvailable()
+        q1.stop()
+      }
+      sp.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+
+    val resumed = runWith("resumed", interrupted = true)
+    val straight = runWith("straight", interrupted = false)
+    assert(resumed == straight,
+      s"restart diverged from the uninterrupted run:\n$resumed\nvs\n$straight")
+    // and the state really carried: source A consumed 5 tokens before the
+    // kill, so doc 4 must land in bin 1, not restart at bin 0
+    assert(resumed(4L)._3 == 1L, resumed.toString)
+    assert(resumed(6L)._3 == 0L) // a new source starts fresh post-restart
+  }
+
+  test("checkpoint restart: budget admission and content dedup resume exactly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+
+    // token-budget admission: A consumes 9 of 10 before the kill; the
+    // post-restart doc must be rejected by the RECOVERED counter
+    val stream = MemoryStream[SourcedDoc]
+    val out = s"$base/adm-out"
+    def startAdm() = CorpusStreams.tokenBudgetAdmission(sp, stream.toDF(), budget = 10)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/adm-ck").outputMode("append").start()
+    val q1 = startAdm()
+    stream.addData(SourcedDoc(1, "A", "a b c d e"), SourcedDoc(2, "A", "a b c d"))
+    q1.processAllAvailable()
+    q1.stop()
+    stream.addData(SourcedDoc(3, "A", "a b")) // cum 11 > 10: must be dropped
+    val q2 = startAdm()
+    q2.processAllAvailable()
+    q2.stop()
+    val admitted = sp.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(admitted == Set((1L, 5L), (2L, 9L)), admitted.toString)
+
+    // content dedup: the dropDuplicatesWithinWatermark state must survive —
+    // a duplicate of a PRE-kill document arriving post-restart is dropped
+    val dstream = MemoryStream[Doc]
+    val dout = s"$base/dedup-out"
+    def startDedup() = CorpusStreams.dedupDocs(dstream.toDF())
+      .writeStream.format("parquet").option("path", dout)
+      .option("checkpointLocation", s"$base/dedup-ck").outputMode("append").start()
+    val d1 = startDedup()
+    dstream.addData(Doc(1, t(0), "the quick brown fox"), Doc(2, t(1), "something else"))
+    d1.processAllAvailable()
+    d1.stop()
+    dstream.addData(Doc(3, t(2), "the  quick brown   fox"), // dup of pre-kill doc 1
+      Doc(4, t(3), "a genuinely new document"))
+    val d2 = startDedup()
+    d2.processAllAvailable()
+    d2.stop()
+    val ids = sp.read.parquet(dout).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), ids.toString)
+  }
 }

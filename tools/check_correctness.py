@@ -226,8 +226,17 @@ def main(sf_dir, out_dir):
     # Rows-only queries (no oracle, no sketch bounds — the ANN/hash-kernel
     # family): still require rows > 0 and surface runtime errors, so a
     # broken rows-only query cannot vanish from the artifact (the round-7
-    # lesson applied to the last uncovered family).
-    for name in sorted(os.listdir(out_dir)):
+    # lesson applied to the last uncovered family). Iterate the manifest of
+    # queries THIS Verify run executed (not os.listdir) so stale output
+    # dirs from earlier runs / removed queries can't inflate the pass
+    # total; fall back to listdir only for pre-manifest output dirs.
+    manifest_path = f"{out_dir}/manifest.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            declared = sorted(json.load(f))
+    else:
+        declared = sorted(os.listdir(out_dir))
+    for name in declared:
         if name in results or not os.path.isdir(f"{out_dir}/{name}"):
             continue
         if name in query_errors:
