@@ -1,6 +1,7 @@
 package graft.linalg
 
 import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 
 /** Distributed censored ALS for workload matrices that outgrow the driver
@@ -11,22 +12,31 @@ import org.apache.spark.sql.SparkSession
   * tiny, and still tiny for any plausible hint space), so B is BROADCAST
   * and only the row side distributes:
   *
-  *  - rows of (X, mask, cutoffs) are partitioned by row id; each partition
-  *    solves its rows' ridge systems locally against the broadcast B —
-  *    embarrassingly parallel, no shuffle;
-  *  - the B update needs Σ_i targetᵢᵀ·Aᵢ (m×r) and AᵀA (r×r): both are
-  *    TREE-AGGREGATED partial sums (m·r + r² doubles per partition — KBs),
-  *    so per-iteration network cost is independent of row count;
+  *  - the STATIC row data (X, mask, cutoffs — ~1.2 KB/row at m=49) is
+  *    cached ONCE and never re-cached; only the row FACTORS (rank doubles
+  *    per row) churn between iterations, co-partitioned with the statics
+  *    via `zipPartitions`. Re-caching the statics every iteration was the
+  *    1M-row soak's dominant cost (GB-scale cache churn per round for a
+  *    40 B/row state change);
+  *  - each partition solves its rows' ridge systems locally against the
+  *    broadcast B, with the per-partition invariants (BᵀB+λI, Bᵀ) hoisted
+  *    out of the row loop — embarrassingly parallel, no shuffle;
+  *  - the B update needs Σ_i targetᵢᵀ·Aᵢ (m×r) and AᵀA (r×r): ONE partial
+  *    per partition (m·r + r² doubles — KBs), reduced on the driver, so
+  *    per-iteration network cost is independent of row count;
   *  - per-row censor clamp and nonneg clamp happen partition-locally with
   *    identical ordering to [[CensoredALS]] (censor before solve, nonneg
   *    after).
   *
-  * Semantics match [[CensoredALS]] exactly given the same initial factors:
-  * verified in DistributedALSSpec by seeding both with identical A₀/B₀.
+  * Semantics match [[CensoredALS]] given the same initial factors
+  * (row-wise vs batched solves of the same normal equations): verified in
+  * DistributedALSSpec by seeding both with identical A₀/B₀.
   */
 final class DistributedCensoredALS(
     spark: SparkSession, rank: Int, iters: Int, lambda: Double, seed: Long,
     numPartitions: Int = 0) extends MatrixCompletion {
+
+  import DistributedCensoredALS.StaticRow
 
   override def complete(x: DenseMatrix[Double], mask: DenseMatrix[Double],
                         cutoffs: DenseMatrix[Double]): DenseMatrix[Double] = {
@@ -46,20 +56,25 @@ final class DistributedCensoredALS(
     val sc = spark.sparkContext
     val parts = if (numPartitions > 0) numPartitions else sc.defaultParallelism
 
-    import DistributedCensoredALS.RowState
-    val rows0 = sc.parallelize(
-      (0 until n).map(i => RowState(i,
+    val static = sc.parallelize(
+      (0 until n).map(i => StaticRow(i,
         Array.tabulate(m)(j => x(i, j)),
         Array.tabulate(m)(j => mask(i, j)),
-        Array.tabulate(m)(j => cutoffs(i, j)),
-        Array.tabulate(rk)(k => a0(i, k)))),
+        Array.tabulate(m)(j => cutoffs(i, j)))),
       parts).cache()
-    val (rows, b) = runIters(rows0, m, b0)
+    static.count()
+    val factors0 = static.map(st => Array.tabulate(rk)(k => a0(st.i, k))).cache()
+    val (factors, b) = runIters(static, factors0, m, b0)
 
     // assemble completion X + (1−mask)∘ABᵀ
     val aFinal = DenseMatrix.zeros[Double](n, rk)
-    rows.collect().foreach(st => (0 until rk).foreach(k => aFinal(st.i, k) = st.ar(k)))
-    rows.unpersist(false)
+    static.zipPartitions(factors, preservesPartitioning = true) { (sit, fit) =>
+      sit.zip(fit).map { case (st, ar) => (st.i, ar) }
+    }.collect().foreach { case (i, ar) =>
+      (0 until rk).foreach(k => aFinal(i, k) = ar(k))
+    }
+    factors.unpersist(false)
+    static.unpersist(false)
     val out = x.copy
     var i = 0
     while (i < n) {
@@ -83,46 +98,53 @@ final class DistributedCensoredALS(
     * exactly the regime this class exists to escape. `rowGen(i)` returns
     * (xRow, maskRow, cutoffRow); `a0Gen(i)` the row's initial factors;
     * both must be pure (deterministic from i — the same contract as the
-    * engine's seeded generators). Returns the FACTORS (row-factor RDD,
-    * still cached, plus B) rather than a completed n×m matrix: at this
-    * scale the completion itself wouldn't fit a driver, so callers
-    * predict cells on demand via aᵢ·bⱼ and must unpersist the returned
-    * RDD when done. */
+    * engine's seeded generators). Returns the row factors as (i, aᵢ)
+    * pairs (still cached — caller unpersists) plus B; callers predict
+    * cells on demand via aᵢ·bⱼ, because at this scale a completed n×m
+    * matrix wouldn't fit a driver. */
   private[graft] def factorsFromRowGen(nRows: Int, m: Int,
       rowGen: Int => (Array[Double], Array[Double], Array[Double]),
       a0Gen: Int => Array[Double],
-      b0: DenseMatrix[Double]): (org.apache.spark.rdd.RDD[DistributedCensoredALS.RowState], DenseMatrix[Double]) = {
-    import DistributedCensoredALS.RowState
+      b0: DenseMatrix[Double]): (RDD[(Int, Array[Double])], DenseMatrix[Double]) = {
+    val rk = rank
     val sc = spark.sparkContext
     val parts = if (numPartitions > 0) numPartitions else sc.defaultParallelism
-    val rows0 = sc.range(0, nRows.toLong, 1, parts).map { iL =>
+    val static = sc.range(0, nRows.toLong, 1, parts).map { iL =>
       val i = iL.toInt
       val (xr, mr, cr) = rowGen(i)
-      RowState(i, xr, mr, cr, a0Gen(i))
+      StaticRow(i, xr, mr, cr)
     }.cache()
-    rows0.count() // materialize generation apart from the first iteration
-    runIters(rows0, m, b0)
+    static.count() // materialize generation apart from the first iteration
+    val factors0 = static.map(st => a0Gen(st.i)).cache()
+    val (factors, b) = runIters(static, factors0, m, b0)
+    val out = static.zipPartitions(factors, preservesPartitioning = true) { (sit, fit) =>
+      sit.zip(fit).map { case (st, ar) => (st.i, ar) }
+    }.cache()
+    out.count()
+    factors.unpersist(false)
+    static.unpersist(false)
+    (out, b)
   }
 
-  /** The shared ALS loop over a cached row RDD; returns the final cached
-    * row RDD (caller unpersists) and B. */
-  private def runIters(rows0: org.apache.spark.rdd.RDD[DistributedCensoredALS.RowState],
-                       m: Int, b0: DenseMatrix[Double]): (org.apache.spark.rdd.RDD[DistributedCensoredALS.RowState], DenseMatrix[Double]) = {
-    import DistributedCensoredALS.RowState
+  /** The shared ALS loop: statics cached once, factors re-derived (and
+    * re-cached — rank doubles per row, not the row data) each iteration.
+    * Returns the final cached factors RDD (caller unpersists) and B. */
+  private def runIters(static: RDD[StaticRow], factors0: RDD[Array[Double]],
+                       m: Int, b0: DenseMatrix[Double]): (RDD[Array[Double]], DenseMatrix[Double]) = {
     // local copies so Spark closures don't capture `this` (which holds the
     // non-serializable SparkSession)
     val rk = rank; val lam = lambda
     val sc = spark.sparkContext
-    var rows = rows0
+    var factors = factors0
     var b = b0.copy
 
-    def clampedTargetRow(st: RowState, bLocal: DenseMatrix[Double]): DenseVector[Double] = {
-      val aRow = DenseVector(st.ar)
+    def clampedTarget(st: StaticRow, ar: Array[Double],
+                      bLocal: DenseMatrix[Double]): DenseVector[Double] = {
       val t = new Array[Double](m)
       var j = 0
       while (j < m) {
         var dot = 0.0; var k = 0
-        while (k < rk) { dot += aRow(k) * bLocal(j, k); k += 1 }
+        while (k < rk) { dot += ar(k) * bLocal(j, k); k += 1 }
         var v = st.xr(j) + (1.0 - st.mr(j)) * dot
         if (st.cr(j) > 0 && v < st.cr(j)) v = st.cr(j)
         t(j) = v
@@ -133,54 +155,57 @@ final class DistributedCensoredALS(
 
     var it = 0
     while (it < iters) {
-      // --- A update: per-row ridge solve against broadcast B ---
       val bBc = sc.broadcast(b)
       val lambdaEye = DenseMatrix.eye[Double](rk) * lam
-      val rowsA = rows.map { st =>
-        val bL = bBc.value
-        val btb = bL.t * bL + lambdaEye
-        val t = clampedTargetRow(st, bL)
-        val rhs = bL.t * t
-        val sol = btb \ rhs
-        val ar = Array.tabulate(rk)(k => math.max(0.0, sol(k)))
-        st.copy(ar = ar)
-      }.cache()
-      rowsA.count() // materialize before unpersisting parent
-      rows.unpersist(false)
-      rows = rowsA
 
-      // --- B update: tree-aggregate AᵀA (r×r) and TᵀA (m×r) ---
-      val (ata, tta) = rows.treeAggregate(
-        (DenseMatrix.zeros[Double](rk, rk), DenseMatrix.zeros[Double](m, rk)))(
-        seqOp = { case ((ataAcc, ttaAcc), st) =>
+      // --- A update: per-row ridge solve against broadcast B, with the
+      // per-partition invariants (BᵀB+λI, Bᵀ) hoisted out of the row loop
+      val newFactors = static.zipPartitions(factors, preservesPartitioning = true) {
+        (sit, fit) =>
           val bL = bBc.value
-          val aRow = DenseVector(st.ar)
-          val t = clampedTargetRow(st, bL)
-          var k = 0
-          while (k < rk) {
-            var k2 = 0
-            while (k2 < rk) { ataAcc(k, k2) += aRow(k) * aRow(k2); k2 += 1 }
-            var j = 0
-            while (j < m) { ttaAcc(j, k) += t(j) * aRow(k); j += 1 }
-            k += 1
+          val btb = bL.t * bL + lambdaEye
+          val bT = bL.t
+          sit.zip(fit).map { case (st, ar) =>
+            val t = clampedTarget(st, ar, bL)
+            val rhs = bT * t
+            val sol = btb \ rhs
+            Array.tabulate(rk)(k => math.max(0.0, sol(k)))
           }
-          (ataAcc, ttaAcc)
-        },
-        combOp = { case ((a1, t1), (a2, t2)) => (a1 + a2, t1 + t2) })
+      }.cache()
+      newFactors.count() // materialize before unpersisting parent
+      factors.unpersist(false)
+      factors = newFactors
+
+      // --- B update: one (AᵀA, TᵀA) partial per partition, reduced ---
+      val (ata, tta) = static.zipPartitions(factors, preservesPartitioning = true) {
+        (sit, fit) =>
+          val bL = bBc.value
+          val ataAcc = DenseMatrix.zeros[Double](rk, rk)
+          val ttaAcc = DenseMatrix.zeros[Double](m, rk)
+          sit.zip(fit).foreach { case (st, ar) =>
+            val t = clampedTarget(st, ar, bL)
+            var k = 0
+            while (k < rk) {
+              var k2 = 0
+              while (k2 < rk) { ataAcc(k, k2) += ar(k) * ar(k2); k2 += 1 }
+              var j = 0
+              while (j < m) { ttaAcc(j, k) += t(j) * ar(k); j += 1 }
+              k += 1
+            }
+          }
+          Iterator((ataAcc, ttaAcc))
+      }.reduce { case ((a1, t1), (a2, t2)) => (a1 + a2, t1 + t2) }
       val solB = ((ata + lambdaEye) \ tta.t).t // m×r
       b = solB.map(v => math.max(0.0, v))
-      // NOT destroyed: the cached row RDD's lineage still references the
-      // broadcast; B is m×rank doubles (KBs), GC reclaims it after the run
       it += 1
     }
-    (rows, b)
+    (factors, b)
   }
 }
 
 object DistributedCensoredALS {
-  /** Row-partitioned immutable state: (rowIdx, xRow, maskRow, cutRow, aRow).
+  /** Row-partitioned immutable static data: (rowIdx, xRow, maskRow, cutRow).
     * Top-level so Spark closures don't drag an `$outer` reference along. */
-  private[graft] final case class RowState(
-      i: Int, xr: Array[Double], mr: Array[Double],
-      cr: Array[Double], ar: Array[Double])
+  private[graft] final case class StaticRow(
+      i: Int, xr: Array[Double], mr: Array[Double], cr: Array[Double])
 }

@@ -339,14 +339,183 @@ object MultimodalOps {
       |FROM parsed
       |GROUP BY 1, 2, 3 ORDER BY source, fmt, res_bucket""".stripMargin
 
+  /** Parse audio metadata from a RIFF/WAVE header — pure byte arithmetic,
+    * LITTLE-endian (the image parsers above are big-endian; a header
+    * sniffer that hardcodes one order fails on the other family). Returns
+    * (channels, sample_rate, bits, data_bytes, duration_ms) or None.
+    *
+    * Real chunk walk: after the 12-byte RIFF/WAVE preamble, chunks are
+    * `id:4B size:le32 payload (odd sizes padded)` in ANY order with
+    * optional LIST/INFO metadata between `fmt ` and `data` — so the
+    * offsets of both must be discovered, not assumed. Duration comes from
+    * the data size over the READ byte-rate field (not recomputed), the
+    * way a header-only sniff prices decode cost without touching samples. */
+  def parseWavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def id(i: Int, s: String): Boolean =
+      i + 4 <= p.length && (0 until 4).forall(k => u8(i + k) == s.charAt(k).toInt)
+    if (p.length < 20 || !id(0, "RIFF") || !id(8, "WAVE")) return None
+    var channels = -1; var rate = -1; var bits = -1; var byteRate = -1L
+    var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= p.length && dataBytes < 0) {
+      val size = le32(i + 4)
+      if (id(i, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
+        channels = le16(i + 10); rate = le32(i + 12).toInt
+        byteRate = le32(i + 16); bits = le16(i + 22)
+      } else if (id(i, "data")) {
+        dataBytes = size // payload itself need not be present (header sniff)
+      }
+      if (dataBytes < 0) {
+        // odd chunk sizes are pad-aligned; advance in Long space — a
+        // crafted 32-bit size could otherwise truncate the step to 0 on
+        // toInt and spin forever
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next <= i || next > p.length.toLong) return None // no further chunk fits
+        i = next.toInt
+      }
+    }
+    if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataBytes < 0) None
+    else Some((channels, rate, bits, dataBytes, dataBytes * 1000L / byteRate))
+  }
+
+  // SQL-fragment helpers for the WAV builder/oracle: neither engine has
+  // little-endian hex primitives, so these emit the pure byte-swap slice
+  // arithmetic as SQL text (the value expression is inlined per slice —
+  // pure, so duplication is only syntactic)
+  private def hexPadSpark(v: String, w: Int) = s"lpad(lower(hex($v)), $w, '0')"
+  private def hexPadDuck(v: String, w: Int) = s"lpad(lower(to_hex($v)), $w, '0')"
+  private def le2(v: String, hx: (String, Int) => String): String = {
+    val h = hx(v, 4)
+    s"concat(substr($h, 3, 2), substr($h, 1, 2))"
+  }
+  private def le4(v: String, hx: (String, Int) => String): String = {
+    val h = hx(v, 8)
+    s"concat(substr($h, 7, 2), substr($h, 5, 2), substr($h, 3, 2), substr($h, 1, 2))"
+  }
+  /** LE reads over the hex payload for the DuckDB oracle: `pos` is a
+    * 1-based hex-string position expression (byte B lives at 2B+1). */
+  private def rdLe2(pos: String): String =
+    s"CAST(concat('0x', substr(hx, CAST(($pos) + 2 AS INT), 2), " +
+      s"substr(hx, CAST($pos AS INT), 2)) AS BIGINT)"
+  private def rdLe4(pos: String): String =
+    s"CAST(concat('0x', substr(hx, CAST(($pos) + 6 AS INT), 2), " +
+      s"substr(hx, CAST(($pos) + 4 AS INT), 2), " +
+      s"substr(hx, CAST(($pos) + 2 AS INT), 2), " +
+      s"substr(hx, CAST($pos AS INT), 2)) AS BIGINT)"
+
+  /** q94: audio-header metadata as a gate query — the WAV twin of q93:
+    * deterministic structurally-real RIFF payloads (fmt chunk + a
+    * variable-length LIST/INFO chunk on every third doc + header-only
+    * data chunk) built from hex in BOTH engines, parsed from the bytes by
+    * [[parseWavMeta]]'s chunk walk, aggregated by
+    * (source, sample_rate, channels). ImageMetaSpec pins the parser on
+    * the canonical real-world 44-byte PCM header. */
+  val q94AudioMeta: Q = (s, d) => {
+    val sh = hexPadSpark _
+    val media = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rate", element_at(
+        array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+      .withColumn("ch", (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))
+      .withColumn("data_sz", (col("n_chars") * 100).cast("int"))
+      .withColumn("pad", (pmod(col("doc_id"), lit(10)) * 2).cast("int"))
+      .withColumn("brate", (col("rate") * col("ch") * 2).cast("int"))
+      .withColumn("align", (col("ch") * 2).cast("int"))
+      .withColumn("hx", expr(
+        s"""concat(
+           |  '52494646',
+           |  ${le4("CAST(36 + IF(doc_id % 3 = 0, 12 + pad, 0) + data_sz AS INT)", sh)},
+           |  '57415645',
+           |  '666d7420', '10000000', '0100',
+           |  ${le2("ch", sh)}, ${le4("rate", sh)}, ${le4("brate", sh)},
+           |  ${le2("align", sh)}, '1000',
+           |  IF(doc_id % 3 = 0,
+           |     concat('4c495354', ${le4("CAST(4 + pad AS INT)", sh)},
+           |            '494e464f', repeat('00', pad)),
+           |     ''),
+           |  '64617461', ${le4("data_sz", sh)})""".stripMargin))
+      .select(col("doc_id"), col("source"), unhex(col("hx")).as("payload"))
+    val parse = udf { (p: Array[Byte]) => parseWavMeta(p) }
+    media.select(col("doc_id"), col("source"), parse(col("payload")).as("m"))
+      .select(col("doc_id"), col("source"),
+        col("m._1").as("channels"), col("m._2").as("sample_rate"),
+        col("m._3").as("bits"), col("m._4").as("data_bytes"),
+        col("m._5").as("duration_ms"))
+      .groupBy("source", "sample_rate", "channels")
+      .agg(count(lit(1)).as("n"),
+        sum("duration_ms").as("sum_ms"),
+        max("data_bytes").as("max_bytes"),
+        min("bits").as("bits_min"))
+      .orderBy("source", "sample_rate", "channels")
+  }
+  val q94Sql: String = {
+    val dh = hexPadDuck _
+    // fixed fmt-payload byte offsets → 1-based hex positions (2B+1):
+    // channels@22→45, rate@24→49, byteRate@28→57, bits@34→69; the chunk
+    // after fmt starts at byte 36 (id@pos73, size@pos81); a data chunk's
+    // size field sits 4 bytes past its id (pos = data_off*2 + 9)
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    [8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INT) + 1] AS rate,
+       |    CAST(1 + doc_id % 2 AS INT) AS ch,
+       |    CAST(n_chars * 100 AS INT) AS data_sz,
+       |    CAST((doc_id % 10) * 2 AS INT) AS pad
+       |  FROM documents),
+       |hexed AS (
+       |  SELECT doc_id, source,
+       |    '52494646'
+       |    || ${le4("CAST(36 + CASE WHEN doc_id % 3 = 0 THEN 12 + pad ELSE 0 END + data_sz AS INT)", dh)}
+       |    || '57415645'
+       |    || '666d7420' || '10000000' || '0100'
+       |    || ${le2("ch", dh)} || ${le4("rate", dh)}
+       |    || ${le4("CAST(rate * ch * 2 AS INT)", dh)}
+       |    || ${le2("CAST(ch * 2 AS INT)", dh)} || '1000'
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN '4c495354' || ${le4("CAST(4 + pad AS INT)", dh)}
+       |              || '494e464f' || repeat('00', pad)
+       |         ELSE '' END
+       |    || '64617461' || ${le4("data_sz", dh)} AS hx
+       |  FROM base),
+       |-- the chunk walk, replayed on the hex: the chunk AFTER fmt (byte
+       |-- 36) is identified and its size READ from the stream; data's
+       |-- offset is derived, never assumed
+       |walk AS (
+       |  SELECT *,
+       |    CASE WHEN substr(hx, 73, 8) = '64617461' THEN CAST(36 AS BIGINT)
+       |         ELSE 36 + 8 + ${rdLe4("81")} END AS data_off
+       |  FROM hexed),
+       |parsed AS (
+       |  SELECT doc_id, source,
+       |    CAST(${rdLe2("45")} AS INT) AS channels,
+       |    CAST(${rdLe4("49")} AS INT) AS sample_rate,
+       |    CAST(${rdLe2("69")} AS INT) AS bits,
+       |    ${rdLe4("data_off * 2 + 9")} AS data_bytes,
+       |    ${rdLe4("data_off * 2 + 9")} * 1000 // ${rdLe4("57")} AS duration_ms
+       |  FROM walk)
+       |SELECT source, sample_rate, channels,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(duration_ms) AS BIGINT) AS sum_ms,
+       |  MAX(data_bytes) AS max_bytes,
+       |  MIN(bits) AS bits_min
+       |FROM parsed
+       |GROUP BY 1, 2, 3 ORDER BY source, sample_rate, channels""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_multimodal_decode" -> q31MultimodalDecode,
     "q43_frame_sample" -> q43FrameSample,
     "q93_image_meta" -> q93ImageMeta,
+    "q94_audio_meta" -> q94AudioMeta,
   )
   val oracle: Map[String, String] = Map(
     "q31_multimodal_decode" -> q31Sql,
     "q43_frame_sample" -> q43Sql,
     "q93_image_meta" -> q93Sql,
+    "q94_audio_meta" -> q94Sql,
   )
 }

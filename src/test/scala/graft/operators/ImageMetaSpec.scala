@@ -59,6 +59,49 @@ class ImageMetaSpec extends AnyFunSuite with SharedSpark {
     assert(MultimodalOps.parseImageDims(hx("ffd8 ffe0 7fff 0000")).isEmpty)
   }
 
+  test("golden WAV: the canonical 44-byte PCM header parses (22.05kHz mono 16-bit)") {
+    // the textbook RIFF/WAVE example header: fmt alone, then data —
+    // values every WAV tutorial ships (22050 Hz, 1 ch, 16 bit, byteRate
+    // 44100, 2048 data bytes)
+    val wav = hx("52494646 24080000 57415645 666d7420 10000000 0100 0100" +
+      " 22560000 44ac0000 0200 1000 64617461 00080000")
+    assert(MultimodalOps.parseWavMeta(wav)
+      .contains((1, 22050, 16, 2048L, 2048L * 1000 / 44100)))
+  }
+
+  test("golden WAV: LIST/INFO chunk between fmt and data forces the walk") {
+    val wav = hx("52494646 3c080000 57415645 666d7420 10000000 0100 0200" +
+      " 44ac0000 10b10200 0400 1000" +
+      " 4c495354 0a000000 494e464f 000000000000" + // 10-byte LIST payload
+      " 64617461 00080000")
+    // 44100 Hz stereo 16-bit: byteRate 0x2b110 = 176400
+    assert(MultimodalOps.parseWavMeta(wav)
+      .contains((2, 44100, 16, 2048L, 2048L * 1000 / 176400)))
+  }
+
+  test("malformed WAV inputs return None, never throw") {
+    assert(MultimodalOps.parseWavMeta(Array.emptyByteArray).isEmpty)
+    assert(MultimodalOps.parseWavMeta("RIFFnotawave".getBytes).isEmpty)
+    // RIFF/WAVE but no data chunk
+    assert(MultimodalOps.parseWavMeta(
+      hx("52494646 14000000 57415645 666d7420 10000000 0100 0100" +
+        " 22560000 44ac0000 0200 1000")).isEmpty)
+    // chunk with a size field that would loop forever (size 0 → step 8 ok;
+    // a negative-looking size must not wrap)
+    assert(MultimodalOps.parseWavMeta(
+      hx("52494646 10000000 57415645 6a756e6b ffffffff 00")).isEmpty)
+  }
+
+  test("q94 gate shape: every synthetic payload parses, total covers the corpus") {
+    val out = MultimodalOps.q94AudioMeta(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(3)).sum
+    val nDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(total == nDocs, s"aggregate covers $total of $nDocs documents")
+    // bits is constant 16 in the builder; a parser offset slip shows here
+    assert(out.forall(_.getInt(6) == 16))
+  }
+
   test("q93 gate shape: every synthetic payload parses, aggregates stay int-exact") {
     val out = MultimodalOps.q93ImageMeta(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
