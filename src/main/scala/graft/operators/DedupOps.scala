@@ -670,6 +670,82 @@ object DedupOps {
        |SELECT n AS doc_id, MIN(m) AS component
        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup against an EXISTING corpus index — the ingest-time
+    * production shape: a new batch of documents probes the accumulated
+    * corpus's LSH signature index instead of self-deduping the union
+    * (re-running q27 over corpus+batch would re-hash the whole corpus per
+    * batch — quadratic in total ingest). Emits, per (new doc, index doc)
+    * band collision, the shared-band count — the candidate set an exact
+    * rescoring/reject stage consumes.
+    *
+    * Shape: band keys for BOTH sides are one narrow pass each; the probe
+    * is an equi-join on (band, band_key) — shuffle ∝ rows × bands, never
+    * pairs — with the index side capped per bucket (row_number ≤ cap in
+    * doc_id order, the family's standard bounded-degenerate-bucket
+    * contract; mirrored in the oracle so parity is scale-independent).
+    * At 100 TB the index lives bucketed BY band_key on disk
+    * ([[Bucketing]]), so a batch probe reads only colliding buckets and
+    * the join needs no index-side shuffle at all; `useFastKernel = true`
+    * is the production hash family (spec-gated like q84/q92), `false`
+    * the DuckDB-replayable oracle family (q95). */
+  def dedupAgainstIndex(docs: DataFrame, isBatch: Column => Column,
+                        bucketCap: Int = DefaultCandidateCap,
+                        useFastKernel: Boolean = true): DataFrame = {
+    requireCap(bucketCap)
+    val bands =
+      if (useFastKernel)
+        docTokensOf(docs).select(col("doc_id"),
+          posexplode(HashKernels.bandKeysFast(nBands = 4, rowsPerBand = 4)(
+            graft.functions.MinHashTokensExpr(col("l"), 16))).as(Seq("band", "band_key")))
+      else
+        docShinglesOf(docs, withSource = false).select(col("doc_id"),
+          posexplode(HashKernels.bandKeys(nBands = 4, rowsPerBand = 4)(
+            HashKernels.minhash(16)(col("shs")))).as(Seq("band", "band_key")))
+    val w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    val idx = bands.filter(!isBatch(col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap)
+      .select(col("doc_id").as("idx_doc"), col("band"), col("band_key"))
+    val batch = bands.filter(isBatch(col("doc_id")))
+      .select(col("doc_id").as("new_doc"), col("band"), col("band_key"))
+    batch.join(idx, Seq("band", "band_key"))
+      .groupBy("new_doc", "idx_doc")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** q95: the incremental-ingest dedup probe as a gate query (md5 family —
+    * DuckDB-replayable; every 4th document plays the "new batch", the rest
+    * the accumulated index). The fast-kernel production twin runs through
+    * the same helper with `useFastKernel = true` and is covered by
+    * FastMinHashSpec's family-equivalence contract. */
+  val q95DedupAgainstIndex: Q = (s, d) =>
+    dedupAgainstIndex(documents(s, d), id => pmod(id, lit(4)) === 0,
+      useFastKernel = false)
+      .orderBy("new_doc", "idx_doc")
+  val q95Sql: String =
+    s"""WITH $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
+       |sig AS (
+       |  SELECT doc_id, CAST(seed AS INT) AS seed,
+       |    MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       |  FROM dsh, range(0, 16) r(seed) GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+       |        ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS band_key
+       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+       |idx AS (
+       |  SELECT doc_id AS idx_doc, band, band_key,
+       |    ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+       |  FROM bands WHERE doc_id % 4 <> 0),
+       |batch AS (
+       |  SELECT doc_id AS new_doc, band, band_key FROM bands WHERE doc_id % 4 = 0)
+       |SELECT b.new_doc, i.idx_doc, COUNT(*) AS n_shared_bands
+       |FROM batch b JOIN idx i
+       |  ON i.band = b.band AND i.band_key = b.band_key AND i.rn <= $DefaultCandidateCap
+       |GROUP BY 1, 2
+       |ORDER BY new_doc, idx_doc""".stripMargin
+
   /** q49: benchmark decontamination — the training-pipeline op that removes
     * eval-set leakage: flag every training document sharing ≥1 word-3-gram
     * shingle with the benchmark set (here: `doc_id % 97 == 0`, a
@@ -828,6 +904,7 @@ object DedupOps {
     "q60_chunk_dedup" -> q60ChunkDedup,
     "q84_lsh_fast" -> q84LshPairsFast,
     "q92_dedup_clusters_fast" -> q92DedupClustersFast,
+    "q95_dedup_against_index" -> q95DedupAgainstIndex,
   )
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,
@@ -840,5 +917,6 @@ object DedupOps {
     "q49_decontaminate" -> q49Sql,
     "q59_source_overlap" -> q59Sql,
     "q60_chunk_dedup" -> q60Sql,
+    "q95_dedup_against_index" -> q95Sql,
   )
 }

@@ -132,6 +132,7 @@ object Soak {
     "q26_minhash_fast", "q27_lsh_pairs", "q84_lsh_fast", "q28_simhash",
     "q64_hamming_profile", "q42_dedup_clusters", "q92_dedup_clusters_fast",
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
+    "q95_dedup_against_index",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",

@@ -162,4 +162,35 @@ class DedupCapSpec extends AnyFunSuite with SharedSpark {
     // and the fallback still flags something real on this corpus
     assert(fallback.filter(col("contaminated")).count() > 0)
   }
+
+  test("incremental index probe: dup batch docs hit their index twins, cap bounds degenerate buckets") {
+    val sp = spark
+    import sp.implicits._
+    // index docs 1..3 distinct; batch doc 100 duplicates index doc 1,
+    // batch doc 104 is novel — both hash families must report 100→1 on
+    // all 4 bands and nothing for 104
+    val mk = (g: Int) => (0 until 30).map(i => s"g${g}w$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(1)), (2L, mk(2)), (3L, mk(3)),
+      (100L, mk(1)), (104L, mk(99))).toDF("doc_id", "text")
+    val isBatch = (id: org.apache.spark.sql.Column) => id >= 100
+    for (fast <- Seq(true, false)) {
+      val got = DedupOps.dedupAgainstIndex(docs, isBatch, useFastKernel = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((100L, 1L, 4L)),
+        s"fast=$fast: expected exactly the (100,1,all-4-bands) hit, got ${got.mkString(",")}")
+    }
+
+    // degenerate bucket: 50 identical index docs + 1 identical batch doc —
+    // the cap bounds candidates to `cap` index partners, not all 50
+    val cap = 4
+    val degen = ((1L to 50L).map(i => (i, mk(7))) :+ (999L, mk(7)))
+      .toDF("doc_id", "text")
+    val probed = DedupOps.dedupAgainstIndex(degen, id => id === 999L,
+      bucketCap = cap, useFastKernel = true).collect()
+    assert(probed.length == cap, s"cap=$cap but ${probed.length} candidates")
+    // capped survivors are the FIRST cap index docs in doc_id order —
+    // deterministic, mirrored by the oracle's ROW_NUMBER
+    assert(probed.map(_.getLong(1)).sorted.toSeq == (1L to cap.toLong))
+  }
 }
