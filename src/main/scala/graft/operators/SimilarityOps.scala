@@ -378,6 +378,46 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
+  /** The IVF AT-REST layout: corpus written partitioned BY COARSE CELL —
+    * the directory structure that turns [[ivfTopK]]'s "probe touches
+    * nProbe/nList of the data" from a filter into a SCAN property
+    * (partition pruning never opens non-probed cells' files). This is the
+    * deployment form of every IVF claim in this file; the bench-path
+    * [[ivfTopK]] computes cells inline because the gate tables aren't
+    * ours to rewrite. */
+  def writeIvfPartitioned(emb: DataFrame, cents: Array[Array[Float]],
+                          path: String): Unit =
+    emb.withColumn("cell",
+        ProductQuantization.cellExpr(emb.sparkSession, cents)(col("embedding")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writeIvfPartitioned]] layout: only the queries' nProbe
+    * nearest cells' DIRECTORIES are read (IvfRecallSpec pins the
+    * PartitionFilters on the scan), then exact cosine + window top-k as
+    * [[ivfTopK]]. Queries arrive as vectors (the production shape — a
+    * query is not usually a corpus row), probe list and query panel both
+    * broadcast. */
+  def ivfTopKAtRest(spark: SparkSession, path: String,
+                    cents: Array[Array[Float]],
+                    queryVecs: Seq[(Long, Array[Float])],
+                    k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val probes = ProductQuantization.probeCells(queryVecs, cents, nProbe)
+    val cells = probes.map(_._2).distinct
+    val cand = spark.read.parquet(path)
+      .filter(col("cell").isInCollection(cells))
+    val probeDF = broadcast(probes.toDF("query_id", "cell"))
+    val q = broadcast(queryVecs.toDF("query_id", "qv"))
+    val scored = cand.join(probeDF, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("target_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** q61: embedding outlier score — L2 distance from each vector to its
     * label's centroid (the quality-filtering signal: far-from-centroid
     * vectors are mislabeled or junk).

@@ -175,6 +175,47 @@ object CorpusStreams {
       }.toDF()
   }
 
+  /** Build the static LSH signature index a streaming ingest probes — the
+    * (idx_doc, band, band_key) table of the accumulated corpus, bucket-
+    * capped exactly like [[graft.operators.DedupOps.dedupAgainstIndex]]'s
+    * index side (production kernel). In a deployment this is a parquet
+    * table bucketed BY band_key, rebuilt/appended by the batch pipeline;
+    * here it is the static side of the stream-static join below. */
+  def signatureIndex(corpus: DataFrame,
+                     bucketCap: Int = graft.operators.DedupOps.DefaultCandidateCap): DataFrame = {
+    val bands = corpus
+      .withColumn("l", split(trim(col("text")), "\\s+"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        posexplode(HashKernels.bandKeysFast(nBands = 4, rowsPerBand = 4)(
+          graft.functions.MinHashTokensExpr(col("l"), 16))).as(Seq("band", "band_key")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key").orderBy("doc_id")
+    bands.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= bucketCap)
+      .select(col("doc_id").as("idx_doc"), col("band"), col("band_key"))
+  }
+
+  /** Streaming incremental dedup probe — the ingest-time form of
+    * [[graft.operators.DedupOps.dedupAgainstIndex]]: each arriving
+    * document's band keys stream-static join the corpus's
+    * [[signatureIndex]]; a collision row (doc_id, idx_doc, band) marks a
+    * candidate duplicate for the sink's rescore/reject stage. STATELESS
+    * on the stream side (the index IS the state, maintained by the batch
+    * pipeline), so restarts and replays route identically, and the
+    * per-micro-batch cost is scan + broadcast/bucketed probe — never a
+    * corpus re-hash. */
+  def dedupProbeAgainstIndex(docs: DataFrame, index: DataFrame): DataFrame =
+    docs
+      .withColumn("l", split(trim(col("text")), "\\s+"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        posexplode(HashKernels.bandKeysFast(nBands = 4, rowsPerBand = 4)(
+          graft.functions.MinHashTokensExpr(col("l"), 16))).as(Seq("band", "band_key")))
+      .join(index, Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .select(col("doc_id"), col("idx_doc"), col("band"))
+
   /** Stateless shard router — the ingest-time form of q86's assignment
     * ([[graft.operators.MixtureOps.shardCol]], same expression): adds the
     * deterministic shard id so the stream sink can `partitionBy("shard")`

@@ -84,6 +84,36 @@ class IvfRecallSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.4, s"IVF recall@10 $recall below 0.4")
   }
 
+  test("at-rest layout: cell partitioning prunes the probe scan, results match ivfTopK") {
+    val qids = queryPanel(2)
+    val nList = 8; val nProbe = 2; val k = 5
+    val cents = ProductQuantization.trainCoarse(emb, nList)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/emb"
+    SimilarityOps.writeIvfPartitioned(emb, cents, path)
+
+    val byId = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queryVecs = qids.map(q => (q, byId(q)))
+    val got = SimilarityOps.ivfTopKAtRest(spark, path, cents, queryVecs,
+      k = k, nProbe = nProbe)
+
+    // the probe must PRUNE: the scan carries a partition filter on cell
+    // and reads at most the probed directories, never all nList
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning on the cell layout:\n$plan")
+    val probedCells = ProductQuantization.probeCells(queryVecs, cents, nProbe)
+      .map(_._2).distinct.toSet
+    assert(probedCells.size < nList, "panel probed every cell — pruning untestable")
+
+    // and the pruned scan returns exactly what the inline-cell ivfTopK
+    // computes for the same quantizer and panel
+    val atRest = got.collect().map(_.toSeq)
+    val inline = SimilarityOps.ivfTopK(emb, qids, k = k, nList = nList,
+      nProbe = nProbe).collect().map(_.toSeq)
+    assert(atRest.toSeq == inline.toSeq)
+  }
+
   test("ivfTopK: output is deterministic across invocations") {
     val qids = queryPanel(3)
     def rows = SimilarityOps.ivfTopK(emb, qids, k = 5, nList = 8, nProbe = 2)

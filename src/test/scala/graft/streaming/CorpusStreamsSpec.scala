@@ -240,6 +240,40 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.values.forall(s => s >= 0 && s < 16))
   }
 
+  test("streaming dedup probe: arrivals collide with the static index like the batch op") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    // corpus: three distinct docs (disjoint token sets); arrivals: one
+    // exact dup of corpus doc 1, one novel doc
+    val mk = (g: Int) => (0 until 30).map(i => s"c${g}w$i").mkString(" ")
+    val corpus = Seq((1L, mk(1)), (2L, mk(2)), (3L, mk(3))).toDF("doc_id", "text")
+    val index = CorpusStreams.signatureIndex(corpus)
+
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.dedupProbeAgainstIndex(
+        stream.toDF().select(col("doc_id"), col("text")), index)
+      .writeStream.format("memory").queryName("dedupprobe").outputMode("append").start()
+    stream.addData(SourcedDoc(100, "web", mk(1))) // dup of corpus doc 1
+    q.processAllAvailable()
+    stream.addData(SourcedDoc(101, "web", mk(99))) // novel
+    q.processAllAvailable()
+    q.stop()
+
+    val got = sp.table("dedupprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+    // the dup collides with its twin on all 4 bands; the novel doc on none
+    assert(got == Map((100L, 1L) -> 4), got.toString)
+
+    // and the streamed collisions match the batch operator's shared-band
+    // counts on the same union corpus
+    val union = corpus.union(Seq((100L, mk(1)), (101L, mk(99))).toDF("doc_id", "text"))
+    val batch = graft.operators.DedupOps
+      .dedupAgainstIndex(union, id => id >= 100, useFastKernel = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2).toInt)).toMap
+    assert(batch == got.map { case (k, v) => k -> v })
+  }
+
   test("checkpoint restart: packing state survives a kill and resumes exactly") {
     // The durability contract behind every stateful stream here: stop the
     // query mid-corpus, restart FROM THE CHECKPOINT (same sink, same state
