@@ -254,7 +254,15 @@ object SteeringLoop {
       val candidates = for {
         r <- 0 until nQ
         c <- 0 until nC if !explored(r, c)
-        pred = math.expm1(completed(r, c)) if pred > 0.0
+        // A degenerate completion (≤0 "seconds", possible while a row has
+        // a single observed cell and the rank-k factors haven't localized;
+        // NaN under a poisoned warm start) must not exclude the cell from
+        // exploration FOREVER — fall back to a neutral just-under-best
+        // prior: the cell ranks last (improvement ≈ 1%) but stays
+        // probeable, and its probe is still tolerance-bounded by α·minObs.
+        pred0 = math.expm1(completed(r, c))
+        pred = (if (pred0 > 0.0) pred0 else 0.99 * minObs(r))
+        if pred > 0.0 && !pred.isInfinity
         // α=∞ means "never censor on the best-observed bound" — keep that
         // term ∞ explicitly: α·minObs would be NaN when a 0-cost cell
         // makes minObs 0 (0·∞), silently dropping the query's candidates

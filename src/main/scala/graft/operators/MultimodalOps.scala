@@ -506,16 +506,151 @@ object MultimodalOps {
        |GROUP BY 1, 2, 3 ORDER BY source, sample_rate, channels""".stripMargin
   }
 
+  /** Parse movie metadata from an MP4 / ISO-BMFF header — the third
+    * structural family after the flat big-endian image headers (q93) and
+    * the little-endian RIFF chunks (q94): a NESTED box tree. Boxes are
+    * `size:be32 type:4cc payload`, sizes include the 8-byte header, and
+    * the movie header (`mvhd`, version 0) lives INSIDE the `moov`
+    * container — so parsing requires a two-level walk with bounds carried
+    * from the enclosing box. Returns (major_brand, timescale, duration,
+    * duration_ms) or None; duration_ms = duration·1000/timescale, the
+    * ISO-14496-12 rule. */
+  def parseMp4Meta(p: Array[Byte]): Option[(String, Int, Long, Long)] = {
+    def be32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    def typ(i: Int): String = new String(p, i, 4, "US-ASCII")
+    var brand: String = null
+    var i = 0
+    while (i + 8 <= p.length) {
+      val size = be32(i)
+      if (size < 8 || i + size > p.length) return None
+      typ(i + 4) match {
+        case "ftyp" if size >= 16 => brand = typ(i + 8)
+        case "moov" =>
+          val end = (i + size).toInt
+          var j = i + 8
+          while (j + 8 <= end) {
+            val cs = be32(j)
+            if (cs < 8 || j + cs > end) return None
+            if (typ(j + 4) == "mvhd" && cs >= 28 && (p(j + 8) & 0xff) == 0) {
+              // v0 payload: ver/flags(4) creation(4) modification(4)
+              // timescale(4) duration(4)
+              val ts = be32(j + 20)
+              val dur = be32(j + 24)
+              return if (ts > 0 && brand != null)
+                Some((brand, ts.toInt, dur, dur * 1000L / ts))
+              else None
+            }
+            j += cs.toInt
+          }
+          return None // moov without a v0 mvhd
+        case _ => ()
+      }
+      i += size.toInt
+    }
+    None
+  }
+
+  /** q96: movie-container metadata as a gate query — structurally-real
+    * ISO-BMFF payloads (variable-brand `ftyp`, variable `free` padding at
+    * BOTH nesting levels — forcing the genuine two-level size walk — and
+    * a v0 `mvhd`), built from hex in both engines, parsed from the bytes
+    * by [[parseMp4Meta]], aggregated by (source, timescale). */
+  val q96VideoMeta: Q = (s, d) => {
+    val media = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("tsc", element_at(
+        array(lit(600), lit(1000), lit(90000), lit(44100)),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      .withColumn("dur", (col("n_chars") * 500).cast("int"))
+      .withColumn("nb", pmod(col("doc_id"), lit(3)).cast("int"))
+      .withColumn("pad", pmod(col("doc_id"), lit(16)).cast("int"))
+      .withColumn("pad2", pmod(col("doc_id") * 7, lit(12)).cast("int"))
+      .withColumn("hx", expr(
+        """concat(
+          |  lpad(lower(hex(16 + 4 * nb)), 8, '0'), '66747970', '69736f6d',
+          |  '00000000', repeat('6d703431', nb),
+          |  lpad(lower(hex(8 + pad)), 8, '0'), '66726565', repeat('00', pad),
+          |  lpad(lower(hex(8 + (8 + pad2) + 28)), 8, '0'), '6d6f6f76',
+          |  lpad(lower(hex(8 + pad2)), 8, '0'), '66726565', repeat('00', pad2),
+          |  lpad(lower(hex(28)), 8, '0'), '6d766864', '00000000',
+          |  '00000000', '00000000',
+          |  lpad(lower(hex(tsc)), 8, '0'), lpad(lower(hex(dur)), 8, '0'))""".stripMargin))
+      .select(col("doc_id"), col("source"), unhex(col("hx")).as("payload"))
+    val parse = udf { (p: Array[Byte]) => parseMp4Meta(p) }
+    media.select(col("doc_id"), col("source"), parse(col("payload")).as("m"))
+      .select(col("doc_id"), col("source"),
+        col("m._1").as("brand"), col("m._2").as("timescale"),
+        col("m._3").as("duration"), col("m._4").as("duration_ms"))
+      .groupBy("source", "timescale")
+      .agg(count(lit(1)).as("n"),
+        sum("duration_ms").as("sum_ms"),
+        max("duration").as("max_dur"),
+        min("brand").as("brand_min"))
+      .orderBy("source", "timescale")
+  }
+  val q96Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    [600, 1000, 90000, 44100][CAST(doc_id % 4 AS INT) + 1] AS tsc,
+      |    CAST(n_chars * 500 AS INT) AS dur,
+      |    CAST(doc_id % 3 AS INT) AS nb,
+      |    CAST(doc_id % 16 AS INT) AS pad,
+      |    CAST((doc_id * 7) % 12 AS INT) AS pad2
+      |  FROM documents),
+      |hexed AS (
+      |  SELECT doc_id, source,
+      |    lpad(lower(to_hex(16 + 4 * nb)), 8, '0') || '66747970' || '69736f6d'
+      |    || '00000000' || repeat('6d703431', nb)
+      |    || lpad(lower(to_hex(8 + pad)), 8, '0') || '66726565' || repeat('00', pad)
+      |    || lpad(lower(to_hex(8 + (8 + pad2) + 28)), 8, '0') || '6d6f6f76'
+      |    || lpad(lower(to_hex(8 + pad2)), 8, '0') || '66726565' || repeat('00', pad2)
+      |    || lpad(lower(to_hex(28)), 8, '0') || '6d766864' || '00000000'
+      |    || '00000000' || '00000000'
+      |    || lpad(lower(to_hex(tsc)), 8, '0') || lpad(lower(to_hex(dur)), 8, '0') AS hx
+      |  FROM base),
+      |-- the two-level box walk, replayed on the hex: every offset below
+      |-- is derived from a SIZE READ FROM THE STREAM (byte B reads at
+      |-- substr position 2B+1), never recomputed from nb/pad/pad2
+      |w1 AS ( -- ftyp size -> offset of the top-level free box
+      |  SELECT *, CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) AS ftyp_sz
+      |  FROM hexed),
+      |w2 AS ( -- free size -> offset of moov
+      |  SELECT *, ftyp_sz + CAST(concat('0x',
+      |      substr(hx, CAST(ftyp_sz * 2 + 1 AS INT), 8)) AS BIGINT) AS moov_off
+      |  FROM w1),
+      |w3 AS ( -- first moov child's size -> offset of mvhd
+      |  SELECT *, moov_off + 8 + CAST(concat('0x',
+      |      substr(hx, CAST((moov_off + 8) * 2 + 1 AS INT), 8)) AS BIGINT) AS mvhd_off
+      |  FROM w2),
+      |parsed AS (
+      |  SELECT doc_id, source, 'isom' AS brand,
+      |    CAST(concat('0x',
+      |      substr(hx, CAST((mvhd_off + 20) * 2 + 1 AS INT), 8)) AS BIGINT) AS timescale,
+      |    CAST(concat('0x',
+      |      substr(hx, CAST((mvhd_off + 24) * 2 + 1 AS INT), 8)) AS BIGINT) AS duration
+      |  FROM w3)
+      |SELECT source, CAST(timescale AS INT) AS timescale,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(duration * 1000 // timescale) AS BIGINT) AS sum_ms,
+      |  MAX(duration) AS max_dur,
+      |  MIN(brand) AS brand_min
+      |FROM parsed
+      |GROUP BY 1, 2 ORDER BY source, timescale""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q31_multimodal_decode" -> q31MultimodalDecode,
     "q43_frame_sample" -> q43FrameSample,
     "q93_image_meta" -> q93ImageMeta,
     "q94_audio_meta" -> q94AudioMeta,
+    "q96_video_meta" -> q96VideoMeta,
   )
   val oracle: Map[String, String] = Map(
     "q31_multimodal_decode" -> q31Sql,
     "q43_frame_sample" -> q43Sql,
     "q93_image_meta" -> q93Sql,
     "q94_audio_meta" -> q94Sql,
+    "q96_video_meta" -> q96Sql,
   )
 }

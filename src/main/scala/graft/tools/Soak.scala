@@ -141,7 +141,8 @@ object Soak {
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
     // multimodal plumbing
-    "q31_multimodal_decode", "q43_frame_sample",
+    "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",
+    "q94_audio_meta", "q96_video_meta",
     // similarity / ANN
     "q29_ann_bruteforce", "q30_ann_lsh_bucketed", "q32_embedding_neardup",
     "q33_ann_native", "q61_embedding_outliers", "q70_dim_stats",

@@ -102,6 +102,42 @@ class ImageMetaSpec extends AnyFunSuite with SharedSpark {
     assert(out.forall(_.getInt(6) == 16))
   }
 
+  test("golden MP4: ftyp + free + moov/mvhd v0 walk (smartphone-file shape)") {
+    // isom brand with two compatible brands, 24-byte free box, moov whose
+    // mvhd reports timescale 1000 / duration 60000 → exactly 60 s
+    val mp4 = hx(
+      "00000018 66747970 69736f6d 00000000 69736f32 6d703431" + // ftyp(24)
+      " 00000018 66726565" + "00" * 16 + // free(24)
+      " 00000024 6d6f6f76" + // moov(36)
+      "  0000001c 6d766864 00000000 00000000 00000000 000003e8 0000ea60")
+    assert(MultimodalOps.parseMp4Meta(mp4)
+      .contains(("isom", 1000, 60000L, 60000L)))
+  }
+
+  test("malformed MP4 inputs return None, never throw") {
+    assert(MultimodalOps.parseMp4Meta(Array.emptyByteArray).isEmpty)
+    assert(MultimodalOps.parseMp4Meta("garbage not a box".getBytes).isEmpty)
+    // valid ftyp but a box whose size overruns the payload
+    assert(MultimodalOps.parseMp4Meta(
+      hx("00000010 66747970 69736f6d 00000000 7fffffff 6d6f6f76")).isEmpty)
+    // moov present but no mvhd inside
+    assert(MultimodalOps.parseMp4Meta(
+      hx("00000010 66747970 69736f6d 00000000" +
+        " 00000010 6d6f6f76 00000008 66726565")).isEmpty)
+    // size < 8 (would spin without the guard)
+    assert(MultimodalOps.parseMp4Meta(
+      hx("00000004 66747970 69736f6d")).isEmpty)
+  }
+
+  test("q96 gate shape: every synthetic payload parses, total covers the corpus") {
+    val out = MultimodalOps.q96VideoMeta(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(2)).sum
+    val nDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(total == nDocs, s"aggregate covers $total of $nDocs documents")
+    assert(out.forall(_.getString(5) == "isom"))
+  }
+
   test("q93 gate shape: every synthetic payload parses, aggregates stay int-exact") {
     val out = MultimodalOps.q93ImageMeta(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
