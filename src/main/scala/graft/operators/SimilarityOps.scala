@@ -492,6 +492,49 @@ object SimilarityOps {
       |    AS var_val
       |FROM f GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** q97: cross-modal consistency audit — the first documents⋈embeddings
+    * operator: per embedding-cluster label, the language mix of its
+    * documents and the majority-language purity. A low-purity label marks
+    * a cluster whose embeddings disagree with the text metadata (bad
+    * embeddings, mislabeled docs, or a genuinely mixed topic) — the audit
+    * every multimodal corpus runs before trusting cluster-level curation.
+    *
+    * Scale shape: the join is id⋈id between two corpus-sized tables —
+    * shuffle on the shared key (at rest both sides bucket by id, making
+    * it exchange-free); the aggregation collapses map-side to
+    * |labels|×|langs| rows, so the windowed purity pass runs on a tiny
+    * frame. Purity = n_majority/n_total in IEEE double (long inputs —
+    * division identical in both engines), 6dp round. */
+  val q97CrossModalPurity: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val emb = embeddings(s, d).select(col("vec_id").as("doc_id"), col("label"))
+    val counts = docs.join(emb, "doc_id")
+      .groupBy("label", "lang").agg(count(lit(1)).as("n"))
+    val wTotal = Window.partitionBy("label")
+    val wRank = Window.partitionBy("label").orderBy(desc("n"), col("lang"))
+    counts
+      .withColumn("total", sum("n").over(wTotal))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("total").as("n_docs"),
+        col("lang").as("top_lang"),
+        round(col("n").cast(DoubleType) / col("total"), 6).as("purity"))
+      .orderBy("label")
+  }
+  val q97Sql: String =
+    """WITH c AS (
+      |  SELECT e.label, d.lang, COUNT(*) AS n
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT label, lang, n,
+      |    SUM(n) OVER (PARTITION BY label) AS total,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY n DESC, lang) AS rk
+      |  FROM c)
+      |SELECT label, CAST(total AS BIGINT) AS n_docs, lang AS top_lang,
+      |  ROUND(CAST(n AS DOUBLE) / total, 6) AS purity
+      |FROM r WHERE rk = 1 ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
@@ -499,6 +542,7 @@ object SimilarityOps {
     "q33_ann_native" -> q33AnnNative,
     "q61_embedding_outliers" -> q61EmbeddingOutliers,
     "q70_dim_stats" -> q70DimStats,
+    "q97_crossmodal_purity" -> q97CrossModalPurity,
     // rows-only (k-means codebooks aren't SQL-portable); recall bounds
     // are spec'd in ProductQuantizationSpec instead
     "q81_pq_ann" -> ProductQuantization.q81PqAnn,
@@ -511,5 +555,6 @@ object SimilarityOps {
     "q33_ann_native" -> q33Sql,
     "q61_embedding_outliers" -> q61Sql,
     "q70_dim_stats" -> q70Sql,
+    "q97_crossmodal_purity" -> q97Sql,
   )
 }

@@ -391,6 +391,32 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"cell probe list not broadcast — IVF pruning would shuffle the codes:\n$plan")
   }
 
+  test("q93/q94/q96 media metadata: one pruned scan, partial aggs, no text read") {
+    // the header builders derive everything from (doc_id, source, n_chars);
+    // a regression that references `text` would silently 50× the scanned
+    // bytes — pin the pruned ReadSchema, the single scan, and the
+    // two-exchange agg shape (partial → final → output sort)
+    for (q <- Seq(MultimodalOps.q93ImageMeta, MultimodalOps.q94AudioMeta,
+        MultimodalOps.q96VideoMeta)) {
+      val df = q(spark, sf)
+      val plan = physicalPlan(df)
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("text"), s"media query reads text:\n$readSchema")
+      assert(readSchema.contains("doc_id") && readSchema.contains("n_chars"))
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"expected one scan, got $scans:\n$plan")
+      val exchanges = nodes(df) { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length == 2,
+        s"expected partial-agg + sort exchanges, got ${exchanges.length}:\n$plan")
+      // q93/q94 hash-aggregate; q96's min(string) buffer legally plans as
+      // SortAggregate — require the partial+final pair either way
+      val aggs = nodes(df) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggs.length == 2, s"partial aggregation missing:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE's executedPlan string hides codegen until execution — inspect the
     // codegen explain mode instead
