@@ -552,6 +552,27 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     assert(res.recommendations.isEmpty, res.recommendations.toString)
   }
 
+  test("infinite budget leaves no cell unexplored, even with collapse-prone costs") {
+    // the degenerate-prediction fallback's contract: near-zero observed
+    // values drive the log-space ALS completion toward (or past) zero for
+    // unexplored cells, which previously dropped those cells from every
+    // round's candidate set FOREVER — under an unbounded budget the loop
+    // must instead explore the full matrix
+    val cost = Array(
+      Array(0.005, 3.0, 0.004, 7.0),
+      Array(10.0, 0.002, 5.0, 0.001),
+      Array(0.5, 0.5, 0.5, 0.5))
+    val res = SteeringLoop.run(
+      Seq("qa", "qb", "qc"), Seq("default", "c1", "c2", "c3"),
+      (q, c) => cost(q)(c),
+      batch = 2, rounds = 50, rank = 2)
+    val seen = res.observations.map(o => (o.query, o.config)).toSet
+    assert(seen.size == 12, s"unexplored cells remain: ${
+      (for (r <- 0 to 2; c <- 0 to 3 if !seen((r, c))) yield (r, c)).mkString(",")}")
+    // and recommendations are the true argmins
+    assert(res.recommendations.map(_.configName) == Vector("c2", "c3", "default"))
+  }
+
   test("scale-plumbing axis composes into the 3-D space; column 0 stays default") {
     val space = SteeringLoop.crossed(
       SteeringLoop.crossed(SteeringLoop.defaultConfigs.take(2),
