@@ -24,7 +24,8 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ EventOps.queries ++
       PipelineOps.queries ++ CorpusOps.queries ++ BpeVocab.queries ++
-      PackingOps.queries ++ CorpusPipeline.queries ++ MixtureOps.queries
+      PackingOps.queries ++ CorpusPipeline.queries ++ MixtureOps.queries ++
+      SubstrDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ EventOps.oracle ++
       PipelineOps.oracle ++ CorpusOps.oracle ++ BpeVocab.oracle ++
-      PackingOps.oracle ++ CorpusPipeline.oracle ++ MixtureOps.oracle
+      PackingOps.oracle ++ CorpusPipeline.oracle ++ MixtureOps.oracle ++
+      SubstrDedup.oracle
 }

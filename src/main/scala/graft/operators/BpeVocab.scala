@@ -210,8 +210,6 @@ object BpeVocab {
     }
   }
 
-  val queries: Map[String, Q] = Map("q67_bpe_merges" -> q67BpeMerges)
-
   /** DuckDB replay of the greedy merge loop, generated as one SQL
     * statement: a recursive CTE can't aggregate over its own working
     * table, but the round count is a fixed training parameter, so the
@@ -233,7 +231,7 @@ object BpeVocab {
     * best pair falls under minCount yields an empty b_i, every later
     * round inherits the unchanged table (and stays empty), and the final
     * UNION simply has no rows at those ranks — the loop's early stop. */
-  private def q67SqlGen(nMerges: Int, minCount: Long): String = {
+  private def q67CteChain(nMerges: Int, minCount: Long): String = {
     val rounds = (1 to nMerges).map { i =>
       val prev = s"m${i - 1}"
       s"""p$i AS MATERIALIZED (
@@ -252,10 +250,7 @@ object BpeVocab {
          |                 chr(31) || b.l || b.r || chr(30)) END AS s, w.freq
          |  FROM $prev w LEFT JOIN b$i b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val finalSel = (1 to nMerges).map(i =>
-      s"""SELECT $i AS "rank", l AS "left", r AS "right", cnt AS pair_count FROM b$i""")
-      .mkString("\n  UNION ALL ")
-    s"""WITH m0 AS MATERIALIZED (
+    s"""m0 AS MATERIALIZED (
        |  SELECT array_to_string(list_transform(string_split(word, ''),
        |           x -> chr(31) || x || chr(30)), '') AS s, freq
        |  FROM (
@@ -263,7 +258,14 @@ object BpeVocab {
        |    FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS word
        |          FROM documents)
        |    GROUP BY word)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def q67SqlGen(nMerges: Int, minCount: Long): String = {
+    val finalSel = (1 to nMerges).map(i =>
+      s"""SELECT $i AS "rank", l AS "left", r AS "right", cnt AS pair_count FROM b$i""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${q67CteChain(nMerges, minCount)}
        |SELECT * FROM (
        |  $finalSel
        |) ORDER BY "rank"""".stripMargin
@@ -271,5 +273,63 @@ object BpeVocab {
 
   val q67Sql: String = q67SqlGen(nMerges = 20, minCount = 2L)
 
-  val oracle: Map[String, String] = Map("q67_bpe_merges" -> q67Sql)
+  /** DuckDB replay of corpus ENCODING with the learned table: the final
+    * round's word table m$n IS the segmentation (the training CTE chain is
+    * shared verbatim with [[q67Sql]]); stripping the sentinels recovers the
+    * word type, counting chr(30)-terminated symbols gives its BPE length,
+    * and a join back onto the exploded corpus prices every occurrence. */
+  private def q99SqlGen(nMerges: Int, minCount: Long): String =
+    s"""WITH ${q67CteChain(nMerges, minCount)},
+       |tok AS (SELECT replace(replace(s, chr(31), ''), chr(30), '') AS word,
+       |               len(list_filter(string_split(s, chr(30)), x -> x <> '')) AS n_bpe
+       |        FROM m$nMerges),
+       |docw AS (SELECT source, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+       |         FROM documents)
+       |SELECT source,
+       |  COUNT(*) AS n_word_occurrences,
+       |  COUNT(DISTINCT docw.word) AS n_types,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens
+       |FROM docw JOIN tok USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  val q99Sql: String = q99SqlGen(nMerges = 20, minCount = 2L)
+
+  /** Corpus BPE encoding stats with a freshly-trained `nMerges` table —
+    * the INFERENCE half of the tokenizer (q67 is training). The scale
+    * shape is the point: [[segment]] runs once per WORD TYPE (vocab-sized
+    * — thousands here, ~10M at web scale), never per occurrence, and the
+    * corpus pays one explode plus one broadcast join of the (word, n_bpe)
+    * map — at 100 TB the per-occurrence cost is a hash probe, not a
+    * 20-round merge loop. Per-source output is all-long → hash-exact. */
+  def encodeStats(docs: DataFrame, textCol: String, nMerges: Int,
+                  minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val ordered = train(docs, textCol, nMerges, minCount)
+      .sortBy(_.rank).map(m => (m.left, m.right))
+    val bc = spark.sparkContext.broadcast(ordered)
+    val nBpe = udf((w: String) => {
+      var syms: Seq[String] = w.split("").toSeq
+      bc.value.foreach { case (l, r) => syms = applyMerge(l, r, syms) }
+      syms.length
+    })
+    val words = docs.select(col("source"), explode(TextOps.tokens(col(textCol))).as("word"))
+    val types = words.select("word").distinct().withColumn("n_bpe", nBpe(col("word")))
+    words.join(broadcast(types), Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_word_occurrences"),
+           count_distinct(col("word")).as("n_types"),
+           sum("n_bpe").as("bpe_tokens"))
+      .orderBy("source")
+  }
+
+  /** q99: per-source BPE token accounting under the 20-merge table. */
+  val q99BpeEncode: Q = (s, d) => encodeStats(documents(s, d), "text", nMerges = 20)
+
+  val queries: Map[String, Q] = Map(
+    "q67_bpe_merges" -> q67BpeMerges,
+    "q99_bpe_encode" -> q99BpeEncode)
+
+  val oracle: Map[String, String] = Map(
+    "q67_bpe_merges" -> q67Sql,
+    "q99_bpe_encode" -> q99Sql)
 }

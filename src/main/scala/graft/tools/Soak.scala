@@ -132,7 +132,7 @@ object Soak {
     "q26_minhash_fast", "q27_lsh_pairs", "q84_lsh_fast", "q28_simhash",
     "q64_hamming_profile", "q42_dedup_clusters", "q92_dedup_clusters_fast",
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
-    "q95_dedup_against_index",
+    "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -140,6 +140,7 @@ object Soak {
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
+    "q99_bpe_encode",
     // multimodal plumbing
     "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",
     "q94_audio_meta", "q96_video_meta",
@@ -189,7 +190,9 @@ object Soak {
         // specs), timed here so the md5-vs-fast gap stays measurable.
         val soakOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
           "q26_minhash_fast" -> ((s, d) => graft.operators.DedupOps
-            .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)))
+            .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)),
+          "q98_substr_hashed" -> ((s, d) => graft.operators.SubstrDedup
+            .substrSpanCoverage(graft.Tables.documents(s, d), hashedKeys = true)))
         val only = sys.env.get("SPARK_GRAFT_QUERIES")
           .map(_.split(",").toSet).getOrElse(families.toSet)
         val rows = families.filter(only).map { name =>
@@ -211,7 +214,7 @@ object Soak {
         val total = rows.map(_._2).sum
         // the md5 signature family exists only to stay DuckDB-replayable;
         // production runs the fast kernel, so report both totals
-        val oracleOnly = Set("q26_minhash_signatures")
+        val oracleOnly = Set("q26_minhash_signatures", "q98_substr_spans")
         val prod = rows.filterNot(r => oracleOnly(r._1)).map(_._2).sum
         println(f"TOTAL ${rows.length} queries ${total}%.1f s (production-kernel total ${prod}%.1f s); failures: ${rows.count(_._3 != "ok")}")
       case other => sys.error(s"unknown mode $other (gen|run)")

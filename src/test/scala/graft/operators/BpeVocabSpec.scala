@@ -76,4 +76,30 @@ class BpeVocabSpec extends AnyFunSuite with SharedSpark {
     val counts = rows.map(_.getLong(3)).toSeq
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q99 encode: hand-computed token accounting on the classic corpus") {
+    import spark.implicits._
+    val docs = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+      .flatMap { case (w, n) => Seq.fill(n)(("a", w)) }.toDF("source", "text")
+    // 4 merges: es, est, lo, low ⇒ low→[low](1), lower→[low,e,r](3),
+    // newest→[n,e,w,est](4), widest→[w,i,d,est](4)
+    val out = BpeVocab.encodeStats(docs, "text", nMerges = 4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("a", 16L, 4L, 5L * 1 + 2 * 3 + 6 * 4 + 3 * 4)))
+  }
+
+  test("q99 encode: distributed totals equal driver-side segment() on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val merges = BpeVocab.train(docs, "text", nMerges = 20)
+    val expected = docs
+      .select(org.apache.spark.sql.functions.explode(
+        TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("word"))
+      .collect().map(_.getString(0))
+      .map(w => BpeVocab.segment(w, merges).length.toLong).sum
+    val got = BpeVocab.q99BpeEncode(spark, sf).collect().map(_.getLong(3)).sum
+    assert(got == expected)
+  }
 }
