@@ -136,12 +136,79 @@ object CorpusOps {
       |    AS avg_logprob
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q101: per-source distribution divergence — KL(source ‖ corpus) over
+    * unigram distributions, plus token/vocab totals. The mixture-curation
+    * diagnostic (CCNet's per-shard LM deltas, DoReMi's domain reweighting):
+    * a source whose unigram distribution sits far from the corpus is
+    * template spam, mis-tagged language, or genuinely novel domain — all
+    * of which change its sampling weight.
+    *
+    * KL(p_s ‖ q) = Σ_w p_s(w)·ln(p_s(w)/q(w)) is finite by construction:
+    * every source's vocabulary is a subset of the corpus vocabulary, so
+    * q(w) > 0 wherever p_s(w) > 0.
+    *
+    * Scale shape: the (source, token) count table collapses map-side to
+    * source-count × vocab rows; per-source totals are |sources| rows
+    * (broadcast back), the global token-count table is vocab-sized (its
+    * join keys on the high-cardinality near-uniform token — AQE-skew-safe),
+    * and the grand total is one broadcast row. Nothing downstream of the
+    * first partial aggregation is corpus-sized. Determinism: per-term
+    * doubles rounded to 6dp, order-free DECIMAL(38,6) summation — the
+    * q62/q63 policy. */
+  val q101SourceDivergence: Q = (s, d) => {
+    val tok = documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+    val csw = tok.groupBy("source", "token").agg(count(lit(1)).as("c_sw"))
+    val ns = csw.groupBy("source")
+      .agg(sum(col("c_sw")).as("n_s"), count(lit(1)).as("vocab_s"))
+    val cw = csw.groupBy("token").agg(sum(col("c_sw")).as("c_w"))
+    val nTot = cw.agg(sum(col("c_w")).as("n_tot"))
+    val p = col("c_sw").cast(DoubleType) / col("n_s")
+    val q = col("c_w").cast(DoubleType) / col("n_tot")
+    csw.join(broadcast(ns), Seq("source"))
+      .join(cw, Seq("token"))
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_s"), col("vocab_s"),
+        round(p * log(p / q), 6).as("term"))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_tokens"),
+        first(col("vocab_s")).as("vocab_size"),
+        round(sum(col("term").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+          .as("kl_divergence"))
+      .orderBy("source")
+  }
+  val q101Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(TRIM(text), '\s+')) AS token
+      |  FROM documents),
+      |csw AS (SELECT source, token, COUNT(*) AS c_sw FROM tok GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+      |              COUNT(*) AS vocab_s
+      |       FROM csw GROUP BY source),
+      |cw AS (SELECT token, CAST(SUM(c_sw) AS BIGINT) AS c_w
+      |       FROM csw GROUP BY token),
+      |nt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM cw),
+      |terms AS (
+      |  SELECT csw.source, ns.n_s, ns.vocab_s,
+      |    ROUND((CAST(c_sw AS DOUBLE) / n_s)
+      |          * LN((CAST(c_sw AS DOUBLE) / n_s)
+      |               / (CAST(c_w AS DOUBLE) / n_tot)), 6) AS term
+      |  FROM csw JOIN ns USING (source) JOIN cw USING (token) CROSS JOIN nt)
+      |SELECT source,
+      |  FIRST(n_s) AS n_tokens,
+      |  FIRST(vocab_s) AS vocab_size,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |    AS kl_divergence
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62TfidfTopTerms,
     "q63_bigram_lm" -> q63BigramLm,
+    "q101_source_divergence" -> q101SourceDivergence,
   )
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
     "q63_bigram_lm" -> q63Sql,
+    "q101_source_divergence" -> q101Sql,
   )
 }

@@ -211,6 +211,91 @@ object TextOps {
       |       / GREATEST(LENGTH(cleaned), 1) >= 0.25) AS kept
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q100: repetition signals — the Gopher-rule family (Rae et al. 2021,
+    * "Scaling Language Models", table A1): per-document duplicate-word
+    * fraction, duplicate-bigram fraction, and TOP-bigram concentration,
+    * with a keep/flag verdict. q51 already covers the dup-n-gram-fraction
+    * half of the rule set; the new signal here is the concentration one
+    * ("fraction of the doc inside its single most frequent n-gram" —
+    * Gopher's top-2-gram rule), which needs a per-doc MAX COUNT, not just
+    * a distinct count.
+    *
+    * Scale shape: one explode + TWO map-side-collapsing shuffles, both
+    * keyed to include doc_id. The per-(doc, bigram) count collapses
+    * map-side (a boilerplate gram repeated inside a doc costs one partial
+    * row per task), and the key carries doc_id so a corpus-wide hot gram
+    * can never funnel one reducer — the same first-shuffle discipline as
+    * q98. The tempting shuffle-free alternative (sort the doc's own
+    * bigram array, take the longest equal-run with the `aggregate` HOF)
+    * measured 21.5 s vs 1.5 s at sf0.1: higher-order functions drop the
+    * projection out of whole-stage codegen into interpreted eval with no
+    * common-subexpression elimination, so every output column re-derives
+    * the token pipeline — the collapsed-shuffle shape is the honest
+    * 100 TB plan as well as the fast one here. */
+  val q100Repetition: Q = (s, d) => {
+    val base = documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"), col("w"),
+        size(col("w")).as("n"), size(array_distinct(col("w"))).as("nd"))
+    val grams = base.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, n - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bg"))
+    val gs = grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("nb"), count(lit(1)).as("ndb"),
+        max(col("c")).as("topc"))
+    val nb = coalesce(col("nb"), lit(0L))
+    val safeNb = greatest(nb, lit(1L)).cast("double")
+    val dupWordFrac = round((col("n") - col("nd")).cast("double") / col("n"), 6)
+    val dupBigramFrac =
+      round((nb - coalesce(col("ndb"), lit(0L))).cast("double") / safeNb, 6)
+    val topBigramFrac =
+      round(coalesce(col("topc"), lit(0L)).cast("double") / safeNb, 6)
+    base.join(gs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        col("n").as("n_tokens"),
+        dupWordFrac.as("dup_word_frac"),
+        dupBigramFrac.as("dup_bigram_frac"),
+        topBigramFrac.as("top_bigram_frac"),
+        (topBigramFrac > 0.18 || dupBigramFrac > 0.60).as("flagged"))
+      .orderBy("doc_id")
+  }
+  val q100Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(TRIM(text), '\s+') AS words
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source, LEN(words) AS n,
+      |    LEN(list_distinct(words)) AS nd,
+      |    CASE WHEN LEN(words) >= 2
+      |         THEN list_transform(range(1, LEN(words)),
+      |                             i -> words[i] || ' ' || words[i + 1])
+      |         ELSE [] END AS grams
+      |  FROM w),
+      |g AS (SELECT doc_id, unnest(grams) AS bg FROM b),
+      |gc AS (SELECT doc_id, bg, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, COUNT(*) AS ndb,
+      |              MAX(c) AS topc
+      |       FROM gc GROUP BY doc_id)
+      |SELECT b.doc_id, b.source, b.n AS n_tokens,
+      |  ROUND((b.n - b.nd) / CAST(b.n AS DOUBLE), 6) AS dup_word_frac,
+      |  ROUND((COALESCE(gs.nb, 0) - COALESCE(gs.ndb, 0))
+      |        / CAST(GREATEST(COALESCE(gs.nb, 0), 1) AS DOUBLE), 6)
+      |    AS dup_bigram_frac,
+      |  ROUND(COALESCE(gs.topc, 0)
+      |        / CAST(GREATEST(COALESCE(gs.nb, 0), 1) AS DOUBLE), 6)
+      |    AS top_bigram_frac,
+      |  (ROUND(COALESCE(gs.topc, 0)
+      |         / CAST(GREATEST(COALESCE(gs.nb, 0), 1) AS DOUBLE), 6) > 0.18
+      |   OR ROUND((COALESCE(gs.nb, 0) - COALESCE(gs.ndb, 0))
+      |            / CAST(GREATEST(COALESCE(gs.nb, 0), 1) AS DOUBLE), 6) > 0.60)
+      |    AS flagged
+      |FROM b LEFT JOIN gs ON b.doc_id = gs.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
@@ -219,6 +304,7 @@ object TextOps {
     "q39_vocab_topk" -> q39VocabTopK,
     "q40_hash_split" -> q40HashSplit,
     "q47_clean_corpus" -> q47CleanCorpus,
+    "q100_repetition" -> q100Repetition,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
@@ -228,5 +314,6 @@ object TextOps {
     "q39_vocab_topk" -> q39Sql,
     "q40_hash_split" -> q40Sql,
     "q47_clean_corpus" -> q47Sql,
+    "q100_repetition" -> q100Sql,
   )
 }
