@@ -133,6 +133,7 @@ object Soak {
     "q64_hamming_profile", "q42_dedup_clusters", "q92_dedup_clusters_fast",
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
     "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
+    "q102_semantic_dedup",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -140,7 +141,7 @@ object Soak {
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
-    "q99_bpe_encode",
+    "q99_bpe_encode", "q100_repetition", "q101_source_divergence",
     // multimodal plumbing
     "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",
     "q94_audio_meta", "q96_video_meta",
