@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Full-corpus kNN graph: every vector's top-k nearest neighbors by
+  * cosine — the workhorse behind kNN-graph clustering, graph label
+  * propagation, SemDeDup-style curation, and NN-descent seeding. The
+  * existing ANN surface (q29/q30/q33, q81/q83, `ivfTopK`) answers a
+  * bounded QUERY PANEL (collected to the driver); here the query set IS
+  * the corpus, so nothing may collect and the probe lists must be
+  * computed row-wise.
+  *
+  * Shape (IVF multi-probe self-join):
+  *  1. coarse centroids from the engine's own deterministic sampled-
+  *     Lloyd's trainer, broadcast (nList × dim — tiny at any scale);
+  *  2. index side: every vector assigned to its ONE nearest cell
+  *     ([[ProductQuantization.cellExpr]], narrow);
+  *  3. probe side: every vector exploded to its nProbe nearest cells
+  *     ([[ProductQuantization.probeExpr]] — the per-row twin of the
+  *     driver-side probe list, same tie-break);
+  *  4. equi-join ON CELL (each target lives in exactly one cell, so no
+  *     candidate dedup is needed), native codegen'd cosine rescoring,
+  *     per-source top-k via a rank window that Spark 4 pushes down to a
+  *     map-side WindowGroupLimit before the src_id exchange.
+  *
+  * Cost: Σ_probes |cell| ≈ N · nProbe · |cell| — linear in N when nList
+  * grows with the corpus (the IVF contract everywhere in this engine);
+  * never an N² pair set. Recall is the standard IVF trade: misses only
+  * neighbors whose cell the source didn't probe (KnnGraphSpec measures
+  * it against the exact graph and pins a floor; raising nProbe buys
+  * recall linearly in cost).
+  *
+  * Learned centroids aren't SQL-portable → rows-only in the gate;
+  * KnnGraphSpec carries exact-recall, determinism, degree and
+  * self-exclusion evidence.
+  */
+object KnnGraph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top-k cosine neighbor edges (src_id, nbr_id, sim, rk) for every
+    * vector in `emb`. */
+  def knnEdges(emb: DataFrame, k: Int, nList: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ProductQuantization.trainCoarse(emb, nList)
+    val index = emb.select(col("vec_id"), col("embedding"),
+      ProductQuantization.cellExpr(spark, cents)(col("embedding")).as("cell"))
+    val probes = emb.select(col("vec_id").as("src_id"),
+      col("embedding").as("src_emb"),
+      explode(ProductQuantization.probeExpr(spark, cents, nProbe)(col("embedding")))
+        .as("cell"))
+    val cand = probes.join(index, Seq("cell"))
+      .filter(col("src_id") =!= col("vec_id"))
+      .withColumn("sim",
+        round(graft.functions.CosineSimilarity(col("src_emb"), col("embedding")), 6))
+    val w = Window.partitionBy("src_id").orderBy(desc("sim"), col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("src_id"), col("vec_id").as("nbr_id"), col("sim"), col("rk"))
+  }
+
+  /** q103: the kNN-graph edge list over the embeddings table, ordered for
+    * the gate. */
+  def q103KnnGraph(k: Int = 5, nList: Int = 16, nProbe: Int = 4): Q = (s, d) =>
+    knnEdges(embeddings(s, d), k, nList, nProbe).orderBy("src_id", "rk")
+
+  val queries: Map[String, Q] = Map(
+    "q103_knn_graph" -> q103KnnGraph(),
+  )
+  // Learned centroids aren't SQL-portable — rows-only in the gate;
+  // KnnGraphSpec pins recall vs the exact graph, determinism, and shape.
+  val oracle: Map[String, String] = Map.empty
+}

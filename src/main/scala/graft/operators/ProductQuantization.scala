@@ -194,6 +194,22 @@ object ProductQuantization {
     }
   }
 
+  /** The `nProbe` nearest coarse cells as a reusable function over an
+    * embedding column — the PER-ROW form of [[probeCells]], for callers
+    * whose "query set" is the whole corpus (e.g. the q103 kNN graph)
+    * where a driver-side probe table is impossible. Distance ties broken
+    * by cell id, same as the driver-side form. */
+  def probeExpr(spark: org.apache.spark.sql.SparkSession,
+                cents: Array[Array[Float]], nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(cents)
+    udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val arr = v.toArray
+      cs.indices.map(i => (i, sqdist(arr, 0, cs(i))))
+        .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1).toArray
+    }
+  }
+
   /** Per-query probe list: the `nProbe` nearest coarse cells, computed
     * driver-side (centroid table is tiny), distance ties broken by cell
     * id for determinism. */

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Correctness evidence for the q103 kNN graph (rows-only in the driver
+  * gate): recall against the exact brute-force graph on real sf0.001
+  * embeddings, exhaustive-probe exactness, determinism, and shape
+  * invariants (no self-edges, contiguous ranks, bounded degree).
+  */
+class KnnGraphSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val k = 5
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    graft.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  /** exact top-k neighbor ids per vector, ties broken (sim desc, id asc)
+    * to 6dp — the operator's own tie policy */
+  private lazy val exact: Map[Long, Seq[Long]] = vecs.map { case (id, v) =>
+    id -> vecs.view.filterKeys(_ != id).toSeq
+      .map { case (oid, ov) =>
+        (oid, BigDecimal(cos(v, ov)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (oid, s) => (-s, oid) }.take(k).map(_._1)
+  }
+
+  test("exhaustive probing (nProbe = nList) reproduces the exact graph") {
+    val out = KnnGraph.knnEdges(graft.Tables.embeddings(spark, dir),
+        k, nList = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out.keySet == vecs.keySet)
+    vecs.keys.foreach { id =>
+      assert(out(id) == exact(id), s"vec $id: ${out(id)} != ${exact(id)}")
+    }
+  }
+
+  test("multi-probe recall@5 clears the floor and edges are well-formed") {
+    val edges = KnnGraph.knnEdges(graft.Tables.embeddings(spark, dir),
+        k, nList = 8, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // shape: no self-edges, ranks contiguous from 1, degree <= k, sims sorted
+    edges.foreach { case (s, n, _, _) => assert(s != n) }
+    edges.groupBy(_._1).foreach { case (src, es) =>
+      val sorted = es.sortBy(_._4)
+      assert(sorted.map(_._4).toList == (1 to es.length).toList)
+      assert(es.length <= k)
+      assert(sorted.map(_._3).zip(sorted.map(_._3).drop(1)).forall { case (a, b) => a >= b })
+    }
+    // recall vs exact graph: IVF multi-probe misses only unprobed cells
+    val got = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = vecs.keys.toSeq.map { id =>
+      exact(id).count(got.getOrElse(id, Set.empty).contains).toDouble / k
+    }
+    val recall = hits.sum / hits.size
+    info(f"recall@5 nList=8 nProbe=3: $recall%.3f")
+    assert(recall >= 0.55, f"recall $recall%.3f below floor")
+  }
+
+  test("deterministic across runs") {
+    val run = () => KnnGraph.knnEdges(graft.Tables.embeddings(spark, dir),
+        k, nList = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(run().toSeq == run().toSeq)
+  }
+}
