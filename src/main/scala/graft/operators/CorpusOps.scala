@@ -201,14 +201,88 @@ object CorpusOps {
       |    AS kl_divergence
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** q104: per-source Zipf slope — least-squares fit of ln(freq) against
+    * ln(rank) over each source's top-40 tokens. Natural text sits near
+    * slope −1; template spam and machine-generated fill flatten or
+    * steepen the curve, so the slope is a one-number distribution-shape
+    * audit that complements q101's divergence (which needs a reference
+    * corpus; the Zipf fit is intrinsic).
+    *
+    * Scale shape: identical to q101 up to the per-source top-40 window —
+    * the (source, token) counts collapse map-side to source×vocab rows,
+    * the rank window runs on that aggregate (per-source partitions are
+    * vocab-sized, and WindowGroupLimit prunes to 40 before the full
+    * sort materializes), and the regression is a 4-sum fold per source.
+    * Determinism: ln terms and products rounded to 6dp, DECIMAL(38,6)
+    * order-free sums, and the closed-form slope/intercept computed from
+    * those exact decimal sums — bit-identical across engines. */
+  val q104ZipfSlope: Q = (s, d) => {
+    val tok = documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+    val csw = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(desc("c"), col("token"))
+    val top = csw.withColumn("rk", row_number().over(w)).filter(col("rk") <= 40)
+    val x = round(log(col("rk").cast(DoubleType)), 6)
+    val y = round(log(col("c").cast(DoubleType)), 6)
+    val dec = (e: org.apache.spark.sql.Column) => e.cast(DecimalType(38, 6))
+    val sums = top
+      .select(col("source"), x.as("x"), y.as("y"),
+        round(x * y, 6).as("xy"), round(x * x, 6).as("xx"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).cast(DoubleType).as("sx"),
+        sum(dec(col("y"))).cast(DoubleType).as("sy"),
+        sum(dec(col("xy"))).cast(DoubleType).as("sxy"),
+        sum(dec(col("xx"))).cast(DoubleType).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("source"), col("n").as("n_top"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sy") - round(slope, 6) * col("sx")) / nD, 6).as("intercept"))
+      .orderBy("source")
+  }
+  val q104Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(TRIM(text), '\s+')) AS token
+      |  FROM documents),
+      |csw AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, c,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, token) AS rk
+      |  FROM csw QUALIFY rk <= 40),
+      |terms AS (
+      |  SELECT source,
+      |    ROUND(LN(CAST(rk AS DOUBLE)), 6) AS x,
+      |    ROUND(LN(CAST(c AS DOUBLE)), 6) AS y,
+      |    ROUND(ROUND(LN(CAST(rk AS DOUBLE)), 6)
+      |          * ROUND(LN(CAST(c AS DOUBLE)), 6), 6) AS xy,
+      |    ROUND(ROUND(LN(CAST(rk AS DOUBLE)), 6)
+      |          * ROUND(LN(CAST(rk AS DOUBLE)), 6), 6) AS xx
+      |  FROM top),
+      |sums AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(xx AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      |  FROM terms GROUP BY source)
+      |SELECT source, n AS n_top,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      |  ROUND((sy - ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx)
+      |        / n, 6) AS intercept
+      |FROM sums ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62TfidfTopTerms,
     "q63_bigram_lm" -> q63BigramLm,
     "q101_source_divergence" -> q101SourceDivergence,
+    "q104_zipf_slope" -> q104ZipfSlope,
   )
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
     "q63_bigram_lm" -> q63Sql,
     "q101_source_divergence" -> q101Sql,
+    "q104_zipf_slope" -> q104Sql,
   )
 }

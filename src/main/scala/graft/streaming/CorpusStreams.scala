@@ -216,6 +216,41 @@ object CorpusStreams {
       .filter(col("doc_id") =!= col("idx_doc"))
       .select(col("doc_id"), col("idx_doc"), col("band"))
 
+  /** Build the static IVF cell index a streaming SEMANTIC probe hits —
+    * the accumulated corpus's (idx_vec, cell, idx_emb) table under the
+    * engine's own deterministic coarse quantizer. In a deployment this is
+    * exactly [[graft.operators.SimilarityOps.writeIvfPartitioned]]'s
+    * at-rest layout (partitioned by cell, so a probe's stream-static join
+    * prunes to the probed cells' files); here it is the static side of
+    * the stream-static join below. */
+  def semanticIndex(corpus: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    corpus.select(col("vec_id").as("idx_vec"),
+      col("embedding").as("idx_emb"),
+      graft.operators.ProductQuantization
+        .cellExpr(corpus.sparkSession, cents)(col("embedding")).as("cell"))
+
+  /** Streaming semantic near-dup probe — the ingest-time form of q102
+    * (SemDeDup) and the embedding twin of [[dedupProbeAgainstIndex]]:
+    * each arriving embedding probes its nProbe nearest cells of the
+    * static [[semanticIndex]]; a collision with cosine ≥ tau marks a
+    * semantic duplicate for the sink's reject stage. STATELESS on the
+    * stream side (the index is the state, maintained by the batch
+    * pipeline), so restarts and replays route identically; per-batch
+    * cost is scan + nProbe cell probes per vector — never a corpus
+    * re-scan. */
+  def semanticProbeAgainstIndex(vecs: DataFrame, index: DataFrame,
+                                cents: Array[Array[Float]],
+                                nProbe: Int = 4, tau: Double = 0.45): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+        explode(graft.operators.ProductQuantization
+          .probeExpr(vecs.sparkSession, cents, nProbe)(col("embedding"))).as("cell"))
+      .join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("idx_vec"))
+      .withColumn("sim", round(
+        graft.functions.CosineSimilarity(col("embedding"), col("idx_emb")), 6))
+      .filter(col("sim") >= tau)
+      .select(col("vec_id"), col("idx_vec"), col("sim"))
+
   /** Stateless shard router — the ingest-time form of q86's assignment
     * ([[graft.operators.MixtureOps.shardCol]], same expression): adds the
     * deterministic shard id so the stream sink can `partitionBy("shard")`

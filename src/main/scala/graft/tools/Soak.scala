@@ -142,6 +142,7 @@ object Soak {
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
     "q99_bpe_encode", "q100_repetition", "q101_source_divergence",
+    "q104_zipf_slope",
     // multimodal plumbing
     "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",
     "q94_audio_meta", "q96_video_meta",

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SharedSpark
 
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+final case class Vec(vec_id: Long, embedding: Array[Float])
 final case class SourcedDoc(doc_id: Long, source: String, text: String)
 final case class LangDoc(doc_id: Long, ts: Timestamp, source: String, lang: String)
 
@@ -323,6 +324,39 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     // kill, so doc 4 must land in bin 1, not restart at bin 0
     assert(resumed(4L)._3 == 1L, resumed.toString)
     assert(resumed(6L)._3 == 0L) // a new source starts fresh post-restart
+  }
+
+  test("streaming semantic probe: exact copy collides at sim 1.0, output == batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val corpus = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val cents = graft.operators.ProductQuantization.trainCoarse(corpus, nList = 8)
+    val index = CorpusStreams.semanticIndex(corpus, cents).cache()
+
+    // probe vectors: 9001 is an exact copy of corpus vec 0; 9002 reuses
+    // corpus vec 3's embedding (guaranteed in-distribution collisions)
+    val byId = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probes = Seq(Vec(9001L, byId(0L)), Vec(9002L, byId(3L)))
+
+    val stream = MemoryStream[Vec]
+    val q = CorpusStreams.semanticProbeAgainstIndex(stream.toDF(), index, cents)
+      .writeStream.format("memory").queryName("semprobe").outputMode("append").start()
+    stream.addData(probes.head)
+    q.processAllAvailable()
+    stream.addData(probes(1)) // second micro-batch: same stateless route
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("semprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // the batch twin on the same probe frame must produce the same set
+    val batch = CorpusStreams.semanticProbeAgainstIndex(probes.toDF(), index, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"stream/batch diverged:\n$streamed\nvs\n$batch")
+    // each probe is a verbatim corpus member: its own source row collides at 1.0
+    assert(streamed.contains((9001L, 0L, 1.0)))
+    assert(streamed.contains((9002L, 3L, 1.0)))
   }
 
   test("checkpoint restart: budget admission and content dedup resume exactly") {
