@@ -66,8 +66,38 @@ object KnnGraph {
   def q103KnnGraph(k: Int = 5, nList: Int = 16, nProbe: Int = 4): Q = (s, d) =>
     knnEdges(embeddings(s, d), k, nList, nProbe).orderBy("src_id", "rk")
 
+  /** Semantic clusters: connected components over the kNN graph's
+    * τ-thresholded edges — the grouping form of the graph (SemDeDup's
+    * "semantic cluster" unit, and the embedding twin of q42's lexical
+    * dedup clusters). Reuses the dedup engine's component machinery
+    * ([[DedupOps.connectedComponents]]: bounded driver union-find under
+    * the edge cap, pointer-jumped label propagation above it), so the
+    * scale story is already soak-proven; the edge set is the kNN graph's
+    * (≤ k·N rows) filtered by similarity — never a pair enumeration.
+    * Labels are the component's minimum vec_id (deterministic). */
+  def semanticClusters(emb: DataFrame, k: Int, nList: Int, nProbe: Int,
+                       tau: Double): DataFrame = {
+    val edges = knnEdges(emb, k, nList, nProbe)
+      .filter(col("sim") >= tau)
+      .select(col("src_id").as("doc_a"), col("nbr_id").as("doc_b"))
+    DedupOps.connectedComponents(emb.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id").as("vec_id"), col("component"))
+  }
+
+  /** q105: per-vector semantic-cluster assignment over the embeddings
+    * table, ordered for the gate. nProbe defaults lower than q103's:
+    * cluster edges only need the τ-thresholded HIGH-similarity
+    * neighbors, which are overwhelmingly same-cell (SemDeDup itself
+    * probes one cell) — extra probes buy tail recall the τ filter
+    * discards anyway. */
+  def q105SemanticClusters(k: Int = 5, nList: Int = 16, nProbe: Int = 2,
+                           tau: Double = 0.40): Q = (s, d) =>
+    semanticClusters(embeddings(s, d), k, nList, nProbe, tau)
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
     "q103_knn_graph" -> q103KnnGraph(),
+    "q105_semantic_clusters" -> q105SemanticClusters(),
   )
   // Learned centroids aren't SQL-portable — rows-only in the gate;
   // KnnGraphSpec pins recall vs the exact graph, determinism, and shape.

@@ -67,6 +67,26 @@ class KnnGraphSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.55, f"recall $recall%.3f below floor")
   }
 
+  test("semantic clusters: two constructed blobs resolve to exactly two multi-vector components") {
+    import spark.implicits._
+    // two tight blobs (mutually cosine ~1 inside, ~0 across) + one isolate
+    def j(base: Array[Float], d: Float, id: Long) =
+      (id, base.zipWithIndex.map { case (v, i) => v + (if (i == 1) d else 0f) }, 0)
+    val b1 = Array(10f, 0f, 0f, 0f); val b2 = Array(0f, 0f, 10f, 0f)
+    val emb = Seq(
+      j(b1, 0f, 1L), j(b1, 0.1f, 2L), j(b1, 0.2f, 3L),
+      j(b2, 0f, 11L), j(b2, 0.1f, 12L),
+      (21L, Array(0f, 0f, 0f, 7f), 0)).toDF("vec_id", "embedding", "label")
+    val out = KnnGraph.semanticClusters(emb, k = 3, nList = 2, nProbe = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 11L, 12L, 21L))
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "blob 1 is one component")
+    assert(Set(out(11L), out(12L)).size == 1, "blob 2 is one component")
+    assert(out(1L) == 1L && out(11L) == 11L, "labels are component-min vec_ids")
+    assert(out(21L) == 21L, "the isolate is its own singleton")
+    assert(out(1L) != out(11L))
+  }
+
   test("deterministic across runs") {
     val run = () => KnnGraph.knnEdges(graft.Tables.embeddings(spark, dir),
         k, nList = 8, nProbe = 2).collect()
