@@ -386,6 +386,44 @@ object PipelineOps {
       |FROM c WHERE cum_tokens <= 500
       |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  /** q106: weighted priority sampling (Duffield–Lund–Thorup) — a
+    * per-source top-n sample where inclusion probability tracks document
+    * weight (n_chars here), computed WITHOUT any RNG state: the uniform
+    * is content-addressed (first 8 md5 hex digits of doc_id → v ∈
+    * [0, 2³²)), and the priority w·2³²/(v+1) is a ratio of exact
+    * integers, so the IEEE division is bit-identical across engines —
+    * no transcendental in the ranking key (the classic A-Res key
+    * u^(1/w) would put ln/pow in the sort order). Content addressing
+    * gives the property quota/stratified sampling (q50/q58) already
+    * rely on: adding new documents never changes an existing document's
+    * priority, so incremental corpus builds keep their samples stable.
+    * One narrow projection + the per-source rank window
+    * (WindowGroupLimit-pruned); scales like q58. */
+  val q106PrioritySample: Q = (s, d) => {
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val pri = round(
+      (col("n_chars").cast(DoubleType) * 4294967296.0) /
+        (v + 1).cast(DoubleType), 6)
+    val w = Window.partitionBy("source").orderBy(desc("priority"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), pri.as("priority"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+  val q106Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ROUND((CAST(n_chars AS DOUBLE) * 4294967296.0)
+      |          / CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |                      AS BIGINT) + 1 AS DOUBLE), 6) AS priority
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, priority,
+      |  ROW_NUMBER() OVER (PARTITION BY source
+      |                     ORDER BY priority DESC, doc_id) AS rk
+      |FROM p QUALIFY rk <= 5 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_window_suite" -> q48WindowSuite,
     "q50_stratified_sample" -> q50StratifiedSample,
@@ -399,6 +437,7 @@ object PipelineOps {
     "q58_source_quota" -> q58SourceQuota,
     "q65_lateral_topk" -> q65LateralTopK,
     "q69_token_budget" -> q69TokenBudget,
+    "q106_priority_sample" -> q106PrioritySample,
   )
   val oracle: Map[String, String] = Map(
     "q48_window_suite" -> q48Sql,
@@ -413,5 +452,6 @@ object PipelineOps {
     "q58_source_quota" -> q58Sql,
     "q65_lateral_topk" -> q65Sql,
     "q69_token_budget" -> q69Sql,
+    "q106_priority_sample" -> q106Sql,
   )
 }

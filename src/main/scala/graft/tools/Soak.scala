@@ -141,6 +141,7 @@ object Soak {
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
+    "q106_priority_sample",
     "q99_bpe_encode", "q100_repetition", "q101_source_divergence",
     "q104_zipf_slope",
     // multimodal plumbing
