@@ -52,19 +52,32 @@ object KnnGraph {
       col("embedding").as("src_emb"),
       explode(ProductQuantization.probeExpr(spark, cents, nProbe)(col("embedding")))
         .as("cell"))
+    // project the embeddings AWAY before the rank window: the candidate
+    // set is the big intermediate (N·nProbe·|cell| rows), and dragging
+    // two dim-sized float arrays per row through the window exchange
+    // multiplies the shuffle by ~30× (soaked: 100k vecs, 200M candidates
+    // — the 3-column form shuffles ~5 GB, the with-vectors form ~150 GB)
     val cand = probes.join(index, Seq("cell"))
       .filter(col("src_id") =!= col("vec_id"))
-      .withColumn("sim",
-        round(graft.functions.CosineSimilarity(col("src_emb"), col("embedding")), 6))
+      .select(col("src_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("src_emb"), col("embedding")), 6)
+          .as("sim"))
     val w = Window.partitionBy("src_id").orderBy(desc("sim"), col("vec_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("src_id"), col("vec_id").as("nbr_id"), col("sim"), col("rk"))
   }
 
   /** q103: the kNN-graph edge list over the embeddings table, ordered for
-    * the gate. */
-  def q103KnnGraph(k: Int = 5, nList: Int = 16, nProbe: Int = 4): Q = (s, d) =>
-    knnEdges(embeddings(s, d), k, nList, nProbe).orderBy("src_id", "rk")
+    * the gate. nList ≤ 0 → sized by
+    * [[ProductQuantization.adaptiveNList]] (fixed cell size as the
+    * corpus grows — the contract all the O(N·|cell|) claims rest on; at
+    * the sf0.01 gate the adaptive value IS 16, so outputs are
+    * unchanged). */
+  def q103KnnGraph(k: Int = 5, nList: Int = -1, nProbe: Int = 4): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    knnEdges(emb, k, nl, nProbe).orderBy("src_id", "rk")
+  }
 
   /** Semantic clusters: connected components over the kNN graph's
     * τ-thresholded edges — the grouping form of the graph (SemDeDup's
@@ -90,10 +103,12 @@ object KnnGraph {
     * neighbors, which are overwhelmingly same-cell (SemDeDup itself
     * probes one cell) — extra probes buy tail recall the τ filter
     * discards anyway. */
-  def q105SemanticClusters(k: Int = 5, nList: Int = 16, nProbe: Int = 2,
-                           tau: Double = 0.40): Q = (s, d) =>
-    semanticClusters(embeddings(s, d), k, nList, nProbe, tau)
-      .orderBy("vec_id")
+  def q105SemanticClusters(k: Int = 5, nList: Int = -1, nProbe: Int = 2,
+                           tau: Double = 0.40): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    semanticClusters(emb, k, nl, nProbe, tau).orderBy("vec_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "q103_knn_graph" -> q103KnnGraph(),

@@ -164,6 +164,19 @@ object ProductQuantization {
   def trainCoarse(emb: DataFrame, nList: Int, sampleN: Int = 2048): Array[Array[Float]] =
     train(emb, m = 1, k = nList, sampleN = sampleN).centroids(0)
 
+  /** The IVF sizing contract, made executable: nList grows with the
+    * corpus so |cell| ≈ targetCell stays FIXED as data scales — the
+    * property every O(N·|cell|) claim in the cell-bounded family
+    * (q102/q103/q105, ivfTopK) rests on. A fixed nList at 100× the data
+    * makes those self-joins quadratic again (the round-9 soak measured
+    * exactly that before this existed: 100k vectors at nList=16 is
+    * 6 250-vector cells). Deterministic: a pure function of the corpus
+    * count, clamped to [minList, 4096]. */
+  def adaptiveNList(emb: DataFrame, targetCell: Int = 500,
+                    minList: Int = 16): Int =
+    math.min(4096,
+      math.max(minList, math.ceil(emb.count().toDouble / targetCell).toInt))
+
   /** Assign every vector to its nearest coarse centroid — one narrow
     * compiled pass with the broadcast centroid table (nList × dim floats,
     * tiny at any corpus scale). Output: (vec_id, cell). At rest a real

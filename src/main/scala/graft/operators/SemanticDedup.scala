@@ -75,8 +75,13 @@ object SemanticDedup {
 
   /** q102: per-cell semantic-dedup summary — cluster size, dropped count,
     * keep fraction. The curation-dashboard view of [[verdicts]]. */
-  def q102SemanticDedup(nList: Int = 16, tau: Double = 0.45): Q = (s, d) => {
-    val vs = verdicts(embeddings(s, d), nList, tau)
+  /** nList ≤ 0 → sized by [[ProductQuantization.adaptiveNList]] (the IVF
+    * contract: cell size stays fixed as the corpus grows; at the sf0.01
+    * gate the adaptive value IS 16, so gate outputs are unchanged). */
+  def q102SemanticDedup(nList: Int = -1, tau: Double = 0.45): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val vs = verdicts(emb, nl, tau)
     vs.groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
