@@ -38,23 +38,7 @@ object CorpusMaintenance {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
   }
 
-  /** Spark refuses to overwrite a path its own input plan still reads
-    * (rightly — a mid-write failure would destroy the input). The rewrite
-    * set here is the affected shards only, so materializing it first
-    * (eager localCheckpoint: lineage truncated to stored blocks) both
-    * satisfies the check and bounds the exposure window to a pure write. */
-  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint(true)
-
-  private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  import MaintenanceIO.{materialized, withDynamicOverwrite}
 
   /** Surgical delete: remove `ids` from the sharded corpus by rewriting
     * ONLY the shards they route to. A shard left EMPTY by the delete is
