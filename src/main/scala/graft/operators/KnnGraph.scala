@@ -110,9 +110,37 @@ object KnnGraph {
     semanticClusters(emb, k, nl, nProbe, tau).orderBy("vec_id")
   }
 
+  /** q107: diversity-preserving subset — at most `m` vectors per
+    * semantic cluster, selected by the content-addressed uniform key
+    * (q106's construction with unit weight: rank by md5₃₂(vec_id), so
+    * the within-cluster choice is deterministic, engine-portable, and
+    * stable under corpus growth). This is the cluster-balanced pruning
+    * step of the SemDeDup/DataComp line: dropping whole near-duplicate
+    * neighborhoods down to m representatives bounds how much any one
+    * semantic template can dominate the training mix — the
+    * embedding-space complement of q85's source-level temperature
+    * reweighting. One rank window over q105's assignment; the cluster
+    * key is component-min vec_id, high-cardinality, so the window
+    * parallelizes and WindowGroupLimit prunes map-side. */
+  def q107DiversitySample(m: Int = 3, k: Int = 5, nList: Int = -1,
+                          nProbe: Int = 2, tau: Double = 0.40): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("component").orderBy(col("key"), col("vec_id"))
+    semanticClusters(emb, k, nl, nProbe, tau)
+      .select(col("vec_id"), col("component"), u.as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select(col("vec_id"), col("component"), col("rk"))
+      .orderBy("component", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_knn_graph" -> q103KnnGraph(),
     "q105_semantic_clusters" -> q105SemanticClusters(),
+    "q107_diversity_sample" -> q107DiversitySample(),
   )
   // Learned centroids aren't SQL-portable — rows-only in the gate;
   // KnnGraphSpec pins recall vs the exact graph, determinism, and shape.

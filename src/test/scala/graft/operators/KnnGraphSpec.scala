@@ -87,6 +87,25 @@ class KnnGraphSpec extends AnyFunSuite with SharedSpark {
     assert(out(1L) != out(11L))
   }
 
+  test("diversity sample: quota per cluster, singleton survival, total coverage") {
+    val out = KnnGraph.queries("q107_diversity_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val clusters = KnnGraph.queries("q105_semantic_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.length).toMap
+    // every cluster contributes min(size, 3) members with contiguous ranks
+    val byComp = out.groupBy(_._2)
+    assert(byComp.keySet == sizes.keySet, "a cluster vanished from the sample")
+    byComp.foreach { case (comp, members) =>
+      assert(members.length == math.min(sizes(comp), 3), s"cluster $comp quota")
+      assert(members.map(_._3).sorted.toList == (1 to members.length).toList)
+    }
+    // selection is the content-addressed key: re-running is identical
+    val again = KnnGraph.queries("q107_diversity_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("deterministic across runs") {
     val run = () => KnnGraph.knnEdges(graft.Tables.embeddings(spark, dir),
         k, nList = 8, nProbe = 2).collect()

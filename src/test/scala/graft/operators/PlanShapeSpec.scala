@@ -425,4 +425,48 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       .explainString(org.apache.spark.sql.execution.CodegenMode)
     assert(codegen.contains("WholeStageCodegen subtree"), s"no codegen span:\n${codegen.take(2000)}")
   }
+
+  test("q100: first gram shuffle keys on (doc_id, bg); scan skips unreferenced columns") {
+    val df = TextOps.q100Repetition(spark, sf)
+    // the anti-hot-key discipline: a boilerplate bigram must not funnel
+    // one reducer, so the first aggregation's exchange carries doc_id
+    val gramKeyed = nodes(df) { case e: ShuffleExchangeExec => e }.exists {
+      _.outputPartitioning match {
+        case h: HashPartitioning =>
+          val names = h.expressions.flatMap(_.references.map(_.name))
+          names.contains("doc_id") && names.contains("bg")
+        case _ => false
+      }
+    }
+    assert(gramKeyed, s"gram agg not keyed (doc_id, bg):\n${physicalPlan(df)}")
+    assert(nodes(df) { case a: HashAggregateExec => a }.size >= 4,
+      "partial aggregation missing")
+    val readSchema = physicalPlan(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q101/q104: source totals broadcast back; rank window prunes via WindowGroupLimit") {
+    val kl = CorpusOps.q101SourceDivergence(spark, sf)
+    assert(nodes(kl) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"per-source totals not broadcast:\n${physicalPlan(kl)}")
+    assert(nodes(kl) { case a: HashAggregateExec => a }.size >= 4,
+      "partial aggregation missing in q101")
+    val zipf = CorpusOps.q104ZipfSlope(spark, sf)
+    assert(nodes(zipf) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, s"top-40 rank window lost its pushdown:\n${physicalPlan(zipf)}")
+  }
+
+  test("q106: no text bytes read; rank window prunes map-side") {
+    val df = PipelineOps.q106PrioritySample(spark, sf)
+    val readSchema = physicalPlan(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"priority sample must not read document text: $readSchema")
+    assert(nodes(df) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, s"per-source rank window lost its pushdown:\n${physicalPlan(df)}")
+  }
 }
