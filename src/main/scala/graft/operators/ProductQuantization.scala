@@ -302,11 +302,15 @@ object ProductQuantization {
     * invisible by design. Raise nProbe (or fall back to [[searchTopK]])
     * when exact k matters more than the pruning. */
   def ivfPqTopK(emb: DataFrame, book: PQCodebook, queryIds: Seq[Long],
-                k: Int, nList: Int = 16, nProbe: Int = 4,
+                k: Int, nList: Int = -1, nProbe: Int = 4,
                 refine: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = trainCoarse(emb, nList)
+    // nList ≤ 0 → the adaptive sizing contract: per-query probe cost is
+    // nProbe·|cell|, so a FIXED nList makes every probe linear in the
+    // corpus — same defect class as the q103 soak finding
+    val nl = if (nList > 0) nList else adaptiveNList(emb)
+    val cents = trainCoarse(emb, nl)
     val assigned = assignCells(emb, cents)
     val queryVecs = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id"), col("embedding")).collect()
