@@ -25,7 +25,8 @@ object SparkEntry {
       SimilarityOps.queries ++ MultimodalOps.queries ++ EventOps.queries ++
       PipelineOps.queries ++ CorpusOps.queries ++ BpeVocab.queries ++
       PackingOps.queries ++ CorpusPipeline.queries ++ MixtureOps.queries ++
-      SubstrDedup.queries ++ SemanticDedup.queries ++ KnnGraph.queries
+      SubstrDedup.queries ++ SemanticDedup.queries ++ KnnGraph.queries ++
+      QualityModels.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       SimilarityOps.oracle ++ MultimodalOps.oracle ++ EventOps.oracle ++
       PipelineOps.oracle ++ CorpusOps.oracle ++ BpeVocab.oracle ++
       PackingOps.oracle ++ CorpusPipeline.oracle ++ MixtureOps.oracle ++
-      SubstrDedup.oracle ++ SemanticDedup.oracle ++ KnnGraph.oracle
+      SubstrDedup.oracle ++ SemanticDedup.oracle ++ KnnGraph.oracle ++
+      QualityModels.oracle
 }

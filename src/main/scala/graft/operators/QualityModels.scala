@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Learned data-selection models — the two published recipes a pre-training
+  * pipeline runs between heuristic cleaning and mixture sampling:
+  *
+  *  - q108: a CCNet/fastText-style Naive-Bayes quality classifier. Train
+  *    token log-likelihood ratios between a reference ("high quality")
+  *    corpus slice and the rest, score every document by its
+  *    length-normalized log-odds, keep score > 0. (CCNet trains a fastText
+  *    classifier on Wikipedia-vs-crawl; the linear NB form is its
+  *    closed-form, engine-portable equivalent — same features, same
+  *    decision rule, no SGD state.)
+  *  - q109: DSIR importance resampling (Xie et al., "Data Selection for
+  *    Language Models via Importance Resampling", NeurIPS 2023): hashed
+  *    bigram features, importance log-weight log p_target(x) − log p_raw(x)
+  *    under bag-of-buckets unigram models, Gumbel-top-k selection without
+  *    replacement. The feature space is a FIXED 4096-bucket hash table, so
+  *    the learned model is O(buckets) regardless of corpus vocabulary.
+  *
+  * Scale shapes (the reason these two earn separate operators):
+  *  - q108's model is vocabulary-sized; training collapses map-side to one
+  *    row per (token, class-counts) and scoring joins per-doc token counts
+  *    against the model on the high-cardinality token key (AQE-skew-safe,
+  *    the q62/q63 shape). Nothing downstream of the first partial
+  *    aggregation is corpus-sized.
+  *  - q109's model is 4096 rows — it BROADCASTS. Scoring is a broadcast
+  *    hash join on the scan side plus ONE doc-keyed shuffle with map-side
+  *    combine; selection is a distributed top-k (TakeOrderedAndProject —
+  *    no global sort shuffle). At 100 TB this is the cheapest learned
+  *    filter the engine has: scan + broadcast probe + one agg.
+  *
+  * Determinism: the shared q62/q63/q101 policy — per-term doubles rounded
+  * to 6dp, order-free exact DECIMAL summation, content-addressed md5
+  * uniforms (q40/q106 policy) instead of RNG state, ties broken on ids.
+  * Both queries are replayed hash-exact by the DuckDB oracles.
+  */
+object QualityModels {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The reference-corpus slice the classifier treats as "high quality".
+    * Source-keyed (CCNet's Wikipedia-vs-crawl split keyed by provenance);
+    * any deterministic predicate over the scan works.
+    */
+  val ReferenceSources: Seq[String] = Seq("src0", "src1")
+
+  /** q108: Naive-Bayes quality classifier, trained and applied in one plan.
+    *
+    * Model: per-token add-one-smoothed log-likelihood ratio
+    *   llr(w) = ln((c_t(w)+1)/(N_t+V)) − ln((c_r(w)+1)/(N_r+V))
+    * with V = corpus vocabulary size (shared smoothing denominator, finite
+    * for every token either class has seen). Document score = per-token
+    * llr weighted by in-doc counts, normalized by document length; keep
+    * decision = score > 0 (the doc looks more like the reference corpus
+    * than the rest). Output: per-source document counts, keep counts, and
+    * mean score — the per-source keep-rate audit a mixture builder consumes.
+    *
+    * Empty documents (no tokens after trim/split) carry no evidence and
+    * drop out of both engines identically.
+    */
+  val q108NbQuality: Q = (s, d) => {
+    val isT = col("source").isin(ReferenceSources: _*)
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+    val cdw = tok.groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("c_dw"))
+    val cw = cdw.groupBy("token").agg(
+      sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
+      sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r"))
+    val tot = cw.agg(
+      sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
+      count(lit(1)).as("v"))
+    val llr = cw.crossJoin(broadcast(tot)).select(col("token"),
+      round(
+        log((col("c_t") + 1) / (col("n_t") + col("v")).cast(DoubleType)) -
+          log((col("c_r") + 1) / (col("n_r") + col("v")).cast(DoubleType)),
+        6).as("llr"))
+    val scored = cdw.join(llr, Seq("token"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c_dw")).as("n_d"),
+        sum(col("llr").cast(DecimalType(18, 6)) *
+          col("c_dw").cast(DecimalType(18, 0))).as("raw"))
+      .select(col("doc_id"), col("source"),
+        round(col("raw").cast(DoubleType) / col("n_d"), 6).as("score"))
+    scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("score") > 0, lit(1L)).otherwise(lit(0L))).as("n_keep"),
+      round(sum(col("score").cast(DecimalType(38, 6))).cast(DoubleType) /
+        count(lit(1)), 6).as("mean_score"))
+      .orderBy("source")
+  }
+
+  val q108Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+       |  FROM documents),
+       |cdw AS (SELECT doc_id, source, token, COUNT(*) AS c_dw
+       |        FROM tok GROUP BY 1, 2, 3),
+       |cw AS (SELECT token,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN c_dw
+       |                       ELSE 0 END) AS BIGINT) AS c_t,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 0
+       |                       ELSE c_dw END) AS BIGINT) AS c_r
+       |       FROM cdw GROUP BY token),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |               CAST(SUM(c_r) AS BIGINT) AS n_r,
+       |               COUNT(*) AS v FROM cw),
+       |llr AS (SELECT token,
+       |          ROUND(LN((c_t + 1) / CAST(n_t + v AS DOUBLE))
+       |              - LN((c_r + 1) / CAST(n_r + v AS DOUBLE)), 6) AS llr
+       |        FROM cw CROSS JOIN tot),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    ROUND(CAST(SUM(CAST(llr AS DECIMAL(18,6))
+       |                   * CAST(c_dw AS DECIMAL(18,0))) AS DOUBLE)
+       |          / CAST(SUM(c_dw) AS BIGINT), 6) AS score
+       |  FROM cdw JOIN llr USING (token) GROUP BY 1, 2)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_score
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  private def refsSqlList: String =
+    ReferenceSources.map(r => s"'$r'").mkString(", ")
+
+  /** Fixed DSIR feature-space size. 4096 buckets keeps the model
+    * broadcast-trivial (one int + two counts per bucket) while the hashed
+    * bigram features still separate sources; production DSIR uses 10⁴–10⁵
+    * buckets — the plan shape is identical at any fixed B.
+    */
+  val DsirBuckets: Int = 4096
+
+  /** q109: DSIR importance resampling. Features are bigrams hashed into
+    * [[DsirBuckets]] buckets via the content-addressed md5 scheme (q40/q106
+    * policy — reproducible on any engine, stable under corpus growth).
+    * Importance log-weight of a document is
+    *   Σ_b c_db · [ln p_target(b) − ln p_raw(b)]
+    * under add-one-smoothed bag-of-buckets models (target = the
+    * [[ReferenceSources]] slice, raw = the whole pool). Selection is
+    * Gumbel-top-k: key = log-weight + Gumbel(0,1) noise with the uniform
+    * content-addressed from md5("dsir:" ++ doc_id) — a without-replacement
+    * sample of size k whose inclusion probabilities track the softmax of
+    * the importance weights, with zero RNG state.
+    *
+    * Documents with fewer than two tokens have no bigram features and are
+    * not resampling candidates (both engines drop them identically).
+    */
+  val q109DsirResample: Q = (s, d) => {
+    val k = 50
+    val isT = col("source").isin(ReferenceSources: _*)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l"))
+    val db = docs.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i + 1]))"))
+        .as("gram"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") %
+          DsirBuckets).as("b"))
+    val cb = db.groupBy("b").agg(
+      sum(when(isT, lit(1L)).otherwise(lit(0L))).as("c_t"),
+      count(lit(1)).as("c_all"))
+    val tot = cb.agg(sum(col("c_t")).as("n_t"), sum(col("c_all")).as("n_all"))
+    val llr = cb.crossJoin(broadcast(tot)).select(col("b"),
+      round(
+        log((col("c_t") + 1) / (col("n_t") + DsirBuckets).cast(DoubleType)) -
+          log((col("c_all") + 1) /
+            (col("n_all") + DsirBuckets).cast(DoubleType)),
+        6).as("llr"))
+    val lw = db.join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(round(sum(col("llr").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+        .as("log_weight"))
+    val u = (conv(substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast(DoubleType) + 0.5) / 4294967296.0
+    lw.withColumn("gumbel", round(-log(-log(u)), 6))
+      .withColumn("sel_key", round(col("log_weight") + col("gumbel"), 6))
+      .orderBy(desc("sel_key"), col("doc_id"))
+      .limit(k)
+  }
+
+  val q109Sql: String =
+    s"""WITH l AS (SELECT doc_id, source,
+       |             string_split_regex(TRIM(text), '\\s+') AS l
+       |           FROM documents),
+       |bg AS (SELECT doc_id, source,
+       |         unnest(list_transform(range(1, len(l)),
+       |                               i -> l[i] || ' ' || l[i + 1])) AS gram
+       |       FROM l WHERE len(l) >= 2),
+       |db AS (SELECT doc_id, source,
+       |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+       |           % ${DsirBuckets} AS b
+       |       FROM bg),
+       |cb AS (SELECT b,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 1
+       |                       ELSE 0 END) AS BIGINT) AS c_t,
+       |         COUNT(*) AS c_all
+       |       FROM db GROUP BY b),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |               CAST(SUM(c_all) AS BIGINT) AS n_all FROM cb),
+       |llr AS (SELECT b,
+       |          ROUND(LN((c_t + 1) / CAST(n_t + ${DsirBuckets} AS DOUBLE))
+       |              - LN((c_all + 1) / CAST(n_all + ${DsirBuckets} AS DOUBLE)),
+       |                6) AS llr
+       |        FROM cb CROSS JOIN tot),
+       |lw AS (SELECT doc_id, source,
+       |         ROUND(CAST(SUM(CAST(llr AS DECIMAL(38,6))) AS DOUBLE), 6)
+       |           AS log_weight
+       |       FROM db JOIN llr USING (b) GROUP BY 1, 2),
+       |keyed AS (SELECT doc_id, source, log_weight,
+       |    ROUND(-LN(-LN((CAST(CAST(concat('0x',
+       |        substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) AS gumbel
+       |  FROM lw)
+       |SELECT doc_id, source, log_weight, gumbel,
+       |  ROUND(log_weight + gumbel, 6) AS sel_key
+       |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q108_nb_quality" -> q108NbQuality,
+    "q109_dsir_resample" -> q109DsirResample,
+  )
+  val oracle: Map[String, String] = Map(
+    "q108_nb_quality" -> q108Sql,
+    "q109_dsir_resample" -> q109Sql,
+  )
+}
