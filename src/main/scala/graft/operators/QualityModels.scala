@@ -225,12 +225,99 @@ object QualityModels {
        |  ROUND(log_weight + gumbel, 6) AS sel_key
        |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin
 
+  /** q110: CCNet head/middle/tail perplexity buckets — score every
+    * document with the corpus-trained bigram LM (q63's construction,
+    * source carried through), then split each SOURCE into head (best
+    * third by avg log-probability), middle, and tail. CCNet's shard
+    * bucketing (Wenzek et al. 2020): downstream mixtures train on head,
+    * sample middle, drop tail.
+    *
+    * The tercile split is threshold-based, not rank-based: per-source
+    * exact percentile cuts (the q90 `percentile`/`quantile_cont` pairing)
+    * are |sources| rows broadcast back onto the per-doc scores. A
+    * rank-based NTILE formulation would sort each source's documents in
+    * one window partition — the hot-source single task the two-level
+    * event family exists to avoid; thresholds keep the corpus-sized side
+    * shuffle-free past the LM scoring itself. Documents with fewer than
+    * two tokens have no bigrams and drop out of both engines identically.
+    */
+  val q110CcnetBuckets: Q = (s, d) => {
+    val l = documents(s, d)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l"))
+    val bg = l.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val v = l.select(explode(col("l")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val lp = bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("source"),
+        round(log((col("c_bg") + 1) / (col("c_w1") + col("v")).cast(DoubleType)), 6)
+          .as("logp"))
+      .groupBy("doc_id", "source")
+      .agg(round(sum(col("logp").cast(DecimalType(38, 6))).cast(DoubleType) /
+        count(lit(1)), 6).as("lp"))
+    val cuts = lp.groupBy("source").agg(
+      percentile(col("lp"), lit(1.0 / 3)).as("lo_cut"),
+      percentile(col("lp"), lit(2.0 / 3)).as("hi_cut"))
+    lp.join(broadcast(cuts), Seq("source"))
+      .withColumn("bucket",
+        when(col("lp") >= col("hi_cut"), lit("head"))
+          .when(col("lp") < col("lo_cut"), lit("tail"))
+          .otherwise(lit("middle")))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("lp").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_logprob"))
+      .orderBy("source", "bucket")
+  }
+
+  val q110Sql: String =
+    """WITH l AS (SELECT doc_id, source,
+      |             string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |bgs AS (SELECT doc_id, source,
+      |          unnest(list_transform(range(1, len(l)),
+      |            i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS b
+      |        FROM l WHERE len(l) >= 2),
+      |bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bgs),
+      |cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |cw AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT token) AS v
+      |      FROM (SELECT unnest(l) AS token FROM l)),
+      |terms AS (
+      |  SELECT bg.doc_id, bg.source,
+      |    ROUND(ln((c_bg + 1) / CAST(c_w1 + v.v AS DOUBLE)), 6) AS logp
+      |  FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v),
+      |lp AS (SELECT doc_id, source,
+      |         ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
+      |               / COUNT(*), 6) AS lp
+      |       FROM terms GROUP BY 1, 2),
+      |cuts AS (SELECT source, quantile_cont(lp, 1.0/3) AS lo_cut,
+      |                quantile_cont(lp, 2.0/3) AS hi_cut
+      |         FROM lp GROUP BY source)
+      |SELECT lp.source,
+      |  CASE WHEN lp >= hi_cut THEN 'head'
+      |       WHEN lp < lo_cut THEN 'tail'
+      |       ELSE 'middle' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_logprob
+      |FROM lp JOIN cuts USING (source)
+      |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q108_nb_quality" -> q108NbQuality,
     "q109_dsir_resample" -> q109DsirResample,
+    "q110_ccnet_buckets" -> q110CcnetBuckets,
   )
   val oracle: Map[String, String] = Map(
     "q108_nb_quality" -> q108Sql,
     "q109_dsir_resample" -> q109Sql,
+    "q110_ccnet_buckets" -> q110Sql,
   )
 }

@@ -144,6 +144,8 @@ object Soak {
     "q106_priority_sample",
     "q99_bpe_encode", "q100_repetition", "q101_source_divergence",
     "q104_zipf_slope",
+    // learned selection (round 9)
+    "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
     // multimodal plumbing
     "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",
     "q94_audio_meta", "q96_video_meta",

@@ -83,6 +83,36 @@ class QualityModelsSpec extends AnyFunSuite with SharedSpark {
       s"selected share $selShare must exceed corpus share $corpusShare")
   }
 
+  test("q110 CCNet buckets: per-source partition of scored docs, head ≥ middle ≥ tail") {
+    val df = QualityModels.q110CcnetBuckets(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // buckets partition exactly the docs that have at least one bigram
+    val scoredDocs = graft.Tables.documents(spark, sf)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scoredDocs,
+      "every scored document lands in exactly one bucket")
+    // within each source: mean(head) >= mean(middle) >= mean(tail)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val m = rs.map(r => r.getAs[String]("bucket") -> r.getAs[Double]("mean_logprob")).toMap
+      for (h <- m.get("head"); mid <- m.get("middle"))
+        assert(h >= mid, s"$src: head $h < middle $mid")
+      for (mid <- m.get("middle"); t <- m.get("tail"))
+        assert(mid >= t, s"$src: middle $mid < tail $t")
+    }
+    val again = QualityModels.q110CcnetBuckets(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+
+  test("q110 CCNet buckets: tercile cuts broadcast back — no rank window in the plan") {
+    val plan = QualityModels.q110CcnetBuckets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "bucketing must be threshold-based (broadcast cuts), not a per-source NTILE sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row cut table must broadcast onto the per-doc scores")
+  }
+
   test("q109 DSIR: scoring plan broadcasts the 4096-bucket model and top-k avoids a global sort") {
     val df = QualityModels.q109DsirResample(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
