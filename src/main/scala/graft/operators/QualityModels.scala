@@ -153,36 +153,58 @@ object QualityModels {
     * Documents with fewer than two tokens have no bigram features and are
     * not resampling candidates (both engines drop them identically).
     */
-  val q109DsirResample: Q = (s, d) => {
-    val k = 50
-    val isT = col("source").isin(ReferenceSources: _*)
-    val docs = documents(s, d)
+  /** (doc_id, source, b): one row per bigram occurrence, b = its hashed
+    * feature bucket under the content-addressed md5 scheme. */
+  def dsirFeatures(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l"))
-    val db = docs.filter(size(col("l")) >= 2)
+      .filter(size(col("l")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i + 1]))"))
         .as("gram"))
       .select(col("doc_id"), col("source"),
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") %
           DsirBuckets).as("b"))
-    val cb = db.groupBy("b").agg(
+
+  /** The trained DSIR model: (b, llr) over the occupied buckets —
+    * ≤ [[DsirBuckets]] rows, broadcastable/collectable by construction. */
+  def dsirModel(docs: DataFrame): DataFrame = {
+    val isT = col("source").isin(ReferenceSources: _*)
+    val cb = dsirFeatures(docs).groupBy("b").agg(
       sum(when(isT, lit(1L)).otherwise(lit(0L))).as("c_t"),
       count(lit(1)).as("c_all"))
     val tot = cb.agg(sum(col("c_t")).as("n_t"), sum(col("c_all")).as("n_all"))
-    val llr = cb.crossJoin(broadcast(tot)).select(col("b"),
+    cb.crossJoin(broadcast(tot)).select(col("b"),
       round(
         log((col("c_t") + 1) / (col("n_t") + DsirBuckets).cast(DoubleType)) -
           log((col("c_all") + 1) /
             (col("n_all") + DsirBuckets).cast(DoubleType)),
         6).as("llr"))
-    val lw = db.join(broadcast(llr), Seq("b"))
+  }
+
+  /** Per-document importance log-weights under a trained model:
+    * (doc_id, source, log_weight). Exact-DECIMAL accumulation of the
+    * 6dp-rounded per-occurrence llr terms, so the value is independent of
+    * aggregation order — the streaming admission path reproduces it
+    * bit-for-bit from the same model. */
+  def dsirLogWeights(docs: DataFrame, model: DataFrame): DataFrame =
+    dsirFeatures(docs).join(broadcast(model), Seq("b"))
       .groupBy("doc_id", "source")
       .agg(round(sum(col("llr").cast(DecimalType(38, 6))).cast(DoubleType), 6)
         .as("log_weight"))
-    val u = (conv(substring(
-      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+
+  /** Content-addressed uniform in (0,1) for the selection noise:
+    * u = (md5-32-bit("dsir:" ++ doc_id) + 0.5) / 2³². */
+  def dsirUniform(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(
+      md5(concat(lit("dsir:"), docId.cast("string"))), 1, 8), 16, 10)
       .cast("long").cast(DoubleType) + 0.5) / 4294967296.0
-    lw.withColumn("gumbel", round(-log(-log(u)), 6))
+
+  val q109DsirResample: Q = (s, d) => {
+    val k = 50
+    val docs = documents(s, d)
+    val lw = dsirLogWeights(docs, dsirModel(docs))
+    lw.withColumn("gumbel", round(-log(-log(dsirUniform(col("doc_id")))), 6))
       .withColumn("sel_key", round(col("log_weight") + col("gumbel"), 6))
       .orderBy(desc("sel_key"), col("doc_id"))
       .limit(k)

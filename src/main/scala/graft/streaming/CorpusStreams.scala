@@ -251,6 +251,53 @@ object CorpusStreams {
       .filter(col("sim") >= tau)
       .select(col("vec_id"), col("idx_vec"), col("sim"))
 
+  /** Build the fixed-size DSIR bucket→llr model from the accumulated
+    * corpus — ≤[[graft.operators.QualityModels.DsirBuckets]] entries by
+    * construction, so the collect is bounded regardless of corpus size
+    * (the whole point of hashed features: the model is O(buckets), not
+    * O(vocab), and ships to every ingest worker as one literal map). */
+  def dsirModelMap(corpus: DataFrame): Map[Long, Double] =
+    graft.operators.QualityModels.dsirModel(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Streaming DSIR admission — the ingest-time form of q109. Batch DSIR
+    * Gumbel-top-k needs the whole pool; the streaming equivalent is
+    * Bernoulli importance admission: admit with probability
+    * min(1, exp(log_weight − logZ)) using the same content-addressed
+    * uniform as the batch sampler, so the decision is a pure function of
+    * (model, doc) — STATELESS, replay-safe, identical across restarts
+    * and batch backfills. The per-document log-weight reproduces
+    * [[graft.operators.QualityModels.dsirLogWeights]] bit-for-bit: the
+    * same 6dp llr terms accumulated in exact DECIMAL, just folded over
+    * the token array in-row (no shuffle, no join — the model is a
+    * 4096-entry literal map probed by `element_at`). Bigrams the training
+    * corpus never saw fall in unoccupied buckets and contribute zero,
+    * exactly as the batch inner join drops them. */
+  def dsirAdmission(docs: DataFrame, model: Map[Long, Double],
+                    logZ: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val mapCol = typedLit(model)
+    val buckets = expr(
+      "transform(sequence(0, size(l) - 2), i -> " +
+        "CAST(conv(substring(md5(concat(l[i], ' ', l[i + 1])), 1, 8), 16, 10) " +
+        s"AS BIGINT) % ${graft.operators.QualityModels.DsirBuckets})")
+    val lwDec = aggregate(buckets,
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 6)),
+      (acc, b) => acc +
+        coalesce(element_at(mapCol, b), lit(0.0)).cast(DecimalType(18, 6)))
+    docs
+      .withColumn("l", split(trim(col("text")), "\\s+"))
+      .filter(size(col("l")) >= 2)
+      .withColumn("log_weight", round(lwDec.cast(DoubleType), 6))
+      .withColumn("admit_prob",
+        round(least(lit(1.0), exp(col("log_weight") - logZ)), 6))
+      .withColumn("admitted",
+        graft.operators.QualityModels.dsirUniform(col("doc_id")) <
+          col("admit_prob"))
+      .select(col("doc_id"), col("source"), col("log_weight"),
+        col("admit_prob"), col("admitted"))
+  }
+
   /** Stateless shard router — the ingest-time form of q86's assignment
     * ([[graft.operators.MixtureOps.shardCol]], same expression): adds the
     * deterministic shard id so the stream sink can `partitionBy("shard")`

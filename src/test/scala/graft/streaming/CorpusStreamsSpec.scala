@@ -403,4 +403,65 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     val ids = sp.read.parquet(dout).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 4L), ids.toString)
   }
+
+  test("DSIR admission: streamed log-weights equal the batch path bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val corpus = graft.Tables.documents(sp, "/root/testdata/sf0.001")
+    val model = CorpusStreams.dsirModelMap(corpus)
+    assert(model.nonEmpty &&
+      model.size <= graft.operators.QualityModels.DsirBuckets)
+    val batchLw = graft.operators.QualityModels
+      .dsirLogWeights(corpus, graft.operators.QualityModels.dsirModel(corpus))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+    val docs = corpus.select("doc_id", "source", "text").as[SourcedDoc].collect()
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.dsirAdmission(stream.toDF(), model, logZ = 2.0)
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    stream.addData(docs.take(docs.length / 2): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(docs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("dsir").collect()
+    assert(streamed.nonEmpty)
+    // every batch-scored doc streams through with the identical log-weight
+    // (same 6dp llr terms, exact DECIMAL fold — no float drift allowed)
+    val streamedLw = streamed.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    batchLw.foreach { case (id, lw) =>
+      assert(streamedLw(id) == lw, s"doc $id: stream ${streamedLw(id)} != batch $lw")
+    }
+    // admission decision is exactly u < admit_prob (pure function of the row)
+    streamed.foreach { r =>
+      val u = corpus.sparkSession.range(1).select(
+        graft.operators.QualityModels.dsirUniform(lit(r.getAs[Long]("doc_id")))
+      ).head().getDouble(0)
+      assert(r.getAs[Boolean]("admitted") == (u < r.getAs[Double]("admit_prob")))
+    }
+  }
+
+  test("DSIR admission: logZ is a monotone throttle and replays are identical") {
+    val sp = spark
+    val corpus = graft.Tables.documents(sp, "/root/testdata/sf0.001")
+    val model = CorpusStreams.dsirModelMap(corpus)
+    // calibrate the throttle from the weight distribution, as a deployment
+    // would (logZ is the normalizer estimate, not an absolute constant)
+    val lws = graft.operators.QualityModels
+      .dsirLogWeights(corpus, graft.operators.QualityModels.dsirModel(corpus))
+      .select("log_weight").collect().map(_.getDouble(0)).sorted
+    val (p10, p90) = (lws((lws.length * 0.1).toInt), lws((lws.length * 0.9).toInt))
+    // stateless column logic — exercising it on a batch frame is exact
+    val loose = CorpusStreams.dsirAdmission(corpus, model, logZ = p10)
+    val tight = CorpusStreams.dsirAdmission(corpus, model, logZ = p90)
+    val nLoose = loose.filter(col("admitted")).count()
+    val nTight = tight.filter(col("admitted")).count()
+    assert(nLoose >= nTight, s"raising logZ must not admit more ($nLoose < $nTight)")
+    assert(nLoose > 0, "zero admissions at logZ=p10 — weights degenerate")
+    // replay-safe: the same frame admits the same set
+    val again = CorpusStreams.dsirAdmission(corpus, model, logZ = p10)
+    assert(loose.exceptAll(again).count() == 0 && again.exceptAll(loose).count() == 0)
+  }
 }
