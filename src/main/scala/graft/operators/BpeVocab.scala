@@ -325,11 +325,71 @@ object BpeVocab {
   /** q99: per-source BPE token accounting under the 20-merge table. */
   val q99BpeEncode: Q = (s, d) => encodeStats(documents(s, d), "text", nMerges = 20)
 
+  /** Tokenizer fertility audit — BPE tokens per word and characters per
+    * BPE token, by (source, lang). THE tokenizer-fairness table: a
+    * language whose fertility is 2× the corpus mean pays 2× the sequence
+    * length (and 2× the training cost) for the same content, which skews
+    * every token-budgeted mixture decision downstream. Same scale shape
+    * as [[encodeStats]]: segment once per word TYPE, one explode + one
+    * broadcast probe per occurrence, |sources|×|langs| output rows.
+    * Ratios are exact-integer-over-exact-integer IEEE divisions rounded
+    * to 6dp — both engines compute them from identical BIGINTs. */
+  def fertilityAudit(docs: DataFrame, textCol: String, nMerges: Int,
+                     minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val ordered = train(docs, textCol, nMerges, minCount)
+      .sortBy(_.rank).map(m => (m.left, m.right))
+    val bc = spark.sparkContext.broadcast(ordered)
+    val nBpe = udf((w: String) => {
+      var syms: Seq[String] = w.split("").toSeq
+      bc.value.foreach { case (l, r) => syms = applyMerge(l, r, syms) }
+      syms.length
+    })
+    val words = docs.select(col("source"), col("lang"),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val types = words.select("word").distinct().withColumn("n_bpe", nBpe(col("word")))
+    words.join(broadcast(types), Seq("word"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_word_occurrences"),
+        sum(length(col("word"))).as("n_chars"),
+        sum("n_bpe").as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens") / col("n_word_occurrences"), 6))
+      .withColumn("chars_per_bpe", round(col("n_chars") / col("bpe_tokens"), 6))
+      .orderBy("source", "lang")
+  }
+
+  /** q111: tokenizer fertility by (source, lang) under the 20-merge table. */
+  val q111Fertility: Q = (s, d) => fertilityAudit(documents(s, d), "text", nMerges = 20)
+
+  private def q111SqlGen(nMerges: Int, minCount: Long): String =
+    s"""WITH ${q67CteChain(nMerges, minCount)},
+       |tok AS (SELECT replace(replace(s, chr(31), ''), chr(30), '') AS word,
+       |               len(list_filter(string_split(s, chr(30)), x -> x <> '')) AS n_bpe
+       |        FROM m$nMerges),
+       |docw AS (SELECT source, lang,
+       |                unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+       |         FROM documents),
+       |agg AS (SELECT source, lang,
+       |          COUNT(*) AS n_word_occurrences,
+       |          CAST(SUM(len(docw.word)) AS BIGINT) AS n_chars,
+       |          CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens
+       |        FROM docw JOIN tok USING (word)
+       |        GROUP BY source, lang)
+       |SELECT source, lang, n_word_occurrences, n_chars, bpe_tokens,
+       |  ROUND(bpe_tokens / CAST(n_word_occurrences AS DOUBLE), 6) AS fertility,
+       |  ROUND(n_chars / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_bpe
+       |FROM agg ORDER BY source, lang""".stripMargin
+
+  val q111Sql: String = q111SqlGen(nMerges = 20, minCount = 2L)
+
   val queries: Map[String, Q] = Map(
     "q67_bpe_merges" -> q67BpeMerges,
-    "q99_bpe_encode" -> q99BpeEncode)
+    "q99_bpe_encode" -> q99BpeEncode,
+    "q111_fertility" -> q111Fertility)
 
   val oracle: Map[String, String] = Map(
     "q67_bpe_merges" -> q67Sql,
-    "q99_bpe_encode" -> q99Sql)
+    "q99_bpe_encode" -> q99Sql,
+    "q111_fertility" -> q111Sql)
 }

@@ -424,6 +424,67 @@ object PipelineOps {
       |                     ORDER BY priority DESC, doc_id) AS rk
       |FROM p QUALIFY rk <= 5 ORDER BY source, rk""".stripMargin
 
+  /** Snapshot diff between two corpus versions: per-source counts of
+    * added / removed / changed / unchanged documents, change detected by
+    * content hash (not text compare — the diff shuffles 32-byte hashes,
+    * never document bodies). The corpus-versioning audit every managed
+    * dataset publishes between releases; at rest both sides are sharded
+    * by the same content-addressed key (q86 router), so the doc_id join
+    * co-locates and the full-outer join runs bucket-local. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.select(col("doc_id"), col("source").as("o_source"),
+      md5(col("text")).as("o_h"))
+    val n = newDf.select(col("doc_id"), col("source").as("n_source"),
+      md5(col("text")).as("n_h"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_h").isNull, lit("added"))
+          .when(col("n_h").isNull, lit("removed"))
+          .when(col("o_h") =!= col("n_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .groupBy("source", "change")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "change")
+  }
+
+  /** q113: [[snapshotDiff]] over two deterministic content-addressed
+    * slices of the documents table — the first md5 hex digit of
+    * "snap:"++doc_id simulates a release delta: digit 0 = document added
+    * since the old snapshot, digit 1 = removed in the new one, digit f =
+    * edited (old body carried a suffix). Pure projections feed the
+    * generic operator, so the gate exercises the real full-outer
+    * hash-compare plan. */
+  val q113SnapshotDiff: Q = (s, d) => {
+    val docs = documents(s, d)
+    val h1 = substring(md5(concat(lit("snap:"), col("doc_id").cast("string"))), 1, 1)
+    val old = docs.filter(h1 =!= "0")
+      .withColumn("text",
+        when(h1 === "f", concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")))
+    val nw = docs.filter(h1 =!= "1")
+    snapshotDiff(old, nw)
+  }
+  val q113Sql: String =
+    """WITH tagged AS (
+      |  SELECT doc_id, source, text,
+      |    SUBSTR(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h1
+      |  FROM documents),
+      |old AS (SELECT doc_id, source,
+      |          md5(CASE WHEN h1 = 'f' THEN text || ' legacy' ELSE text END)
+      |            AS o_h
+      |        FROM tagged WHERE h1 <> '0'),
+      |nw AS (SELECT doc_id, source, md5(text) AS n_h
+      |       FROM tagged WHERE h1 <> '1'),
+      |j AS (
+      |  SELECT COALESCE(nw.source, old.source) AS source,
+      |    CASE WHEN old.o_h IS NULL THEN 'added'
+      |         WHEN nw.n_h IS NULL THEN 'removed'
+      |         WHEN old.o_h <> nw.n_h THEN 'changed'
+      |         ELSE 'unchanged' END AS change
+      |  FROM old FULL OUTER JOIN nw USING (doc_id))
+      |SELECT source, change, COUNT(*) AS n_docs
+      |FROM j GROUP BY 1, 2 ORDER BY source, change""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_window_suite" -> q48WindowSuite,
     "q50_stratified_sample" -> q50StratifiedSample,
@@ -438,6 +499,7 @@ object PipelineOps {
     "q65_lateral_topk" -> q65LateralTopK,
     "q69_token_budget" -> q69TokenBudget,
     "q106_priority_sample" -> q106PrioritySample,
+    "q113_snapshot_diff" -> q113SnapshotDiff,
   )
   val oracle: Map[String, String] = Map(
     "q48_window_suite" -> q48Sql,
@@ -453,5 +515,6 @@ object PipelineOps {
     "q65_lateral_topk" -> q65Sql,
     "q69_token_budget" -> q69Sql,
     "q106_priority_sample" -> q106Sql,
+    "q113_snapshot_diff" -> q113Sql,
   )
 }

@@ -296,6 +296,101 @@ object TextOps {
       |FROM b LEFT JOIN gs ON b.doc_id = gs.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** The fixed English stopword core the funnel's spam rule counts —
+    * the same 10-word set the soak generator's spam shard draws from. */
+  val FunnelStopwords: Seq[String] =
+    Seq("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
+
+  /** q112: filter-funnel attribution — the observability table every
+    * cleaning pipeline publishes: run the standard heuristic quality
+    * rules (Gopher/C4 family) in a FIXED order and attribute each
+    * document to its FIRST failing rule, so per-source loss is explained,
+    * not just counted. Rules, in order:
+    *   1. too_short      — fewer than 10 tokens
+    *   2. low_alpha      — alphabetic chars < 25 % of non-space chars
+    *   3. stopword_spam  — stopword occurrences > 60 % of tokens
+    *   4. repetitive     — top bigram covers > 20 % of bigrams (Gopher)
+    *   5. word_length    — mean word length outside [2, 12] chars
+    *   else kept
+    *
+    * Every threshold compares EXACT INTEGERS (4·alpha < len, 5·stop >
+    * 3·n, 5·top > nb, len < 2n / len > 12n) — no float ratio ever enters
+    * a branch, so the attribution is bit-stable across engines and
+    * roundings. Scale shape: one token explode collapsing to per-doc
+    * counts, q100's per-(doc, bigram) collapse for the top-bigram count
+    * (doc_id in the first shuffle key — no hot-gram reducer), then a
+    * |sources|×6 aggregate. Nothing downstream of the partial
+    * aggregations is corpus-sized. */
+  val q112FilterFunnel: Q = (s, d) => {
+    val stops = FunnelStopwords
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+    val perDoc = tok.groupBy("doc_id", "source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("w").isin(stops: _*), lit(1L)).otherwise(lit(0L))).as("n_stop"),
+      sum(length(col("w"))).as("len"),
+      sum(length(regexp_replace(col("w"), "[^a-zA-Z]", ""))).as("alpha"))
+    val grams = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i + 1]))"))
+        .as("bg"))
+    val gs = grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("nb"), max(col("c")).as("topc"))
+    val nb = coalesce(col("nb"), lit(0L))
+    val topc = coalesce(col("topc"), lit(0L))
+    val rule = when(col("n") < 10, lit("1_too_short"))
+      .when(col("alpha") * 4 < col("len"), lit("2_low_alpha"))
+      .when(col("n_stop") * 5 > col("n") * 3, lit("3_stopword_spam"))
+      .when(topc * 5 > nb, lit("4_repetitive"))
+      .when(col("len") < col("n") * 2 || col("len") > col("n") * 12,
+        lit("5_word_length"))
+      .otherwise(lit("kept"))
+    perDoc.join(gs, Seq("doc_id"), "left")
+      .select(col("source"), rule.as("rule"))
+      .groupBy("source", "rule")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "rule")
+  }
+  val q112Sql: String = {
+    val stopsList = FunnelStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, source, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN w IN ($stopsList) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_stop,
+       |    CAST(SUM(len(w)) AS BIGINT) AS len,
+       |    CAST(SUM(len(regexp_replace(w, '[^a-zA-Z]', '', 'g'))) AS BIGINT)
+       |      AS alpha
+       |  FROM tok GROUP BY 1, 2),
+       |l AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
+       |      FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(l)),
+       |                              i -> l[i] || ' ' || l[i + 1])) AS bg
+       |      FROM l WHERE len(l) >= 2),
+       |gc AS (SELECT doc_id, bg, COUNT(*) AS c FROM g GROUP BY 1, 2),
+       |gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topc
+       |       FROM gc GROUP BY doc_id),
+       |ruled AS (
+       |  SELECT p.source,
+       |    CASE WHEN p.n < 10 THEN '1_too_short'
+       |         WHEN p.alpha * 4 < p.len THEN '2_low_alpha'
+       |         WHEN p.n_stop * 5 > p.n * 3 THEN '3_stopword_spam'
+       |         WHEN COALESCE(gs.topc, 0) * 5 > COALESCE(gs.nb, 0)
+       |           THEN '4_repetitive'
+       |         WHEN p.len < p.n * 2 OR p.len > p.n * 12 THEN '5_word_length'
+       |         ELSE 'kept' END AS rule
+       |  FROM perdoc p LEFT JOIN gs USING (doc_id))
+       |SELECT source, rule, COUNT(*) AS n_docs
+       |FROM ruled GROUP BY 1, 2 ORDER BY source, rule""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
@@ -305,6 +400,7 @@ object TextOps {
     "q40_hash_split" -> q40HashSplit,
     "q47_clean_corpus" -> q47CleanCorpus,
     "q100_repetition" -> q100Repetition,
+    "q112_filter_funnel" -> q112FilterFunnel,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
@@ -315,5 +411,6 @@ object TextOps {
     "q40_hash_split" -> q40Sql,
     "q47_clean_corpus" -> q47Sql,
     "q100_repetition" -> q100Sql,
+    "q112_filter_funnel" -> q112Sql,
   )
 }
