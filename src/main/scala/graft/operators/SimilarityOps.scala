@@ -351,32 +351,8 @@ object SimilarityOps {
     * data.
     */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              nList: Int, nProbe: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cents = ProductQuantization.trainCoarse(emb, nList)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      ProductQuantization.cellExpr(spark, cents)(col("embedding")).as("cell"))
-
-    // per query: nProbe nearest centroids (driver-side — centroid table is tiny)
-    val queryVecs = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    val probeDF = broadcast(
-      ProductQuantization.probeCells(queryVecs, cents, nProbe)
-        .toDF("query_id", "cell"))
-    val q = broadcast(emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-
-    val cand = assigned.join(probeDF, "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(q, Seq("query_id"))
-      .withColumn("sim", round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
-    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("target_id"), col("sim"), col("rk"))
-      .orderBy("query_id", "rk")
-  }
+              nList: Int, nProbe: Int): DataFrame =
+    ivfTopKFiltered(emb, queryIds, k, nList, nProbe, lit(true))
 
   /** The IVF AT-REST layout: corpus written partitioned BY COARSE CELL —
     * the directory structure that turns [[ivfTopK]]'s "probe touches
@@ -535,6 +511,86 @@ object SimilarityOps {
       |  ROUND(CAST(n AS DOUBLE) / total, 6) AS purity
       |FROM r WHERE rk = 1 ORDER BY label""".stripMargin
 
+  /** q114: FILTERED vector search — top-k under a metadata predicate
+    * (here co-label retrieval: each query sees only targets sharing its
+    * label). The capability every production vector store pairs with ANN:
+    * RAG retrieval scoped to a tenant/language/split. The exact form is
+    * q33's native-cosine pass with the predicate folded into the join
+    * condition, so Catalyst applies it BEFORE scoring (a candidate that
+    * fails the filter costs a comparison, never a cosine); the
+    * approximate form is [[ivfTopKFiltered]], which pushes the same
+    * predicate below the probe join onto the scan. */
+  val q114FilteredAnn: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv")))
+    val t = emb.select(col("vec_id").as("target_id"),
+      col("label").as("tlabel"), col("embedding").as("tv"))
+    val scored = q.join(t,
+      col("query_id") =!= col("target_id") && col("qlabel") === col("tlabel"))
+      .withColumn("sim",
+        round(graft.functions.CosineSimilarity(col("qv"), col("tv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("target_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("qlabel").as("label"), col("target_id"),
+        col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+  val q114Sql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, q.label AS label, t.vec_id AS target_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+      |      / (SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      |  FROM embeddings q JOIN embeddings t
+      |    ON q.vec_id <> t.vec_id AND q.label = t.label
+      |  WHERE q.vec_id < 5)
+      |SELECT query_id, label, target_id, sim, rk FROM (
+      |  SELECT query_id, label, target_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, target_id) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** [[ivfTopK]] with a metadata predicate pushed BELOW the probe join:
+    * candidates are filtered at the cell scan, so at rest (the
+    * [[writeIvfPartitioned]] layout) the predicate rides the parquet
+    * reader alongside the cell pruning — filtered search reads only
+    * probed cells AND only matching row groups. With `pred = lit(true)`
+    * this IS [[ivfTopK]]. Recall caveat (the known filtered-ANN trade,
+    * same as FAISS/Milvus): probing is geometry-only, so a highly
+    * selective predicate can empty the probed cells; raise nProbe with
+    * predicate selectivity (spec'd exact at exhaustive probes). */
+  def ivfTopKFiltered(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                      nList: Int, nProbe: Int,
+                      pred: Column): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = ProductQuantization.trainCoarse(emb, nList)
+    val assigned = emb.filter(pred).select(col("vec_id"), col("embedding"),
+      ProductQuantization.cellExpr(spark, cents)(col("embedding")).as("cell"))
+    val queryVecs = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val probeDF = broadcast(
+      ProductQuantization.probeCells(queryVecs, cents, nProbe)
+        .toDF("query_id", "cell"))
+    val q = broadcast(emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val cand = assigned.join(probeDF, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim",
+        round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("target_id"), col("sim"),
+        col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
@@ -547,6 +603,7 @@ object SimilarityOps {
     // are spec'd in ProductQuantizationSpec instead
     "q81_pq_ann" -> ProductQuantization.q81PqAnn,
     "q83_ivfpq_ann" -> ProductQuantization.q83IvfPqAnn,
+    "q114_filtered_ann" -> q114FilteredAnn,
   )
   val oracle: Map[String, String] = Map(
     "q29_ann_bruteforce" -> q29Sql,
@@ -556,5 +613,6 @@ object SimilarityOps {
     "q61_embedding_outliers" -> q61Sql,
     "q70_dim_stats" -> q70Sql,
     "q97_crossmodal_purity" -> q97Sql,
+    "q114_filtered_ann" -> q114Sql,
   )
 }
