@@ -591,6 +591,116 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
+  /** q115: late-interaction (ColBERT-style MaxSim) retrieval — documents
+    * are MULTI-vector (here: consecutive vec_ids grouped 8 per document),
+    * and a document's score against the query is Σ over query vectors of
+    * the MAX cosine across the document's vectors. The retrieval shape
+    * behind ColBERT/PLAID: token-level matching without a pairwise doc
+    * score matrix.
+    *
+    * Scale shape: the query's 8 vectors broadcast; the corpus pays ONE
+    * narrow scoring pass (|corpus vectors| × 8 codegen'd cosines — linear,
+    * never |docs|²), then two map-side-collapsing aggregations: per
+    * (target_doc, query_vec) max, per target_doc decimal sum. Top-k is
+    * TakeOrderedAndProject. Determinism: per-pair cosine rounded 6dp, max
+    * over rounded values is exact, decimal sum order-free. */
+  val q115MaxSim: Q = (s, d) => {
+    val emb = embeddings(s, d)
+      .withColumn("doc", expr("vec_id div 8"))
+    val q = broadcast(emb.filter(col("doc") === 0)
+      .select(col("vec_id").as("q_vec"), col("embedding").as("qv")))
+    val t = emb.filter(col("doc") > 0)
+      .select(col("doc").as("target_doc"), col("embedding").as("tv"))
+    val pair = t.crossJoin(q)
+      .withColumn("sim",
+        round(graft.functions.CosineSimilarity(col("qv"), col("tv")), 6))
+    pair.groupBy("target_doc", "q_vec").agg(max(col("sim")).as("maxsim"))
+      .groupBy("target_doc")
+      .agg(round(sum(col("maxsim").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+        .as("score"))
+      .orderBy(desc("score"), col("target_doc"))
+      .limit(10)
+  }
+  val q115Sql: String =
+    """WITH e AS (SELECT vec_id, vec_id // 8 AS doc, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS q_vec, embedding AS qv FROM e WHERE doc = 0),
+      |t AS (SELECT doc AS target_doc, embedding AS tv FROM e WHERE doc > 0),
+      |pair AS (
+      |  SELECT target_doc, q_vec,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, len(qv) + 1),
+      |               i -> CAST(qv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE)))
+      |      / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(tv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      |  FROM t CROSS JOIN q),
+      |ms AS (SELECT target_doc, q_vec, MAX(sim) AS maxsim
+      |       FROM pair GROUP BY 1, 2)
+      |SELECT target_doc,
+      |  ROUND(CAST(SUM(CAST(maxsim AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+      |FROM ms GROUP BY target_doc
+      |ORDER BY score DESC, target_doc LIMIT 10""".stripMargin
+
+  /** q116: matryoshka truncation audit — how much ANN quality survives
+    * truncating embeddings to their first 16 of 64 dimensions (the
+    * MRL-era memory/recall trade every embedding deployment now sizes).
+    * Per query: the overlap between the full-dimension top-5 and the
+    * truncated top-5, and whether the top-1 survives. At 100 TB this is
+    * the audit run BEFORE re-indexing the corpus at a smaller dimension —
+    * one extra codegen'd cosine on the same scoring pass, two rank
+    * windows over the per-query candidate slice, nothing new shuffled. */
+  val q116TruncationAudit: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val t = emb.select(col("vec_id").as("target_id"), col("embedding").as("tv"))
+    val scored = q.join(t, col("query_id") =!= col("target_id"))
+      .withColumn("sim_full",
+        round(graft.functions.CosineSimilarity(col("qv"), col("tv")), 6))
+      .withColumn("sim_trunc",
+        round(graft.functions.CosineSimilarity(
+          slice(col("qv"), 1, 16), slice(col("tv"), 1, 16)), 6))
+    val wf = Window.partitionBy("query_id").orderBy(desc("sim_full"), col("target_id"))
+    val wt = Window.partitionBy("query_id").orderBy(desc("sim_trunc"), col("target_id"))
+    scored
+      .withColumn("rk_full", row_number().over(wf))
+      .withColumn("rk_trunc", row_number().over(wt))
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rk_full") <= 5 && col("rk_trunc") <= 5, lit(1L))
+          .otherwise(lit(0L))).as("n_overlap"),
+        max(when(col("rk_full") === 1 && col("rk_trunc") === 1, lit(1L))
+          .otherwise(lit(0L))).as("top1_kept"))
+      .orderBy("query_id")
+  }
+  val q116Sql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+      |      / (SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim_full,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 17),
+      |               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+      |      / (SQRT(list_sum(list_transform(q.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(t.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim_trunc
+      |  FROM embeddings q JOIN embeddings t ON q.vec_id <> t.vec_id
+      |  WHERE q.vec_id < 5),
+      |ranked AS (
+      |  SELECT query_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY sim_full DESC, target_id) AS rk_full,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY sim_trunc DESC, target_id) AS rk_trunc
+      |  FROM scored)
+      |SELECT query_id,
+      |  CAST(SUM(CASE WHEN rk_full <= 5 AND rk_trunc <= 5 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_overlap,
+      |  CAST(MAX(CASE WHEN rk_full = 1 AND rk_trunc = 1 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS top1_kept
+      |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
@@ -604,6 +714,8 @@ object SimilarityOps {
     "q81_pq_ann" -> ProductQuantization.q81PqAnn,
     "q83_ivfpq_ann" -> ProductQuantization.q83IvfPqAnn,
     "q114_filtered_ann" -> q114FilteredAnn,
+    "q115_maxsim" -> q115MaxSim,
+    "q116_truncation_audit" -> q116TruncationAudit,
   )
   val oracle: Map[String, String] = Map(
     "q29_ann_bruteforce" -> q29Sql,
@@ -614,5 +726,7 @@ object SimilarityOps {
     "q70_dim_stats" -> q70Sql,
     "q97_crossmodal_purity" -> q97Sql,
     "q114_filtered_ann" -> q114Sql,
+    "q115_maxsim" -> q115Sql,
+    "q116_truncation_audit" -> q116Sql,
   )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** q115 MaxSim late-interaction retrieval and q116 truncation audit:
+  * constructed exactness, bounds, determinism.
+  */
+class LateInteractionSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
+  test("q115 MaxSim: a doc holding exact copies of every query vector scores exactly 8") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_maxsim").toString
+    def oneHot(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i % 8) 1f else 0f)
+    // doc0 = queries (e_0..e_7); doc1 = exact copies; doc2 = negated copies
+    val rows = (0 until 8).map(i => (i.toLong, oneHot(i), 0)) ++
+      (8 until 16).map(i => (i.toLong, oneHot(i), 1)) ++
+      (16 until 24).map(i => (i.toLong, oneHot(i).map(-_), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.q115MaxSim(spark, dir).collect()
+    val byDoc = out.map(r => r.getAs[Long]("target_doc") -> r.getAs[Double]("score")).toMap
+    assert(byDoc(1L) == 8.0, s"exact-copy doc must score Σ 8×1.0, got ${byDoc(1L)}")
+    // negated one-hots: best cosine vs each query is 0 (orthogonal), not -1
+    assert(byDoc(2L) == 0.0, s"negated doc's per-query max is 0, got ${byDoc(2L)}")
+    assert(out.head.getAs[Long]("target_doc") == 1L, "exact-copy doc ranks first")
+  }
+
+  test("q115 MaxSim on real data: scores bounded by query-vector count, order strict") {
+    val df = SimilarityOps.q115MaxSim(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("score")) <= 8.0 + 1e-6))
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val again = SimilarityOps.q115MaxSim(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+
+  test("q116 truncation audit: overlap in [0,5], top1 flag consistent, deterministic") {
+    val df = SimilarityOps.q116TruncationAudit(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.length == 5, "one audit row per query vector")
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= 5)
+      val t1 = r.getAs[Long]("top1_kept")
+      assert(t1 == 0L || t1 == 1L)
+      // a kept top-1 is itself part of the top-5 overlap
+      if (t1 == 1L) assert(ov >= 1)
+    }
+    val again = SimilarityOps.q116TruncationAudit(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+
+  test("q116: identical rankings when 'truncation' keeps all dimensions") {
+    // sanity anchor for the audit's construction: slicing to the full
+    // 64 dims must reproduce the full ranking (overlap 5, top1 kept)
+    val sp = spark
+    val emb = graft.Tables.embeddings(sp, sf)
+    val q = broadcast(emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val t = emb.select(col("vec_id").as("target_id"), col("embedding").as("tv"))
+    val scored = q.join(t, col("query_id") =!= col("target_id"))
+      .withColumn("sim_full",
+        round(graft.functions.CosineSimilarity(col("qv"), col("tv")), 6))
+      .withColumn("sim_trunc",
+        round(graft.functions.CosineSimilarity(
+          slice(col("qv"), 1, 64), slice(col("tv"), 1, 64)), 6))
+    assert(scored.filter(col("sim_full") =!= col("sim_trunc")).count() == 0)
+  }
+}
