@@ -63,9 +63,13 @@ object QualityModels {
     * Empty documents (no tokens after trim/split) carry no evidence and
     * drop out of both engines identically.
     */
-  val q108NbQuality: Q = (s, d) => {
+  /** Per-document NB scores: (doc_id, source, score) — q108's classifier
+    * factored out so composed pipelines (q118) can gate on the score. The
+    * model is trained on whatever pool `docs` is — composition order
+    * changes the model, deliberately. */
+  def nbDocScores(docs: DataFrame): DataFrame = {
     val isT = col("source").isin(ReferenceSources: _*)
-    val tok = documents(s, d)
+    val tok = docs
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("token"))
     val cdw = tok.groupBy("doc_id", "source", "token")
@@ -81,14 +85,17 @@ object QualityModels {
         log((col("c_t") + 1) / (col("n_t") + col("v")).cast(DoubleType)) -
           log((col("c_r") + 1) / (col("n_r") + col("v")).cast(DoubleType)),
         6).as("llr"))
-    val scored = cdw.join(llr, Seq("token"))
+    cdw.join(llr, Seq("token"))
       .groupBy("doc_id", "source")
       .agg(sum(col("c_dw")).as("n_d"),
         sum(col("llr").cast(DecimalType(18, 6)) *
           col("c_dw").cast(DecimalType(18, 0))).as("raw"))
       .select(col("doc_id"), col("source"),
         round(col("raw").cast(DoubleType) / col("n_d"), 6).as("score"))
-    scored.groupBy("source").agg(
+  }
+
+  val q108NbQuality: Q = (s, d) => {
+    nbDocScores(documents(s, d)).groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("score") > 0, lit(1L)).otherwise(lit(0L))).as("n_keep"),
       round(sum(col("score").cast(DecimalType(38, 6))).cast(DoubleType) /
@@ -332,14 +339,178 @@ object QualityModels {
       |FROM lp JOIN cuts USING (source)
       |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
+  /** q118: the LEARNED curation pipeline composed end-to-end in ONE plan —
+    * the q82 composition argument applied to the model-based stages:
+    *
+    *   heuristic funnel (q112 rules, kept only)
+    *     → NB quality classifier trained ON THE FUNNEL SURVIVORS (q108),
+    *       keep score > 0
+    *     → DSIR importance admission trained ON THE NB SURVIVORS (q109's
+    *       model), Bernoulli admission u < min(1, exp(lw − median lw))
+    *       with the content-addressed uniform
+    *
+    * Output: the per-source curation WATERFALL (raw → funnel-kept →
+    * quality-kept → admitted, plus admitted token mass) — the table a
+    * data team reads to see where each source's mass went. Stage order is
+    * semantic: both models train on their stage's input pool, so a
+    * hash-exact cross-engine match proves the models retrain correctly
+    * under composition, not just in isolation. Scale: every stage is a
+    * gate-proven shape; the only additions are |sources|-row/1-row
+    * broadcasts (median, waterfall flags).
+    */
+  val q118CurationPipeline: Q = (s, d) => {
+    val docs = documents(s, d)
+    val ruled = TextOps.funnelRuled(docs)
+    val kept = docs.join(
+      ruled.filter(col("rule") === "kept").select("doc_id"), "doc_id")
+    val nb = nbDocScores(kept)
+    val nbKept = kept.join(nb.filter(col("score") > 0).select("doc_id"), "doc_id")
+    val lw = dsirLogWeights(nbKept, dsirModel(nbKept))
+    val med = lw.agg(percentile(col("log_weight"), lit(0.5)).as("med"))
+    val admitted = lw.crossJoin(broadcast(med))
+      .withColumn("p",
+        round(least(lit(1.0), exp(col("log_weight") - col("med"))), 6))
+      .filter(dsirUniform(col("doc_id")) < col("p"))
+      .select(col("doc_id"), lit(true).as("a"))
+    ruled
+      .join(nb.select(col("doc_id"), (col("score") > 0).as("q")), Seq("doc_id"), "left")
+      .join(admitted, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("rule") === "kept", lit(1L)).otherwise(lit(0L)))
+          .as("n_funnel_kept"),
+        sum(when(coalesce(col("q"), lit(false)), lit(1L)).otherwise(lit(0L)))
+          .as("n_quality_kept"),
+        sum(when(coalesce(col("a"), lit(false)), lit(1L)).otherwise(lit(0L)))
+          .as("n_admitted"),
+        sum(when(coalesce(col("a"), lit(false)), col("n")).otherwise(lit(0L)))
+          .as("tokens_admitted"))
+      .orderBy("source")
+  }
+
+  val q118Sql: String = {
+    val stopsList = TextOps.FunnelStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, source,
+       |         unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, source, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN w IN ($stopsList) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_stop,
+       |    CAST(SUM(len(w)) AS BIGINT) AS len,
+       |    CAST(SUM(len(regexp_replace(w, '[^a-zA-Z]', '', 'g'))) AS BIGINT)
+       |      AS alpha
+       |  FROM tok0 GROUP BY 1, 2),
+       |l0 AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
+       |       FROM documents),
+       |g0 AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(l)),
+       |                               i -> l[i] || ' ' || l[i + 1])) AS bg
+       |       FROM l0 WHERE len(l) >= 2),
+       |gc0 AS (SELECT doc_id, bg, COUNT(*) AS c FROM g0 GROUP BY 1, 2),
+       |gs0 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topc
+       |        FROM gc0 GROUP BY doc_id),
+       |ruled AS (
+       |  SELECT p.doc_id, p.source, p.n,
+       |    CASE WHEN p.n < 10 THEN '1_too_short'
+       |         WHEN p.alpha * 4 < p.len THEN '2_low_alpha'
+       |         WHEN p.n_stop * 5 > p.n * 3 THEN '3_stopword_spam'
+       |         WHEN COALESCE(gs0.topc, 0) * 5 > COALESCE(gs0.nb, 0)
+       |           THEN '4_repetitive'
+       |         WHEN p.len < p.n * 2 OR p.len > p.n * 12 THEN '5_word_length'
+       |         ELSE 'kept' END AS rule
+       |  FROM perdoc p LEFT JOIN gs0 USING (doc_id)),
+       |kept AS (
+       |  SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN ruled USING (doc_id) WHERE ruled.rule = 'kept'),
+       |ktok AS (SELECT doc_id, source,
+       |           unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+       |         FROM kept),
+       |cdw AS (SELECT doc_id, source, token, COUNT(*) AS c_dw
+       |        FROM ktok GROUP BY 1, 2, 3),
+       |cw AS (SELECT token,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN c_dw
+       |                       ELSE 0 END) AS BIGINT) AS c_t,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 0
+       |                       ELSE c_dw END) AS BIGINT) AS c_r
+       |       FROM cdw GROUP BY token),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |               CAST(SUM(c_r) AS BIGINT) AS n_r,
+       |               COUNT(*) AS v FROM cw),
+       |llr AS (SELECT token,
+       |          ROUND(LN((c_t + 1) / CAST(n_t + v AS DOUBLE))
+       |              - LN((c_r + 1) / CAST(n_r + v AS DOUBLE)), 6) AS llr
+       |        FROM cw CROSS JOIN tot),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    ROUND(CAST(SUM(CAST(llr AS DECIMAL(18,6))
+       |                   * CAST(c_dw AS DECIMAL(18,0))) AS DOUBLE)
+       |          / CAST(SUM(c_dw) AS BIGINT), 6) AS score
+       |  FROM cdw JOIN llr USING (token) GROUP BY 1, 2),
+       |nbkept AS (
+       |  SELECT k.doc_id, k.source, k.text FROM kept k
+       |  JOIN scored USING (doc_id) WHERE scored.score > 0),
+       |nl AS (SELECT doc_id, source,
+       |         string_split_regex(TRIM(text), '\\s+') AS l
+       |       FROM nbkept),
+       |nbg AS (SELECT doc_id, source,
+       |          unnest(list_transform(range(1, len(l)),
+       |                                i -> l[i] || ' ' || l[i + 1])) AS gram
+       |        FROM nl WHERE len(l) >= 2),
+       |ndb AS (SELECT doc_id, source,
+       |          CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+       |            % ${DsirBuckets} AS b
+       |        FROM nbg),
+       |ncb AS (SELECT b,
+       |          CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 1
+       |                        ELSE 0 END) AS BIGINT) AS c_t,
+       |          COUNT(*) AS c_all
+       |        FROM ndb GROUP BY b),
+       |ntot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |                CAST(SUM(c_all) AS BIGINT) AS n_all FROM ncb),
+       |nllr AS (SELECT b,
+       |           ROUND(LN((c_t + 1) / CAST(n_t + ${DsirBuckets} AS DOUBLE))
+       |               - LN((c_all + 1) / CAST(n_all + ${DsirBuckets} AS DOUBLE)),
+       |                 6) AS llr
+       |         FROM ncb CROSS JOIN ntot),
+       |lw AS (SELECT doc_id, source,
+       |         ROUND(CAST(SUM(CAST(llr AS DECIMAL(38,6))) AS DOUBLE), 6)
+       |           AS log_weight
+       |       FROM ndb JOIN nllr USING (b) GROUP BY 1, 2),
+       |med AS (SELECT quantile_cont(log_weight, 0.5) AS med FROM lw),
+       |admitted AS (
+       |  SELECT doc_id, TRUE AS a FROM lw CROSS JOIN med
+       |  WHERE (CAST(CAST(concat('0x',
+       |           substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |           AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0
+       |        < ROUND(LEAST(1.0, EXP(log_weight - med)), 6))
+       |SELECT r.source,
+       |  COUNT(*) AS n_raw,
+       |  CAST(SUM(CASE WHEN r.rule = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_funnel_kept,
+       |  CAST(SUM(CASE WHEN COALESCE(s.score > 0, FALSE) THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_quality_kept,
+       |  CAST(SUM(CASE WHEN COALESCE(a.a, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST(SUM(CASE WHEN COALESCE(a.a, FALSE) THEN r.n ELSE 0 END) AS BIGINT)
+       |    AS tokens_admitted
+       |FROM ruled r
+       |LEFT JOIN scored s USING (doc_id)
+       |LEFT JOIN admitted a USING (doc_id)
+       |GROUP BY r.source ORDER BY r.source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_nb_quality" -> q108NbQuality,
     "q109_dsir_resample" -> q109DsirResample,
     "q110_ccnet_buckets" -> q110CcnetBuckets,
+    "q118_curation_pipeline" -> q118CurationPipeline,
   )
   val oracle: Map[String, String] = Map(
     "q108_nb_quality" -> q108Sql,
     "q109_dsir_resample" -> q109Sql,
     "q110_ccnet_buckets" -> q110Sql,
+    "q118_curation_pipeline" -> q118Sql,
   )
 }

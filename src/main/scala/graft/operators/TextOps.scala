@@ -321,16 +321,19 @@ object TextOps {
     * (doc_id in the first shuffle key — no hot-gram reducer), then a
     * |sources|×6 aggregate. Nothing downstream of the partial
     * aggregations is corpus-sized. */
-  val q112FilterFunnel: Q = (s, d) => {
+  /** Per-document funnel verdict: (doc_id, source, n, rule) — q112's
+    * rule engine factored out so composed pipelines (q118) can gate on
+    * the verdict without re-deriving the rules. */
+  def funnelRuled(docs: DataFrame): DataFrame = {
     val stops = FunnelStopwords
-    val tok = documents(s, d)
+    val tok = docs
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
     val perDoc = tok.groupBy("doc_id", "source").agg(
       count(lit(1)).as("n"),
       sum(when(col("w").isin(stops: _*), lit(1L)).otherwise(lit(0L))).as("n_stop"),
       sum(length(col("w"))).as("len"),
       sum(length(regexp_replace(col("w"), "[^a-zA-Z]", ""))).as("alpha"))
-    val grams = documents(s, d)
+    val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("l"))
       .filter(size(col("l")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -349,11 +352,14 @@ object TextOps {
         lit("5_word_length"))
       .otherwise(lit("kept"))
     perDoc.join(gs, Seq("doc_id"), "left")
-      .select(col("source"), rule.as("rule"))
+      .select(col("doc_id"), col("source"), col("n"), rule.as("rule"))
+  }
+
+  val q112FilterFunnel: Q = (s, d) =>
+    funnelRuled(documents(s, d))
       .groupBy("source", "rule")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "rule")
-  }
   val q112Sql: String = {
     val stopsList = FunnelStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH tok AS (

@@ -146,6 +146,7 @@ object Soak {
     "q104_zipf_slope",
     // learned selection (round 9)
     "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
+    "q118_curation_pipeline",
     "q111_fertility", "q112_filter_funnel", "q113_snapshot_diff",
     // multimodal plumbing
     "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",

@@ -113,6 +113,26 @@ class QualityModelsSpec extends AnyFunSuite with SharedSpark {
       "the |sources|-row cut table must broadcast onto the per-doc scores")
   }
 
+  test("q118 curation pipeline: waterfall is monotone per source and genuinely filters") {
+    val df = QualityModels.q118CurationPipeline(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, fk, qk, ad) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_funnel_kept"),
+        r.getAs[Long]("n_quality_kept"), r.getAs[Long]("n_admitted"))
+      assert(raw >= fk && fk >= qk && qk >= ad && ad >= 0,
+        s"waterfall must be monotone: $r")
+      if (ad == 0) assert(r.getAs[Long]("tokens_admitted") == 0L)
+    }
+    // the learned stages actually cut mass somewhere (a pipeline that
+    // admits everything is a disconnected filter)
+    val totRaw = rows.map(_.getAs[Long]("n_raw")).sum
+    val totAd = rows.map(_.getAs[Long]("n_admitted")).sum
+    assert(totAd < totRaw && totAd > 0, s"admitted $totAd of $totRaw")
+    val again = QualityModels.q118CurationPipeline(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+
   test("q109 DSIR: scoring plan broadcasts the 4096-bucket model and top-k avoids a global sort") {
     val df = QualityModels.q109DsirResample(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
