@@ -701,6 +701,62 @@ object SimilarityOps {
       |       AS BIGINT) AS top1_kept
       |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin
 
+  /** q119: SEMANTIC decontamination — the embedding-level twin of q49's
+    * n-gram benchmark decontamination (the gap n-gram matching provably
+    * misses: paraphrased benchmark items land nowhere near the verbatim
+    * shingles but sit at high cosine). Benchmark panel = vec_id < 100
+    * (the held-out slice a deployment loads from the eval suite),
+    * broadcast; every corpus vector's MAX cosine against the panel
+    * decides the flag (τ = 0.8). Output: per-label flagged/total counts —
+    * the "which domains leak into evals" table.
+    *
+    * Scale shape: the panel broadcasts (eval suites are thousands of
+    * items, not millions), the corpus pays ONE linear codegen'd pass of
+    * |corpus|×|panel| cosines with a map-side max — the same serving
+    * bound as q115. When the panel outgrows broadcast, the IVF form is
+    * [[graft.streaming.CorpusStreams.semanticProbeAgainstIndex]] with
+    * corpus and panel swapped — cell-bounded, already spec'd. */
+  val q119SemanticDecontam: Q = (s, d) => {
+    val tau = 0.8
+    val emb = embeddings(s, d)
+    val bench = broadcast(emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv")))
+    val corpus = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    corpus.crossJoin(bench)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.CosineSimilarity(col("embedding"), col("bv")), 6)
+          .as("sim"))
+      .groupBy("vec_id", "label")
+      .agg(max(col("sim")).as("max_sim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_sim") >= tau, lit(1L)).otherwise(lit(0L)))
+          .as("n_flagged"),
+        round(max(col("max_sim")), 6).as("worst_sim"))
+      .orderBy("label")
+  }
+  val q119Sql: String =
+    """WITH bench AS (SELECT vec_id AS b_id, embedding AS bv
+      |               FROM embeddings WHERE vec_id < 100),
+      |corpus AS (SELECT vec_id, label, embedding
+      |           FROM embeddings WHERE vec_id >= 100),
+      |sims AS (
+      |  SELECT c.vec_id, c.label,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+      |               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.bv[i] AS DOUBLE)))
+      |      / (SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(b.bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      |  FROM corpus c CROSS JOIN bench b),
+      |mx AS (SELECT vec_id, label, MAX(sim) AS max_sim
+      |       FROM sims GROUP BY 1, 2)
+      |SELECT label, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN max_sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  ROUND(MAX(max_sim), 6) AS worst_sim
+      |FROM mx GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
@@ -716,6 +772,7 @@ object SimilarityOps {
     "q114_filtered_ann" -> q114FilteredAnn,
     "q115_maxsim" -> q115MaxSim,
     "q116_truncation_audit" -> q116TruncationAudit,
+    "q119_semantic_decontam" -> q119SemanticDecontam,
   )
   val oracle: Map[String, String] = Map(
     "q29_ann_bruteforce" -> q29Sql,
@@ -728,5 +785,6 @@ object SimilarityOps {
     "q114_filtered_ann" -> q114Sql,
     "q115_maxsim" -> q115Sql,
     "q116_truncation_audit" -> q116Sql,
+    "q119_semantic_decontam" -> q119Sql,
   )
 }

@@ -157,6 +157,7 @@ object Soak {
     "q81_pq_ann", "q83_ivfpq_ann", "q97_crossmodal_purity", "q103_knn_graph",
     "q105_semantic_clusters", "q107_diversity_sample", "q114_filtered_ann",
     "q115_maxsim", "q116_truncation_audit", "q117_hybrid_rrf",
+    "q119_semantic_decontam",
     // sequence assembly + pipeline
     "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
     "q79_lang_drift", "q82_e2e_pipeline",

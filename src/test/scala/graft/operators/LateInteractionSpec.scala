@@ -46,6 +46,41 @@ class LateInteractionSpec extends AnyFunSuite with SharedSpark {
     assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
   }
 
+  test("q119 semantic decontamination: a planted benchmark copy flags at sim 1.0") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_decontam").toString
+    def unit(seed: Int): Array[Float] = {
+      val v = Array.tabulate(8)(j => math.sin(seed * 31 + j * 7).toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // bench = vec 0..99; corpus vec 100 is an EXACT copy of bench vec 3,
+    // corpus vec 101 is far from every bench vector (distinct seed family)
+    val rows = (0 until 100).map(i => (i.toLong, unit(i), 0)) ++
+      Seq((100L, unit(3), 1), (101L, Array.tabulate(8)(j => if (j == 7) 1f else 0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.q119SemanticDecontam(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_flagged"), r.getAs[Double]("worst_sim"))).toMap
+    assert(out(1)._1 == 1L && out(1)._2 == 1.0,
+      s"exact benchmark copy must flag at 1.0, got ${out(1)}")
+    assert(out(2)._1 == 0L, s"unrelated vector must not flag, got ${out(2)}")
+  }
+
+  test("q119 on real data: flag counts bounded, deterministic") {
+    val df = SimilarityOps.q119SemanticDecontam(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      assert(math.abs(r.getAs[Double]("worst_sim")) <= 1.0 + 1e-9)
+    }
+    val again = SimilarityOps.q119SemanticDecontam(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+
   test("q116 truncation audit: overlap in [0,5], top1 flag consistent, deterministic") {
     val df = SimilarityOps.q116TruncationAudit(spark, sf).cache()
     val rows = df.collect()
