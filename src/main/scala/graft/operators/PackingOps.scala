@@ -316,12 +316,62 @@ object PackingOps {
       |        / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS gini
       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q120: deterministic training-order export manifest — every document
+    * gets (shard, position): shard from q86's content-addressed router,
+    * position = the document's rank within its shard under a
+    * content-addressed shuffle key md5("order:" ++ doc_id). The export
+    * step of a corpus build: training order is reproducible on any
+    * engine, stable per document (adding docs appends ranks, never
+    * reshuffles a shard's existing relative order), and free of RNG state.
+    *
+    * Scale shape — the packSummary (q76) two-level rank, because a
+    * per-shard ROW_NUMBER window would sort corpus/16 rows in ONE task:
+    * rank locally within (shard, grp) where grp = the order key's first
+    * byte (256 groups/shard, so tasks are corpus/4096), then add
+    * per-(shard, grp) count offsets (≤4096 rows, broadcast back). The
+    * group totals are derived from max(local rank) ON the window output —
+    * the q76 exchange-reuse trick: both consumers share one (shard, grp)
+    * exchange instead of re-scanning the corpus. */
+  val q120ExportOrder: Q = (s, d) => {
+    val base = documents(s, d).select(col("doc_id"))
+      .withColumn("shard", MixtureOps.shardCol)
+      .withColumn("okey",
+        md5(concat(lit("order:"), col("doc_id").cast("string"))))
+      .withColumn("grp", conv(substring(col("okey"), 1, 2), 16, 10).cast("int"))
+      .where(col("doc_id").isNotNull)
+    val wLocal = Window.partitionBy("shard", "grp").orderBy("okey", "doc_id")
+    val local = base.withColumn("rk_local", row_number().over(wLocal))
+    val wOff = Window.partitionBy("shard").orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("shard", "grp")
+      .agg(max(col("rk_local")).cast("long").as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select(col("shard"), col("grp"), col("off"))
+    local.join(broadcast(offsets), Seq("shard", "grp"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + col("rk_local") - 1).cast("long").as("position"))
+      .orderBy("shard", "position")
+  }
+  val q120Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    CAST(INSTR('0123456789abcdef',
+      |         SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER)
+      |      AS shard,
+      |    md5('order:' || CAST(doc_id AS VARCHAR)) AS okey
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1
+      |       AS BIGINT) AS position
+      |FROM k ORDER BY shard, position""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q76_seq_packing" -> q76SeqPacking,
     "q77_chunk_windows" -> q77ChunkWindows,
     "q78_embed_quantize" -> q78EmbedQuantize,
     "q79_lang_drift" -> q79LangDrift,
     "q80_char_diversity" -> q80CharDiversity,
+    "q120_export_order" -> q120ExportOrder,
   )
   val oracle: Map[String, String] = Map(
     "q76_seq_packing" -> q76Sql,
@@ -329,5 +379,6 @@ object PackingOps {
     "q78_embed_quantize" -> q78Sql,
     "q79_lang_drift" -> q79Sql,
     "q80_char_diversity" -> q80Sql,
+    "q120_export_order" -> q120Sql,
   )
 }

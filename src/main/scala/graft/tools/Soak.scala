@@ -160,7 +160,7 @@ object Soak {
     "q119_semantic_decontam",
     // sequence assembly + pipeline
     "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
-    "q79_lang_drift", "q82_e2e_pipeline",
+    "q79_lang_drift", "q82_e2e_pipeline", "q120_export_order",
     // events (skewed-user stream; every query here reads ONLY events)
     "q19_event_windows", "q34_sessionize", "q88_sessionize_scaled",
     "q35_asof_join", "q91_asof_scaled", "q36_json_props",
