@@ -469,4 +469,43 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
     }.nonEmpty, s"per-source rank window lost its pushdown:\n${physicalPlan(df)}")
   }
+
+  test("q108: the vocab model join never broadcasts the corpus side and has no window") {
+    val df = QualityModels.q108NbQuality(spark, sf)
+    // the token-keyed scoring join is corpus×vocab — a shuffle join by
+    // design (AQE may pick broadcast at sf0.001; what must NOT appear is
+    // any Window/global sort in a pure aggregate pipeline)
+    assert(nodes(df) { case w: WindowExec => w }.isEmpty,
+      s"NB scoring is aggregation-only:\n${physicalPlan(df)}")
+    assert(nodes(df) { case a: HashAggregateExec => a }.nonEmpty)
+  }
+
+  test("q115/q119: panel passes broadcast the small side; no corpus pair shuffle") {
+    for (df <- Seq(SimilarityOps.q115MaxSim(spark, sf),
+      SimilarityOps.q119SemanticDecontam(spark, sf))) {
+      val plan = physicalPlan(df)
+      assert(plan.contains("Broadcast"),
+        s"query/benchmark panel must broadcast:\n$plan")
+      // the corpus-sized side must never shuffle BEFORE aggregation
+      // collapses it: every shuffle key set includes the group-by keys,
+      // none is a raw pair exchange on vec ids of both sides
+      assert(nodes(df) { case w: WindowExec => w }.isEmpty,
+        s"panel scoring is aggregation-only:\n$plan")
+    }
+  }
+
+  test("q115: top-k is TakeOrderedAndProject, not a global sort") {
+    val df = SimilarityOps.q115MaxSim(spark, sf)
+    assert(nodes(df) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"MaxSim top-k lost its TakeOrdered shape:\n${physicalPlan(df)}")
+  }
+
+  test("q117: both ranker top-20 windows prune via WindowGroupLimit") {
+    val df = HybridRetrieval.q117HybridRrf(spark, sf)
+    val wgl = nodes(df) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(wgl.size >= 2,
+      s"both ranker windows must push their rank<=20 limit map-side:\n${physicalPlan(df)}")
+  }
 }
