@@ -298,6 +298,58 @@ object CorpusStreams {
         col("admit_prob"), col("admitted"))
   }
 
+  /** Streaming funnel admission — the ingest-time form of q112's
+    * heuristic rule engine. Every rule statistic is recomputed IN-ROW
+    * from the document's own token array (higher-order folds — no
+    * explode, no shuffle, no state), so the verdict is a pure function of
+    * the document and replays identically. The top-bigram count uses a
+    * sort-then-longest-equal-run fold — the formulation the BATCH q112
+    * deliberately avoids (q100's finding: HOFs leave whole-stage codegen,
+    * and batch re-derives the pipeline per consumer), but at ingest the
+    * per-row cost is the right trade against carrying shuffle machinery
+    * into a micro-batch. FunnelParitySpec pins the verdict bit-equal to
+    * [[graft.operators.TextOps.funnelRuled]] — all thresholds compare
+    * exact integers, so the two formulations cannot drift. */
+  def funnelAdmission(docs: DataFrame): DataFrame = {
+    val stops = graft.operators.TextOps.FunnelStopwords
+      .map(s => s"'$s'").mkString(", ")
+    val verdict = expr(
+      s"""CASE
+         |  WHEN n < 10 THEN '1_too_short'
+         |  WHEN alpha * 4 < len THEN '2_low_alpha'
+         |  WHEN n_stop * 5 > n * 3 THEN '3_stopword_spam'
+         |  WHEN topc * 5 > nb THEN '4_repetitive'
+         |  WHEN len < n * 2 OR len > n * 12 THEN '5_word_length'
+         |  ELSE 'kept' END""".stripMargin)
+    docs
+      .withColumn("l", split(trim(col("text")), "\\s+"))
+      .withColumn("n", size(col("l")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(l, t -> t IN ($stops))) AS BIGINT)"))
+      .withColumn("len",
+        expr("aggregate(l, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("alpha",
+        expr("aggregate(l, 0L, (acc, t) -> acc + length(regexp_replace(t, '[^a-zA-Z]', '')))"))
+      // longest equal run over the SORTED bigram array = max in-doc
+      // bigram count; fold state = (prev gram, current run, best run)
+      .withColumn("bgs", expr(
+        "array_sort(transform(sequence(0, int(n) - 2), i -> concat(l[i], ' ', l[i + 1])))"))
+      .withColumn("nb", greatest(col("n") - 1, lit(0L)))
+      .withColumn("topc", expr(
+        """CASE WHEN n < 2 THEN 0L ELSE aggregate(bgs,
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (acc, g) -> named_struct(
+          |    'prev', g,
+          |    'run', IF(acc.prev IS NOT NULL AND acc.prev = g, acc.run + 1, 1L),
+          |    'best', GREATEST(acc.best,
+          |      IF(acc.prev IS NOT NULL AND acc.prev = g, acc.run + 1, 1L))),
+          |  acc -> acc.best) END""".stripMargin))
+      .withColumn("rule", verdict)
+      .withColumn("admitted", col("rule") === "kept")
+      .select(col("doc_id"), col("source"), col("n"), col("rule"),
+        col("admitted"))
+  }
+
   /** Stateless shard router — the ingest-time form of q86's assignment
     * ([[graft.operators.MixtureOps.shardCol]], same expression): adds the
     * deterministic shard id so the stream sink can `partitionBy("shard")`

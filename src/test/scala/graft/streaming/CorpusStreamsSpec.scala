@@ -404,6 +404,51 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(ids == Set(1L, 2L, 4L), ids.toString)
   }
 
+  test("funnel admission: streamed verdicts equal the batch rule engine bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val corpus = graft.Tables.documents(sp, "/root/testdata/sf0.001")
+    val batch = graft.operators.TextOps.funnelRuled(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("rule")).toMap
+    val docs = corpus.select("doc_id", "source", "text").as[SourcedDoc].collect()
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.funnelAdmission(stream.toDF())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    stream.addData(docs.take(docs.length / 2): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(docs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("funnel").collect()
+    assert(streamed.length == docs.length)
+    streamed.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("rule") == batch(id),
+        s"doc $id: stream ${r.getAs[String]("rule")} != batch ${batch(id)}")
+      assert(r.getAs[Boolean]("admitted") == (batch(id) == "kept"))
+    }
+  }
+
+  test("funnel admission: crafted rule-trigger docs verdict identically to q112's spec") {
+    val sp = spark
+    import sp.implicits._
+    // the same six crafted docs FilterFunnelSpec pins for the batch engine
+    val crafted = Seq(
+      SourcedDoc(1, "s_short", "only three tokens"),
+      SourcedDoc(2, "s_alpha", "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890 1234 5678"),
+      SourcedDoc(3, "s_stop", "the the the the the the the the the the the the"),
+      SourcedDoc(4, "s_rep", "x1 y1 x1 y1 x1 y1 x1 y1 x1 y1 x1 y1"),
+      SourcedDoc(5, "s_len", "b c d e f g h j k l m p"),
+      SourcedDoc(6, "s_kept", "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"))
+    val out = CorpusStreams.funnelAdmission(crafted.toDF())
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[String]("rule")).toMap
+    assert(out == Map(
+      "s_short" -> "1_too_short", "s_alpha" -> "2_low_alpha",
+      "s_stop" -> "3_stopword_spam", "s_rep" -> "4_repetitive",
+      "s_len" -> "5_word_length", "s_kept" -> "kept"))
+  }
+
   test("DSIR admission: streamed log-weights equal the batch path bit-for-bit") {
     val sp = spark
     import sp.implicits._
