@@ -397,6 +397,55 @@ object TextOps {
        |FROM ruled GROUP BY 1, 2 ORDER BY source, rule""".stripMargin
   }
 
+  /** q121: train/test split-leakage audit — exact-duplicate content that
+    * crosses the q40 content-addressed split boundary. The eval-integrity
+    * check every corpus release runs: a benchmark answer sitting
+    * verbatim in train inflates eval scores no matter how good the
+    * decontamination list is. Groups documents by normalized content
+    * hash (q24's key), keeps groups spanning >1 split, and reports per
+    * split-pair how many duplicate groups and documents leak across.
+    *
+    * Scale shape: one narrow projection (hash + split are both pure
+    * functions of the row), one map-side-collapsing groupBy on the
+    * 128-bit content key, and a ≤3-splits array fold per group —
+    * shuffle ∝ distinct hashes, the q24 bound. */
+  val q121SplitLeakage: Q = (s, d) => {
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split = when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test")
+    val hashed = documents(s, d).select(
+      md5(concat_ws(" ", tokens(col("text")))).as("content_hash"),
+      split.as("split"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(sort_array(collect_set(col("split"))).as("splits"),
+        count(lit(1)).as("n_docs"))
+      .filter(size(col("splits")) >= 2)
+    groups
+      .select(concat_ws("+", col("splits")).as("split_pair"),
+        col("n_docs"))
+      .groupBy("split_pair")
+      .agg(count(lit(1)).as("n_leaky_groups"),
+        sum(col("n_docs")).as("n_docs_involved"))
+      .orderBy("split_pair")
+  }
+  val q121Sql: String =
+    """WITH tagged AS (
+      |  SELECT md5(array_to_string(string_split_regex(TRIM(text), '\s+'), ' '))
+      |           AS content_hash,
+      |    CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |         WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |groups AS (
+      |  SELECT content_hash,
+      |    list_sort(list_distinct(list(split))) AS splits,
+      |    COUNT(*) AS n_docs
+      |  FROM tagged GROUP BY content_hash
+      |  HAVING len(list_distinct(list(split))) >= 2)
+      |SELECT array_to_string(splits, '+') AS split_pair,
+      |  COUNT(*) AS n_leaky_groups,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs_involved
+      |FROM groups GROUP BY 1 ORDER BY split_pair""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
@@ -407,6 +456,7 @@ object TextOps {
     "q47_clean_corpus" -> q47CleanCorpus,
     "q100_repetition" -> q100Repetition,
     "q112_filter_funnel" -> q112FilterFunnel,
+    "q121_split_leakage" -> q121SplitLeakage,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
@@ -418,5 +468,6 @@ object TextOps {
     "q47_clean_corpus" -> q47Sql,
     "q100_repetition" -> q100Sql,
     "q112_filter_funnel" -> q112Sql,
+    "q121_split_leakage" -> q121Sql,
   )
 }

@@ -148,6 +148,7 @@ object Soak {
     "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
     "q118_curation_pipeline",
     "q111_fertility", "q112_filter_funnel", "q113_snapshot_diff",
+    "q121_split_leakage",
     // multimodal plumbing
     "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",
     "q94_audio_meta", "q96_video_meta",

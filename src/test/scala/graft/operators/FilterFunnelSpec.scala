@@ -90,6 +90,32 @@ class FilterFunnelSpec extends AnyFunSuite with SharedSpark {
     assert(diff.executedPlan.toString.contains("FullOuter"))
   }
 
+  test("q121: a cross-split duplicate is reported, a same-split duplicate is not") {
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val c = "%02x".format(h(0) & 0xff).charAt(0)
+      if (c < 'c') "train" else if (c < 'e') "val" else "test"
+    }
+    val ids = (0L until 200L)
+    val train = ids.filter(splitOf(_) == "train").take(3)
+    val test = ids.filter(splitOf(_) == "test").take(1)
+    assert(train.size == 3 && test.size == 1)
+    // leak: one train doc and one test doc share content;
+    // benign: two TRAIN docs share content (must NOT be reported)
+    val docs = Seq(
+      (train(0), "s", "leaked benchmark answer text here"),
+      (test(0), "s", "leaked  benchmark   answer text here"), // same modulo ws
+      (train(1), "s", "duplicated but only inside train"),
+      (train(2), "s", "duplicated but only inside train"))
+    val dir = corpusDir(docs)
+    val out = TextOps.q121SplitLeakage(spark, dir).collect()
+    assert(out.length == 1, s"exactly the cross-split group: ${out.mkString}")
+    assert(out.head.getAs[String]("split_pair") == "test+train")
+    assert(out.head.getAs[Long]("n_leaky_groups") == 1L)
+    assert(out.head.getAs[Long]("n_docs_involved") == 2L)
+  }
+
   test("q113 snapshot diff: change classes match the content-addressed simulation") {
     val sp = spark
     val df = PipelineOps.q113SnapshotDiff(sp, sf).cache()
