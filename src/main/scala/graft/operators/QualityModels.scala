@@ -103,13 +103,16 @@ object QualityModels {
       .orderBy("source")
   }
 
-  val q108Sql: String =
-    s"""WITH tok AS (
+  /** DuckDB CTE chain ending in `scored(doc_id, source, score)` — the
+    * oracle twin of [[nbDocScores]] trained on `docsCte(doc_id, source,
+    * text)`. Shared by q108's oracle and the composed q118 oracle. */
+  def nbScoredCte(docsCte: String): String =
+    s"""nb_tok AS (
        |  SELECT doc_id, source,
        |         unnest(string_split_regex(TRIM(text), '\\s+')) AS token
-       |  FROM documents),
+       |  FROM $docsCte),
        |cdw AS (SELECT doc_id, source, token, COUNT(*) AS c_dw
-       |        FROM tok GROUP BY 1, 2, 3),
+       |        FROM nb_tok GROUP BY 1, 2, 3),
        |cw AS (SELECT token,
        |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN c_dw
        |                       ELSE 0 END) AS BIGINT) AS c_t,
@@ -128,7 +131,43 @@ object QualityModels {
        |    ROUND(CAST(SUM(CAST(llr AS DECIMAL(18,6))
        |                   * CAST(c_dw AS DECIMAL(18,0))) AS DOUBLE)
        |          / CAST(SUM(c_dw) AS BIGINT), 6) AS score
-       |  FROM cdw JOIN llr USING (token) GROUP BY 1, 2)
+       |  FROM cdw JOIN llr USING (token) GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB CTE chain ending in `lw(doc_id, source, log_weight)` — the
+    * oracle twin of [[dsirModel]]+[[dsirLogWeights]] trained and applied
+    * on `docsCte(doc_id, source, text)`. Shared by q109 and q118. */
+  def dsirLwCte(docsCte: String): String =
+    s"""ds_l AS (SELECT doc_id, source,
+       |           string_split_regex(TRIM(text), '\\s+') AS l
+       |         FROM $docsCte),
+       |ds_bg AS (SELECT doc_id, source,
+       |            unnest(list_transform(range(1, len(l)),
+       |                                  i -> l[i] || ' ' || l[i + 1])) AS gram
+       |          FROM ds_l WHERE len(l) >= 2),
+       |ds_db AS (SELECT doc_id, source,
+       |            CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+       |              % ${DsirBuckets} AS b
+       |          FROM ds_bg),
+       |ds_cb AS (SELECT b,
+       |            CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 1
+       |                          ELSE 0 END) AS BIGINT) AS c_t,
+       |            COUNT(*) AS c_all
+       |          FROM ds_db GROUP BY b),
+       |ds_tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |                  CAST(SUM(c_all) AS BIGINT) AS n_all FROM ds_cb),
+       |ds_llr AS (SELECT b,
+       |             ROUND(LN((c_t + 1) / CAST(n_t + ${DsirBuckets} AS DOUBLE))
+       |                 - LN((c_all + 1) / CAST(n_all + ${DsirBuckets} AS DOUBLE)),
+       |                   6) AS llr
+       |           FROM ds_cb CROSS JOIN ds_tot),
+       |lw AS (SELECT doc_id, source,
+       |         ROUND(CAST(SUM(CAST(COALESCE(ds_llr.llr, 0.0) AS DECIMAL(38,6)))
+       |                    AS DOUBLE), 6) AS log_weight
+       |       FROM ds_db LEFT JOIN ds_llr USING (b) GROUP BY 1, 2)""".stripMargin
+
+  val q108Sql: String =
+    s"""WITH docs_all AS (SELECT doc_id, source, text FROM documents),
+       |${nbScoredCte("docs_all")}
        |SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
@@ -193,12 +232,16 @@ object QualityModels {
     * (doc_id, source, log_weight). Exact-DECIMAL accumulation of the
     * 6dp-rounded per-occurrence llr terms, so the value is independent of
     * aggregation order — the streaming admission path reproduces it
-    * bit-for-bit from the same model. */
+    * bit-for-bit from the same model. Features in buckets the model never
+    * saw contribute ZERO (left join + coalesce, not an inner join): a
+    * document scored under an OLDER model than its own corpus — the
+    * ingest/backfill case — must still be a candidate, with the same
+    * weight the streaming fold assigns it. */
   def dsirLogWeights(docs: DataFrame, model: DataFrame): DataFrame =
-    dsirFeatures(docs).join(broadcast(model), Seq("b"))
+    dsirFeatures(docs).join(broadcast(model), Seq("b"), "left")
       .groupBy("doc_id", "source")
-      .agg(round(sum(col("llr").cast(DecimalType(38, 6))).cast(DoubleType), 6)
-        .as("log_weight"))
+      .agg(round(sum(coalesce(col("llr"), lit(0.0)).cast(DecimalType(38, 6)))
+        .cast(DoubleType), 6).as("log_weight"))
 
   /** Content-addressed uniform in (0,1) for the selection noise:
     * u = (md5-32-bit("dsir:" ++ doc_id) + 0.5) / 2³². */
@@ -218,33 +261,8 @@ object QualityModels {
   }
 
   val q109Sql: String =
-    s"""WITH l AS (SELECT doc_id, source,
-       |             string_split_regex(TRIM(text), '\\s+') AS l
-       |           FROM documents),
-       |bg AS (SELECT doc_id, source,
-       |         unnest(list_transform(range(1, len(l)),
-       |                               i -> l[i] || ' ' || l[i + 1])) AS gram
-       |       FROM l WHERE len(l) >= 2),
-       |db AS (SELECT doc_id, source,
-       |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
-       |           % ${DsirBuckets} AS b
-       |       FROM bg),
-       |cb AS (SELECT b,
-       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 1
-       |                       ELSE 0 END) AS BIGINT) AS c_t,
-       |         COUNT(*) AS c_all
-       |       FROM db GROUP BY b),
-       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
-       |               CAST(SUM(c_all) AS BIGINT) AS n_all FROM cb),
-       |llr AS (SELECT b,
-       |          ROUND(LN((c_t + 1) / CAST(n_t + ${DsirBuckets} AS DOUBLE))
-       |              - LN((c_all + 1) / CAST(n_all + ${DsirBuckets} AS DOUBLE)),
-       |                6) AS llr
-       |        FROM cb CROSS JOIN tot),
-       |lw AS (SELECT doc_id, source,
-       |         ROUND(CAST(SUM(CAST(llr AS DECIMAL(38,6))) AS DOUBLE), 6)
-       |           AS log_weight
-       |       FROM db JOIN llr USING (b) GROUP BY 1, 2),
+    s"""WITH docs_all AS (SELECT doc_id, source, text FROM documents),
+       |${dsirLwCte("docs_all")},
        |keyed AS (SELECT doc_id, source, log_weight,
        |    ROUND(-LN(-LN((CAST(CAST(concat('0x',
        |        substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -388,96 +406,16 @@ object QualityModels {
       .orderBy("source")
   }
 
-  val q118Sql: String = {
-    val stopsList = TextOps.FunnelStopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH tok0 AS (
-       |  SELECT doc_id, source,
-       |         unnest(string_split_regex(TRIM(text), '\\s+')) AS w
-       |  FROM documents),
-       |perdoc AS (
-       |  SELECT doc_id, source, COUNT(*) AS n,
-       |    CAST(SUM(CASE WHEN w IN ($stopsList) THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_stop,
-       |    CAST(SUM(len(w)) AS BIGINT) AS len,
-       |    CAST(SUM(len(regexp_replace(w, '[^a-zA-Z]', '', 'g'))) AS BIGINT)
-       |      AS alpha
-       |  FROM tok0 GROUP BY 1, 2),
-       |l0 AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
-       |       FROM documents),
-       |g0 AS (SELECT doc_id,
-       |         unnest(list_transform(range(1, len(l)),
-       |                               i -> l[i] || ' ' || l[i + 1])) AS bg
-       |       FROM l0 WHERE len(l) >= 2),
-       |gc0 AS (SELECT doc_id, bg, COUNT(*) AS c FROM g0 GROUP BY 1, 2),
-       |gs0 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topc
-       |        FROM gc0 GROUP BY doc_id),
-       |ruled AS (
-       |  SELECT p.doc_id, p.source, p.n,
-       |    CASE WHEN p.n < 10 THEN '1_too_short'
-       |         WHEN p.alpha * 4 < p.len THEN '2_low_alpha'
-       |         WHEN p.n_stop * 5 > p.n * 3 THEN '3_stopword_spam'
-       |         WHEN COALESCE(gs0.topc, 0) * 5 > COALESCE(gs0.nb, 0)
-       |           THEN '4_repetitive'
-       |         WHEN p.len < p.n * 2 OR p.len > p.n * 12 THEN '5_word_length'
-       |         ELSE 'kept' END AS rule
-       |  FROM perdoc p LEFT JOIN gs0 USING (doc_id)),
+  val q118Sql: String =
+    s"""WITH ${TextOps.funnelRuledCte},
        |kept AS (
        |  SELECT d.doc_id, d.source, d.text FROM documents d
        |  JOIN ruled USING (doc_id) WHERE ruled.rule = 'kept'),
-       |ktok AS (SELECT doc_id, source,
-       |           unnest(string_split_regex(TRIM(text), '\\s+')) AS token
-       |         FROM kept),
-       |cdw AS (SELECT doc_id, source, token, COUNT(*) AS c_dw
-       |        FROM ktok GROUP BY 1, 2, 3),
-       |cw AS (SELECT token,
-       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN c_dw
-       |                       ELSE 0 END) AS BIGINT) AS c_t,
-       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 0
-       |                       ELSE c_dw END) AS BIGINT) AS c_r
-       |       FROM cdw GROUP BY token),
-       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
-       |               CAST(SUM(c_r) AS BIGINT) AS n_r,
-       |               COUNT(*) AS v FROM cw),
-       |llr AS (SELECT token,
-       |          ROUND(LN((c_t + 1) / CAST(n_t + v AS DOUBLE))
-       |              - LN((c_r + 1) / CAST(n_r + v AS DOUBLE)), 6) AS llr
-       |        FROM cw CROSS JOIN tot),
-       |scored AS (
-       |  SELECT doc_id, source,
-       |    ROUND(CAST(SUM(CAST(llr AS DECIMAL(18,6))
-       |                   * CAST(c_dw AS DECIMAL(18,0))) AS DOUBLE)
-       |          / CAST(SUM(c_dw) AS BIGINT), 6) AS score
-       |  FROM cdw JOIN llr USING (token) GROUP BY 1, 2),
+       |${nbScoredCte("kept")},
        |nbkept AS (
        |  SELECT k.doc_id, k.source, k.text FROM kept k
        |  JOIN scored USING (doc_id) WHERE scored.score > 0),
-       |nl AS (SELECT doc_id, source,
-       |         string_split_regex(TRIM(text), '\\s+') AS l
-       |       FROM nbkept),
-       |nbg AS (SELECT doc_id, source,
-       |          unnest(list_transform(range(1, len(l)),
-       |                                i -> l[i] || ' ' || l[i + 1])) AS gram
-       |        FROM nl WHERE len(l) >= 2),
-       |ndb AS (SELECT doc_id, source,
-       |          CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
-       |            % ${DsirBuckets} AS b
-       |        FROM nbg),
-       |ncb AS (SELECT b,
-       |          CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 1
-       |                        ELSE 0 END) AS BIGINT) AS c_t,
-       |          COUNT(*) AS c_all
-       |        FROM ndb GROUP BY b),
-       |ntot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
-       |                CAST(SUM(c_all) AS BIGINT) AS n_all FROM ncb),
-       |nllr AS (SELECT b,
-       |           ROUND(LN((c_t + 1) / CAST(n_t + ${DsirBuckets} AS DOUBLE))
-       |               - LN((c_all + 1) / CAST(n_all + ${DsirBuckets} AS DOUBLE)),
-       |                 6) AS llr
-       |         FROM ncb CROSS JOIN ntot),
-       |lw AS (SELECT doc_id, source,
-       |         ROUND(CAST(SUM(CAST(llr AS DECIMAL(38,6))) AS DOUBLE), 6)
-       |           AS log_weight
-       |       FROM ndb JOIN nllr USING (b) GROUP BY 1, 2),
+       |${dsirLwCte("nbkept")},
        |med AS (SELECT quantile_cont(log_weight, 0.5) AS med FROM lw),
        |admitted AS (
        |  SELECT doc_id, TRUE AS a FROM lw CROSS JOIN med
@@ -499,7 +437,6 @@ object QualityModels {
        |LEFT JOIN scored s USING (doc_id)
        |LEFT JOIN admitted a USING (doc_id)
        |GROUP BY r.source ORDER BY r.source""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "q108_nb_quality" -> q108NbQuality,

@@ -360,42 +360,49 @@ object TextOps {
       .groupBy("source", "rule")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "rule")
-  val q112Sql: String = {
+  /** DuckDB CTE chain ending in `ruled(doc_id, source, n, rule)` — the
+    * oracle twin of [[funnelRuled]]. SHARED by q112's oracle and the
+    * composed q118 oracle, so the rule thresholds live in exactly one
+    * place per engine (the q67CteChain policy). */
+  def funnelRuledCte: String = {
     val stopsList = FunnelStopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH tok AS (
+    s"""f_tok AS (
        |  SELECT doc_id, source,
        |         unnest(string_split_regex(TRIM(text), '\\s+')) AS w
        |  FROM documents),
-       |perdoc AS (
+       |f_perdoc AS (
        |  SELECT doc_id, source, COUNT(*) AS n,
        |    CAST(SUM(CASE WHEN w IN ($stopsList) THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_stop,
        |    CAST(SUM(len(w)) AS BIGINT) AS len,
        |    CAST(SUM(len(regexp_replace(w, '[^a-zA-Z]', '', 'g'))) AS BIGINT)
        |      AS alpha
-       |  FROM tok GROUP BY 1, 2),
-       |l AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
-       |      FROM documents),
-       |g AS (SELECT doc_id,
-       |        unnest(list_transform(range(1, len(l)),
-       |                              i -> l[i] || ' ' || l[i + 1])) AS bg
-       |      FROM l WHERE len(l) >= 2),
-       |gc AS (SELECT doc_id, bg, COUNT(*) AS c FROM g GROUP BY 1, 2),
-       |gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topc
-       |       FROM gc GROUP BY doc_id),
+       |  FROM f_tok GROUP BY 1, 2),
+       |f_l AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
+       |        FROM documents),
+       |f_g AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(l)),
+       |                                i -> l[i] || ' ' || l[i + 1])) AS bg
+       |        FROM f_l WHERE len(l) >= 2),
+       |f_gc AS (SELECT doc_id, bg, COUNT(*) AS c FROM f_g GROUP BY 1, 2),
+       |f_gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topc
+       |         FROM f_gc GROUP BY doc_id),
        |ruled AS (
-       |  SELECT p.source,
+       |  SELECT p.doc_id, p.source, p.n,
        |    CASE WHEN p.n < 10 THEN '1_too_short'
        |         WHEN p.alpha * 4 < p.len THEN '2_low_alpha'
        |         WHEN p.n_stop * 5 > p.n * 3 THEN '3_stopword_spam'
-       |         WHEN COALESCE(gs.topc, 0) * 5 > COALESCE(gs.nb, 0)
+       |         WHEN COALESCE(f_gs.topc, 0) * 5 > COALESCE(f_gs.nb, 0)
        |           THEN '4_repetitive'
        |         WHEN p.len < p.n * 2 OR p.len > p.n * 12 THEN '5_word_length'
        |         ELSE 'kept' END AS rule
-       |  FROM perdoc p LEFT JOIN gs USING (doc_id))
+       |  FROM f_perdoc p LEFT JOIN f_gs USING (doc_id))""".stripMargin
+  }
+
+  val q112Sql: String =
+    s"""WITH $funnelRuledCte
        |SELECT source, rule, COUNT(*) AS n_docs
        |FROM ruled GROUP BY 1, 2 ORDER BY source, rule""".stripMargin
-  }
 
   /** q121: train/test split-leakage audit — exact-duplicate content that
     * crosses the q40 content-addressed split boundary. The eval-integrity

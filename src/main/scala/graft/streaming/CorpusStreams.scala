@@ -271,8 +271,10 @@ object CorpusStreams {
     * same 6dp llr terms accumulated in exact DECIMAL, just folded over
     * the token array in-row (no shuffle, no join — the model is a
     * 4096-entry literal map probed by `element_at`). Bigrams the training
-    * corpus never saw fall in unoccupied buckets and contribute zero,
-    * exactly as the batch inner join drops them. */
+    * corpus never saw fall in unoccupied buckets and contribute zero —
+    * the same weight the batch path assigns them (left join + coalesce),
+    * so a doc of entirely-unseen features is a weight-0 candidate on both
+    * paths, never silently dropped from one of them. */
   def dsirAdmission(docs: DataFrame, model: Map[Long, Double],
                     logZ: Double): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -307,9 +309,10 @@ object CorpusStreams {
     * deliberately avoids (q100's finding: HOFs leave whole-stage codegen,
     * and batch re-derives the pipeline per consumer), but at ingest the
     * per-row cost is the right trade against carrying shuffle machinery
-    * into a micro-batch. FunnelParitySpec pins the verdict bit-equal to
-    * [[graft.operators.TextOps.funnelRuled]] — all thresholds compare
-    * exact integers, so the two formulations cannot drift. */
+    * into a micro-batch. CorpusStreamsSpec's "funnel admission" tests pin
+    * the verdict bit-equal to [[graft.operators.TextOps.funnelRuled]] —
+    * all thresholds compare exact integers, so the two formulations
+    * cannot drift. */
   def funnelAdmission(docs: DataFrame): DataFrame = {
     val stops = graft.operators.TextOps.FunnelStopwords
       .map(s => s"'$s'").mkString(", ")
@@ -332,8 +335,13 @@ object CorpusStreams {
         expr("aggregate(l, 0L, (acc, t) -> acc + length(regexp_replace(t, '[^a-zA-Z]', '')))"))
       // longest equal run over the SORTED bigram array = max in-doc
       // bigram count; fold state = (prev gram, current run, best run)
+      // guard n < 2 BEFORE building the index sequence: sequence(0, -1)
+      // yields [0, -1] and ANSI mode makes l[-1] a fatal
+      // INVALID_ARRAY_INDEX — the batch path's size(l) >= 2 filter,
+      // mirrored here as an empty bigram array (verdict: 1_too_short)
       .withColumn("bgs", expr(
-        "array_sort(transform(sequence(0, int(n) - 2), i -> concat(l[i], ' ', l[i + 1])))"))
+        "IF(n < 2, array(), " +
+          "array_sort(transform(sequence(0, int(n) - 2), i -> concat(l[i], ' ', l[i + 1]))))"))
       .withColumn("nb", greatest(col("n") - 1, lit(0L)))
       .withColumn("topc", expr(
         """CASE WHEN n < 2 THEN 0L ELSE aggregate(bgs,

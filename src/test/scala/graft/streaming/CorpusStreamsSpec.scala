@@ -409,9 +409,15 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     import sp.implicits._
     implicit val sq = sp.sqlContext
     val corpus = graft.Tables.documents(sp, "/root/testdata/sf0.001")
-    val batch = graft.operators.TextOps.funnelRuled(corpus).collect()
+    val docs = corpus.select("doc_id", "source", "text").as[SourcedDoc].collect() ++
+      // degenerate shapes a crawl stream WILL contain: one-token and
+      // empty documents (the n<2 path that must not build bigrams —
+      // sequence(0,-1) would index l[-1], fatal under ANSI mode)
+      Seq(SourcedDoc(900001L, "edge", "solo"), SourcedDoc(900002L, "edge", "  "))
+    val batchAll = graft.operators.TextOps.funnelRuled(
+      sp.createDataFrame(docs.toSeq.map(d => (d.doc_id, d.source, d.text)))
+        .toDF("doc_id", "source", "text")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("rule")).toMap
-    val docs = corpus.select("doc_id", "source", "text").as[SourcedDoc].collect()
     val stream = MemoryStream[SourcedDoc]
     val q = CorpusStreams.funnelAdmission(stream.toDF())
       .writeStream.format("memory").queryName("funnel").outputMode("append").start()
@@ -422,11 +428,15 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     q.stop()
     val streamed = sp.table("funnel").collect()
     assert(streamed.length == docs.length)
+    streamed.filter(_.getAs[String]("source") == "edge").foreach { r =>
+      assert(r.getAs[String]("rule") == batchAll(r.getAs[Long]("doc_id")))
+      assert(r.getAs[String]("rule") == "1_too_short")
+    }
     streamed.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      assert(r.getAs[String]("rule") == batch(id),
-        s"doc $id: stream ${r.getAs[String]("rule")} != batch ${batch(id)}")
-      assert(r.getAs[Boolean]("admitted") == (batch(id) == "kept"))
+      assert(r.getAs[String]("rule") == batchAll(id),
+        s"doc $id: stream ${r.getAs[String]("rule")} != batch ${batchAll(id)}")
+      assert(r.getAs[Boolean]("admitted") == (batchAll(id) == "kept"))
     }
   }
 
@@ -461,7 +471,18 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
       .dsirLogWeights(corpus, graft.operators.QualityModels.dsirModel(corpus))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
 
-    val docs = corpus.select("doc_id", "source", "text").as[SourcedDoc].collect()
+    val docs = corpus.select("doc_id", "source", "text").as[SourcedDoc].collect() ++
+      // a doc of entirely out-of-vocabulary bigrams: unseen buckets must
+      // contribute 0 on BOTH paths (the old-model ingest/backfill case),
+      // not drop the doc from one of them
+      Seq(SourcedDoc(900001L, "edge", "zzqx1 zzqx2 zzqx3 zzqx4"))
+    val oov = sp.createDataFrame(Seq((900001L, "edge",
+      "zzqx1 zzqx2 zzqx3 zzqx4"))).toDF("doc_id", "source", "text")
+    val batchOov = graft.operators.QualityModels
+      .dsirLogWeights(oov, graft.operators.QualityModels.dsirModel(corpus))
+      .collect()
+    assert(batchOov.length == 1,
+      "batch scoring under an older model must keep the unseen-feature doc")
     val stream = MemoryStream[SourcedDoc]
     val q = CorpusStreams.dsirAdmission(stream.toDF(), model, logZ = 2.0)
       .writeStream.format("memory").queryName("dsir").outputMode("append").start()
@@ -479,6 +500,9 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     batchLw.foreach { case (id, lw) =>
       assert(streamedLw(id) == lw, s"doc $id: stream ${streamedLw(id)} != batch $lw")
     }
+    // the unseen-feature doc: identical weight (0-contribution) on both paths
+    assert(streamedLw(900001L) == batchOov.head.getDouble(2),
+      s"OOV doc: stream ${streamedLw(900001L)} != batch ${batchOov.head.getDouble(2)}")
     // admission decision is exactly u < admit_prob (pure function of the row)
     streamed.foreach { r =>
       val u = corpus.sparkSession.range(1).select(
