@@ -321,8 +321,10 @@ object PackingOps {
     * position = the document's rank within its shard under a
     * content-addressed shuffle key md5("order:" ++ doc_id). The export
     * step of a corpus build: training order is reproducible on any
-    * engine, stable per document (adding docs appends ranks, never
-    * reshuffles a shard's existing relative order), and free of RNG state.
+    * engine, stable per document (growth preserves the RELATIVE order of
+    * existing documents — a new doc with a smaller order key shifts later
+    * docs' absolute positions, which is the invariant ExportOrderSpec
+    * actually pins), and free of RNG state.
     *
     * Scale shape — the packSummary (q76) two-level rank, because a
     * per-shard ROW_NUMBER window would sort corpus/16 rows in ONE task:

@@ -60,8 +60,12 @@ object QualityModels {
     * than the rest). Output: per-source document counts, keep counts, and
     * mean score — the per-source keep-rate audit a mixture builder consumes.
     *
-    * Empty documents (no tokens after trim/split) carry no evidence and
-    * drop out of both engines identically.
+    * Whitespace-only documents do NOT drop out: split(trim(''), '\s+')
+    * yields a single empty-string token in both Spark and DuckDB, so such
+    * docs are scored (identically on both engines — no oracle hazard) and
+    * the empty token participates in the shared vocabulary. Kept as-is
+    * deliberately: both engines agree, and a guard would have to be
+    * mirrored in every consuming oracle for zero semantic gain.
     */
   /** Per-document NB scores: (doc_id, source, score) — q108's classifier
     * factored out so composed pipelines (q118) can gate on the score. The
@@ -175,7 +179,7 @@ object QualityModels {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   private def refsSqlList: String =
-    ReferenceSources.map(r => s"'$r'").mkString(", ")
+    ReferenceSources.map(TextOps.sqlLit).mkString(", ")
 
   /** Fixed DSIR feature-space size. 4096 buckets keeps the model
     * broadcast-trivial (one int + two counts per bucket) while the hashed
@@ -407,7 +411,7 @@ object QualityModels {
   }
 
   val q118Sql: String =
-    s"""WITH ${TextOps.funnelRuledCte},
+    s"""WITH ${TextOps.funnelRuledCte()},
        |kept AS (
        |  SELECT d.doc_id, d.source, d.text FROM documents d
        |  JOIN ruled USING (doc_id) WHERE ruled.rule = 'kept'),

@@ -301,6 +301,12 @@ object TextOps {
   val FunnelStopwords: Seq[String] =
     Seq("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
 
+  /** SQL string literal with embedded single quotes escaped — every CTE
+    * builder that splices a Scala constant (stopword, source name) into
+    * generated oracle SQL must go through this, so a future constant
+    * containing a quote can't break the oracle text. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** q112: filter-funnel attribution — the observability table every
     * cleaning pipeline publishes: run the standard heuristic quality
     * rules (Gopher/C4 family) in a FIXED order and attribute each
@@ -363,13 +369,15 @@ object TextOps {
   /** DuckDB CTE chain ending in `ruled(doc_id, source, n, rule)` — the
     * oracle twin of [[funnelRuled]]. SHARED by q112's oracle and the
     * composed q118 oracle, so the rule thresholds live in exactly one
-    * place per engine (the q67CteChain policy). */
-  def funnelRuledCte: String = {
-    val stopsList = FunnelStopwords.map(w => s"'$w'").mkString(", ")
+    * place per engine (the q67CteChain policy). `docsCte` parameterizes
+    * the input pool like the QualityModels CTE builders, so a composed
+    * oracle funneling a filtered pool can't silently read the full table. */
+  def funnelRuledCte(docsCte: String = "documents"): String = {
+    val stopsList = FunnelStopwords.map(sqlLit).mkString(", ")
     s"""f_tok AS (
        |  SELECT doc_id, source,
        |         unnest(string_split_regex(TRIM(text), '\\s+')) AS w
-       |  FROM documents),
+       |  FROM $docsCte),
        |f_perdoc AS (
        |  SELECT doc_id, source, COUNT(*) AS n,
        |    CAST(SUM(CASE WHEN w IN ($stopsList) THEN 1 ELSE 0 END) AS BIGINT)
@@ -379,7 +387,7 @@ object TextOps {
        |      AS alpha
        |  FROM f_tok GROUP BY 1, 2),
        |f_l AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
-       |        FROM documents),
+       |        FROM $docsCte),
        |f_g AS (SELECT doc_id,
        |          unnest(list_transform(range(1, len(l)),
        |                                i -> l[i] || ' ' || l[i + 1])) AS bg
@@ -400,7 +408,7 @@ object TextOps {
   }
 
   val q112Sql: String =
-    s"""WITH $funnelRuledCte
+    s"""WITH ${funnelRuledCte()}
        |SELECT source, rule, COUNT(*) AS n_docs
        |FROM ruled GROUP BY 1, 2 ORDER BY source, rule""".stripMargin
 
