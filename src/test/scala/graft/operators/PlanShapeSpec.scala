@@ -500,6 +500,25 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"MaxSim top-k lost its TakeOrdered shape:\n${physicalPlan(df)}")
   }
 
+  test("q112: funnel stats fold map-side — no explode, no corpus shuffle") {
+    val df = TextOps.q112FilterFunnel(spark, sf)
+    assert(nodes(df) { case g: GenerateExec => g }.isEmpty,
+      s"funnel stats must fold inside the token array, not explode:\n${physicalPlan(df)}")
+    val ex = nodes(df) { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, // |sources|×6 agg + the final orderBy, nothing corpus-sized
+      s"funnel grew a corpus-sized shuffle:\n${physicalPlan(df)}")
+  }
+
+  test("q118: final waterfall reads materialized stage RDDs, not the tokenization tree") {
+    // Building the query runs the stage checkpoints eagerly (sf0.001, tiny).
+    val df = QualityModels.q118CurationPipeline(spark, sf)
+    val rddScans = nodes(df) { case r: org.apache.spark.sql.execution.RDDScanExec => r }
+    assert(rddScans.size >= 2,
+      s"expected localCheckpoint RDD scans (ruled, nb, fc) in the final plan:\n${physicalPlan(df)}")
+    assert(nodes(df) { case g: GenerateExec => g }.isEmpty,
+      s"final plan must not re-run a tokenization explode:\n${physicalPlan(df)}")
+  }
+
   test("q117: both ranker top-20 windows prune via WindowGroupLimit") {
     val df = HybridRetrieval.q117HybridRrf(spark, sf)
     val wgl = nodes(df) {
