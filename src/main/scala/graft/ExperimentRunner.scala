@@ -40,9 +40,15 @@ import graft.strategy._
   *     [--mask m.npy] [--seeds 20] [--plus-seeds 5] [--plans "glob"]
   *     [--batch 8] [--plus-batch 32] [--rank 5] [--alpha 1.0] [--beta 15.0]
   *     [--budget 720] [--limeqo-budget 1200] [--limeqo-max-rounds 200]
-  *     [--distributed-als true]
+  *     [--distributed-als true] [--resume true]
   *     [--checkpoints 45,90,180,360,720] [--hours true]
   *     [--checkpoint-band 0.6,1.4] [--skip random,greedy,...]
+  *
+  * Resumability (SURVEY §3.1): every run persists a [[graft.strategy.RunSnapshot]]
+  * per round next to its trace (`<trace>.state.json`); `--resume true` skips
+  * runs whose snapshot is complete and continues interrupted ones from their
+  * last persisted RoundState, bit-identically (ResumeSpec). LimeQO+ is the
+  * exception (TCNN weights are unrecoverable cross-round state; it reruns).
   */
 object ExperimentRunner {
 
@@ -85,10 +91,30 @@ object ExperimentRunner {
     val Array(bandLo, bandHi) = opts.getOrElse("checkpoint-band", "0.6,1.4")
       .split(",").map(_.trim.toDouble)
     val skip = opts.get("skip").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // --resume true: every strategy run persists a RunSnapshot per round
+    // next to its trace; a rerun skips runs whose snapshot is marked done
+    // and continues unfinished ones from their last persisted RoundState
+    // (bit-identical to an uninterrupted run — ResumeSpec). Without the
+    // flag, stale snapshots are deleted so a rerun starts fresh.
+    val resume = opts.get("resume").contains("true")
 
     val w = Workloads.matrixFromCsv(matrixPath)
     val mask = opts.get("mask").map(Workloads.initMask(_, w))
     Files.createDirectories(Paths.get(outDir))
+
+    def runResumable(s: Strategy, seed: Long,
+                     init: Option[Array[Array[Boolean]]], trace: java.nio.file.Path): Unit = {
+      val snap = RunSnapshot.pathFor(trace)
+      val prior = RunSnapshot.load(snap)
+      if (resume && prior.exists(x => x.done && x.strategy == s.name && x.seed == seed))
+        println(s"   ${trace.getFileName}: complete snapshot found, skipped")
+      else {
+        if (!resume) Files.deleteIfExists(snap)
+        if (resume && prior.exists(x => !x.done && x.strategy == s.name && x.seed == seed))
+          println(s"   ${trace.getFileName}: resuming from round ${prior.get.round}")
+        s.run(w, init, Some(trace), Some(snap))
+      }
+    }
 
     def stage(name: String)(body: => Unit): Unit =
       if (skip(name)) println(s"-- $name: skipped")
@@ -121,20 +147,23 @@ object ExperimentRunner {
     }
 
     stage("oracle") {
-      new OracleStrategy().run(w, None, Some(Paths.get(s"$outDir/oracle.json")))
+      runResumable(new OracleStrategy(), 0L, None, Paths.get(s"$outDir/oracle.json"))
     }
     stage("qo_advisor") {
-      new QOAdvisorStrategy(batch).run(w, None, Some(Paths.get(s"$outDir/qo_advisor/1.json")))
+      runResumable(new QOAdvisorStrategy(batch), 0L, None,
+        Paths.get(s"$outDir/qo_advisor/1.json"))
     }
     stage("random") {
       for (i <- 1 to seeds)
-        new RandomStrategy(batch, seed = i, maxRounds = maxRounds, budgetSeconds = budget)
-          .run(w, None, Some(Paths.get(s"$outDir/random/$i.json")))
+        runResumable(
+          new RandomStrategy(batch, seed = i, maxRounds = maxRounds, budgetSeconds = budget),
+          i, None, Paths.get(s"$outDir/random/$i.json"))
     }
     stage("greedy") {
       for (i <- 1 to seeds)
-        new GreedyStrategy(batch, seed = i, maxRounds = maxRounds, budgetSeconds = budget)
-          .run(w, None, Some(Paths.get(s"$outDir/greedy/$i.json")))
+        runResumable(
+          new GreedyStrategy(batch, seed = i, maxRounds = maxRounds, budgetSeconds = budget),
+          i, None, Paths.get(s"$outDir/greedy/$i.json"))
     }
     stage("limeqo") {
       // --distributed-als: run each round's matrix completion as Spark jobs
@@ -146,10 +175,11 @@ object ExperimentRunner {
           new graft.linalg.DistributedCensoredALS(spark, _, _, _, _)
         else new graft.linalg.CensoredALS(_, _, _, _)
       for (i <- 1 to seeds)
-        new LimeQOStrategy(rank = rank, alpha = alpha, beta = beta,
-          newObserveSize = batch, seed = i, maxRounds = maxRounds,
-          budgetSeconds = limeqoBudget, alsFactory = alsFactory)
-          .run(w, mask, Some(Paths.get(s"$outDir/limeqo/$i.json")))
+        runResumable(
+          new LimeQOStrategy(rank = rank, alpha = alpha, beta = beta,
+            newObserveSize = batch, seed = i, maxRounds = maxRounds,
+            budgetSeconds = limeqoBudget, alsFactory = alsFactory),
+          i, mask, Paths.get(s"$outDir/limeqo/$i.json"))
     }
 
     stage("limeqo_plus") {

@@ -403,8 +403,9 @@ object QualityModels {
     * broadcasts (median, waterfall flags).
     *
     * Stage materialization: every NARROW multi-consumer table (`ruled`
-    * verdicts, `nb` scores, DSIR per-doc bucket counts `fc`, `lw`
-    * weights) is eagerly `localCheckpoint`ed before fan-out. Without it
+    * verdicts, `nb` scores, DSIR per-doc bucket counts `fc`) is eagerly
+    * materialized before fan-out; `lw` weights are NOT — both consumers
+    * recompute them from the materialized `fc` (see the inline comment). Without it
     * the single composed plan re-executes the funnel + tokenization
     * subtree once PER consumer (`ruled` feeds both the survivor join and
     * the final waterfall, `nb` feeds the gate and the audit column, and
@@ -419,16 +420,24 @@ object QualityModels {
     * persist(), which the CacheManager dedups by plan across invocations
     * — cannot leak a warm cache into a later bench pass. Values are
     * unchanged (the gate hash stays exact); PlanShapeSpec pins that the
-    * final plan reads materialized RDD scans, not the tokenization tree.
+    * final plan reads materialized stage scans, not the tokenization
+    * tree.
+    *
+    * Fault tolerance: materialization goes through [[StageMaterialize]] —
+    * by default `localCheckpoint` (fast; blocks die with their executor,
+    * fine on local[32]), or, with `spark.graft.stage.dir` set, a
+    * parquet write-and-reread of each stage (the cluster-safe 100 TB
+    * form: a lost executor re-reads from storage instead of failing the
+    * job). StageMaterializeSpec pins the two modes value-identical.
     */
   val q118CurationPipeline: Q = (s, d) => {
     val docs = documents(s, d)
-    val ruled = TextOps.funnelRuled(docs).localCheckpoint()
+    val ruled = StageMaterialize(TextOps.funnelRuled(docs), "q118_ruled")
     val kept = docs.join(
       ruled.filter(col("rule") === "kept").select("doc_id"), "doc_id")
-    val nb = nbDocScores(kept).localCheckpoint()
+    val nb = StageMaterialize(nbDocScores(kept), "q118_nb")
     val nbKept = kept.join(nb.filter(col("score") > 0).select("doc_id"), "doc_id")
-    val fc = dsirFeatureCounts(nbKept).localCheckpoint()
+    val fc = StageMaterialize(dsirFeatureCounts(nbKept), "q118_fc")
     // lw is NOT checkpointed: both its consumers (median probe, admission
     // filter) recompute it from the materialized fc in the same job — a
     // broadcast join plus a narrow agg, cheaper than another serialized

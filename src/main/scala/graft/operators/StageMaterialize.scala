@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Materialization point for narrow multi-consumer pipeline stages (the
+  * q118 pattern: a cheap-to-store verdict/score table feeding several
+  * downstream consumers that would otherwise each re-execute the stage's
+  * whole subtree).
+  *
+  * Two modes, selected by the `spark.graft.stage.dir` runtime conf:
+  *
+  *  - **unset (default, single-node/bench)**: `localCheckpoint()` — one
+  *    action, stores the stage's partitions on the executors. Fast, but
+  *    the blocks die with their executor, so a lost node fails the job
+  *    mid-pipeline; acceptable on local[32] and for short-lived runs.
+  *    Unlike `persist()` (which the CacheManager dedups by plan across
+  *    invocations) it cannot leak a warm cache into a later bench pass.
+  *  - **set (cluster / 100 TB form)**: write the stage to
+  *    `<dir>/<name>` as parquet and re-read it — the intermediate-pool
+  *    pattern a production curation run uses anyway. Survives executor
+  *    loss (any task can re-read from storage), makes the stage
+  *    inspectable/resumable, and costs one extra storage round-trip the
+  *    verdict-sized tables absorb easily.
+  *
+  * Values are identical in both modes (StageMaterializeSpec pins q118's
+  * output equal under each); only the fault-tolerance/cost trade moves.
+  */
+object StageMaterialize {
+  def apply(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.stage.dir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val path = s"$dir/$name"
+        df.write.mode(SaveMode.Overwrite).parquet(path)
+        spark.read.parquet(path)
+      case _ => df.localCheckpoint()
+    }
+  }
+}

@@ -33,8 +33,11 @@ final class LimeQOPlusStrategy(
 
   val name = "limeqo_plus"
 
+  /** `snapshotPath` is accepted but ignored: the TCNN's weights are
+    * cross-round state the exploration-matrix snapshot cannot restore, so
+    * an interrupted LimeQO+ run restarts from scratch (see [[Strategy]]). */
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
-          tracePath: Option[Path]): Vector[RoundMetrics] = {
+          tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics] = {
     val rng = new Random(seed)
     val st = new RoundState(w)
     val initMask = init.getOrElse(Array.tabulate(w.nRows, w.nCols)((_, j) => j == 0))

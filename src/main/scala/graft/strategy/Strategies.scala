@@ -16,7 +16,18 @@ trait Strategy {
   /** Run to completion, optionally rewriting the JSON trace each round
     * (artifact parity with the reference: whole-file rewrite, S4). */
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
-          tracePath: Option[Path]): Vector[RoundMetrics]
+          tracePath: Option[Path]): Vector[RoundMetrics] =
+    run(w, init, tracePath, None)
+
+  /** As above, plus per-round state persistence: with `snapshotPath` set
+    * the strategy writes a [[RunSnapshot]] after every round (atomic
+    * replace) and, when the file already holds an unfinished run of the
+    * SAME strategy, resumes from it bit-identically (ResumeSpec).
+    * [[LimeQOPlusStrategy]] accepts but ignores `snapshotPath`: its TCNN
+    * weights are cross-round state that the exploration-matrix snapshot
+    * alone cannot restore, so it always runs from the start. */
+  def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
+          tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics]
 }
 
 object Trace {
@@ -34,33 +45,59 @@ private object Loop {
     results += m
     tracePath.foreach(p => Trace.write(p, results.toSeq))
   }
+
+  /** The snapshot to resume from, if one exists and belongs to an
+    * UNFINISHED run of the same strategy (a done snapshot means the trace
+    * is complete — callers that want skip-if-done check at their level;
+    * run() itself restarts fresh and overwrites). */
+  def resumable(snapshotPath: Option[Path], strategy: String,
+                seed: Long = 0L): Option[RunSnapshot] =
+    snapshotPath.flatMap(RunSnapshot.load)
+      .filter(s => s.strategy == strategy && s.seed == seed && !s.done)
+
+  def snap(snapshotPath: Option[Path], s: => RunSnapshot): Unit =
+    snapshotPath.foreach(p => s.save(p))
 }
 
 /** Oracle: knows the true matrix; explores each query's true argmin in
   * descending-true-gain order, stopping at the first zero-gain row
   * (`oracle.py:9-59`). Deterministic — the primary e2e golden (SURVEY §5.3).
   */
-final class OracleStrategy extends Strategy {
+final class OracleStrategy(maxRounds: Int = Int.MaxValue) extends Strategy {
   val name = "oracle"
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
-          tracePath: Option[Path]): Vector[RoundMetrics] = {
+          tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics] = {
+    val resumed = Loop.resumable(snapshotPath, name)
     val st = new RoundState(w)
-    var i = 0
-    while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    resumed match {
+      case Some(s) => s.restore(st)
+      case None =>
+        var i = 0
+        while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    }
 
+    // gain/order are pure functions of w (min-observed over the col-0-only
+    // mask), so a resumed run re-derives them identically to the original
     val argmin = w.rowArgMin
     val rowMin = w.rowMin
-    val mo0 = st.minObserved
+    val mo0 = {
+      val init0 = new RoundState(w)
+      var i = 0
+      while (i < w.nRows) { init0.observe(i, 0); i += 1 }
+      init0.minObserved
+    }
     val gain = Array.tabulate(w.nRows)(r => mo0(r) - rowMin(r))
     // np.argsort(-gain): descending; stable (ties keep row order) — gains
     // tie only at 0 where the loop breaks anyway
     val order = (0 until w.nRows).sortBy(r => (-gain(r), r))
 
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
-    val it = order.iterator
+    resumed.foreach(results ++= _.results)
+    // iterator position = rounds emitted so far (one pick per emit)
+    var pos = resumed.map(_.extra("pos").toInt).getOrElse(0)
     var stop = false
-    while (it.hasNext && !stop) {
-      val row = it.next()
+    while (pos < order.length && !stop && results.length < maxRounds) {
+      val row = order(pos)
       if (gain(row) == 0.0) stop = true
       else {
         Loop.emit(results, st.metrics(), tracePath)
@@ -69,8 +106,14 @@ final class OracleStrategy extends Strategy {
           st.observe(row, col)
           st.exploreQueries += row
         }
+        pos += 1
+        Loop.snap(snapshotPath, RunSnapshot.capture(name, 0L, st, pos,
+          Array.empty, results.toSeq, extra = Map("pos" -> pos.toString)))
       }
     }
+    if (stop || pos >= order.length)
+      Loop.snap(snapshotPath, RunSnapshot.capture(name, 0L, st, pos,
+        Array.empty, results.toSeq, extra = Map("pos" -> pos.toString), done = true))
     results.toVector
   }
 }
@@ -78,21 +121,30 @@ final class OracleStrategy extends Strategy {
 /** QO-Advisor: worst queries by current min-observed; first unexplored hint
   * in column order; timeout bookkeeping with tolerance = min_observed
   * (`qo_advisor.py:12-78`). Deterministic. */
-final class QOAdvisorStrategy(newObserveSize: Int = 8) extends Strategy {
+final class QOAdvisorStrategy(newObserveSize: Int = 8,
+    maxRounds: Int = Int.MaxValue) extends Strategy {
   val name = "qo_advisor"
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
-          tracePath: Option[Path]): Vector[RoundMetrics] = {
+          tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics] = {
+    val resumed = Loop.resumable(snapshotPath, name)
     val st = new RoundState(w)
-    var i = 0
-    while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    resumed match {
+      case Some(s) => s.restore(st)
+      case None =>
+        var i = 0
+        while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    }
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
+    resumed.foreach(results ++= _.results)
 
     // reference loop shape (`qo_advisor.py`): the while condition tests the
     // min-observed computed at the TOP of the previous body — i.e. the
     // PRE-pick value — so after the picks cross the threshold one more
-    // round still runs, emitting the converged record
-    var minObs = st.minObserved
-    while (minObs.sum > w.optTime + 20) {
+    // round still runs, emitting the converged record. A resumed run
+    // restores that stale vector from the snapshot for the same reason.
+    var minObs = resumed.map(_.minObs).getOrElse(st.minObserved)
+    var round = resumed.map(_.round).getOrElse(0)
+    while (minObs.sum > w.optTime + 20 && round < maxRounds) {
       minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
       val order = (0 until w.nRows).sortBy(r => (-minObs(r), r))
@@ -120,7 +172,13 @@ final class QOAdvisorStrategy(newObserveSize: Int = 8) extends Strategy {
           hint += 1
         }
       }
+      round += 1
+      Loop.snap(snapshotPath,
+        RunSnapshot.capture(name, 0L, st, round, minObs, results.toSeq))
     }
+    if (minObs.sum <= w.optTime + 20)
+      Loop.snap(snapshotPath,
+        RunSnapshot.capture(name, 0L, st, round, minObs, results.toSeq, done = true))
     results.toVector
   }
 }
@@ -137,12 +195,19 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42,
     maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None) extends Strategy {
   val name = "random"
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
-          tracePath: Option[Path]): Vector[RoundMetrics] = {
-    val rng = new Random(seed)
+          tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics] = {
+    val resumed = Loop.resumable(snapshotPath, name, seed)
+    val rng = resumed.flatMap(_.rng).map(RunSnapshot.rngFrom)
+      .getOrElse(new Random(seed))
     val st = new RoundState(w)
-    var i = 0
-    while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    resumed match {
+      case Some(s) => s.restore(st)
+      case None =>
+        var i = 0
+        while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    }
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
+    resumed.foreach(results ++= _.results)
 
     def anyAvailable: Boolean = {
       var r = 0
@@ -158,14 +223,15 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42,
     }
 
     // while condition tests the PRE-pick value from the previous body top
-    // (`random.py:32-35`) — one extra converged round, as the reference
-    var minObs = st.minObserved
-    var round = 0
+    // (`random.py:32-35`) — one extra converged round, as the reference;
+    // a resumed run restores the stale vector (and loop flags) verbatim
+    var minObs = resumed.map(_.minObs).getOrElse(st.minObserved)
+    var round = resumed.map(_.round).getOrElse(0)
     def keepGoing: Boolean = budgetSeconds match {
       case Some(b) => st.execTime + st.timeout - w.defaultTime < b
       case None => minObs.sum > w.optTime + 20
     }
-    var exhausted = false
+    var exhausted = resumed.exists(_.extra("exhausted").toBoolean)
     while (keepGoing && round < maxRounds && !exhausted) {
       minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
@@ -198,7 +264,13 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42,
       }
       exhausted = cnt <= newObserveSize // only anyAvailable can break early
       round += 1
+      Loop.snap(snapshotPath, RunSnapshot.capture(name, seed, st, round, minObs,
+        results.toSeq, rng = Some(rng), extra = Map("exhausted" -> exhausted.toString)))
     }
+    if (!keepGoing || exhausted)
+      Loop.snap(snapshotPath, RunSnapshot.capture(name, seed, st, round, minObs,
+        results.toSeq, rng = Some(rng),
+        extra = Map("exhausted" -> exhausted.toString), done = true))
     results.toVector
   }
 }
@@ -213,25 +285,33 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42,
     maxRounds: Int = Int.MaxValue, budgetSeconds: Option[Double] = None) extends Strategy {
   val name = "greedy"
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
-          tracePath: Option[Path]): Vector[RoundMetrics] = {
-    val rng = new Random(seed)
+          tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics] = {
+    val resumed = Loop.resumable(snapshotPath, name, seed)
+    val rng = resumed.flatMap(_.rng).map(RunSnapshot.rngFrom)
+      .getOrElse(new Random(seed))
     val st = new RoundState(w)
-    var i = 0
-    while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    resumed match {
+      case Some(s) => s.restore(st)
+      case None =>
+        var i = 0
+        while (i < w.nRows) { st.observe(i, 0); i += 1 }
+    }
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
+    resumed.foreach(results ++= _.results)
 
     def maskCount(r: Int): Int = st.mask(r).count(identity)
     def timeoutCount(r: Int): Int = st.timeoutM(r).count(_ != 0.0)
 
     // while condition tests the PRE-pick value from the previous body top
     // (`greedy.py`) — one extra converged round, as the reference
-    var minObs = st.minObserved
-    var round = 0
+    var minObs = resumed.map(_.minObs).getOrElse(st.minObserved)
+    var round = resumed.map(_.round).getOrElse(0)
     def keepGoing: Boolean = budgetSeconds match {
       case Some(b) => st.execTime + st.timeout - w.defaultTime < b
       case None => minObs.sum > w.optTime + 20
     }
-    var progressed = true // false once a full pass picks nothing: exhausted
+    // false once a full pass picks nothing: exhausted
+    var progressed = resumed.forall(_.extra("progressed").toBoolean)
     while (keepGoing && round < maxRounds && progressed) {
       minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
@@ -263,7 +343,13 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42,
       }
       progressed = cnt > 0 || st.timeout != timeoutBefore
       round += 1
+      Loop.snap(snapshotPath, RunSnapshot.capture(name, seed, st, round, minObs,
+        results.toSeq, rng = Some(rng), extra = Map("progressed" -> progressed.toString)))
     }
+    if (!keepGoing || !progressed)
+      Loop.snap(snapshotPath, RunSnapshot.capture(name, seed, st, round, minObs,
+        results.toSeq, rng = Some(rng),
+        extra = Map("progressed" -> progressed.toString), done = true))
     results.toVector
   }
 }
@@ -292,24 +378,31 @@ final class LimeQOStrategy(
   val name = "limeqo"
 
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
-          tracePath: Option[Path]): Vector[RoundMetrics] = {
-    val rng = new Random(seed)
+          tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics] = {
+    val resumed = Loop.resumable(snapshotPath, name, seed)
+    val rng = resumed.flatMap(_.rng).map(RunSnapshot.rngFrom)
+      .getOrElse(new Random(seed))
     val st = new RoundState(w)
-    val initMask = init.getOrElse(
-      Array.tabulate(w.nRows, w.nCols)((_, j) => j == 0))
-    var i = 0
-    while (i < w.nRows) {
-      var j = 0
-      while (j < w.nCols) {
-        if (initMask(i)(j)) { st.mask(i)(j) = true; st.explored(i)(j) = true }
-        j += 1
-      }
-      i += 1
+    resumed match {
+      case Some(s) => s.restore(st)
+      case None =>
+        val initMask = init.getOrElse(
+          Array.tabulate(w.nRows, w.nCols)((_, j) => j == 0))
+        var i = 0
+        while (i < w.nRows) {
+          var j = 0
+          while (j < w.nCols) {
+            if (initMask(i)(j)) { st.mask(i)(j) = true; st.explored(i)(j) = true }
+            j += 1
+          }
+          i += 1
+        }
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
+    resumed.foreach(results ++= _.results)
 
-    var minObs = st.minObserved
-    var round = 0
+    var minObs = resumed.map(_.minObs).getOrElse(st.minObserved)
+    var round = resumed.map(_.round).getOrElse(0)
     def keepGoing: Boolean = budgetSeconds match {
       case Some(b) => st.execTime + st.timeout - w.defaultTime < b
       case None => minObs.sum > w.optTime + 20
@@ -409,7 +502,12 @@ final class LimeQOStrategy(
       // value (per `limeqo.py:35-40`) unless the top-up above refreshed it
       // (`limeqo.py:104`) — matching the reference in both paths
       round += 1
+      Loop.snap(snapshotPath, RunSnapshot.capture(name, seed, st, round, minObs,
+        results.toSeq, rng = Some(rng)))
     }
+    if (!keepGoing)
+      Loop.snap(snapshotPath, RunSnapshot.capture(name, seed, st, round, minObs,
+        results.toSeq, rng = Some(rng), done = true))
     results.toVector
   }
 }

@@ -130,4 +130,45 @@ class ExperimentRunnerSpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("--resume: a killed grid continues from its snapshots, completed runs skip") {
+    // kill the grid mid-limeqo by capping rounds; the rerun with --resume
+    // must (a) leave the completed oracle trace untouched, (b) continue
+    // limeqo from its persisted RoundState to a trace bit-identical
+    // (modulo measured training/inference times — compared through the
+    // derived fields) to an uninterrupted run's
+    spark.sparkContext.setLogLevel("ERROR")
+    val interrupted = Files.createTempDirectory("graft_resume_grid").toString
+    val common = Array(
+      "/root/reference/dataset/job-matrix.csv",
+      "--mask", "/root/reference/dataset/init_job_mask.npy",
+      "--seeds", "1", "--limeqo-budget", "1000",
+      "--skip", "random,greedy,limeqo_plus,report")
+    ExperimentRunner.main(Array(common(0), interrupted) ++ common.drop(1) ++
+      Array("--limeqo-max-rounds", "5"))
+
+    val oracleBytes = Files.readString(java.nio.file.Paths.get(s"$interrupted/oracle.json"))
+    val killedLimeqo = Files.readString(java.nio.file.Paths.get(s"$interrupted/limeqo/1.json"))
+
+    ExperimentRunner.main(Array(common(0), interrupted) ++ common.drop(1) ++
+      Array("--limeqo-max-rounds", "120", "--resume", "true"))
+
+    assert(Files.readString(java.nio.file.Paths.get(s"$interrupted/oracle.json")) == oracleBytes,
+      "completed oracle run was not skipped on --resume")
+    val resumedLimeqo = Files.readString(java.nio.file.Paths.get(s"$interrupted/limeqo/1.json"))
+    assert(resumedLimeqo != killedLimeqo, "limeqo trace did not grow past the kill point")
+
+    // uninterrupted control run
+    val control = Files.createTempDirectory("graft_resume_ctl").toString
+    ExperimentRunner.main(Array(common(0), control) ++ common.drop(1) ++
+      Array("--limeqo-max-rounds", "120", "--skip", "oracle,qo_advisor,random,greedy,limeqo_plus,report"))
+
+    def derived(path: String): Seq[(Double, Double, Long)] =
+      graft.report.Report.loadTraces(spark, path)
+        .select("round", "exec_time", "total_latency", "explore_queries_cnt")
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(derived(s"$interrupted/limeqo/1.json") == derived(s"$control/limeqo/1.json"),
+      "resumed limeqo grid run diverged from the uninterrupted control")
+  }
 }
