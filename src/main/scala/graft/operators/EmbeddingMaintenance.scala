@@ -121,4 +121,88 @@ object EmbeddingMaintenance {
         .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
     }
   }
+
+  /** Health summary of a cell layout under its frozen centroids — the
+    * numbers the O(N·|cell|) probe-cost contract rests on:
+    * `meanCell`/`maxCell` (a probe reads nProbe CELLS, so its cost is the
+    * probed cells' sizes — skew degrades it toward a linear scan even
+    * when the mean stays flat) and `meanSqErr` (mean squared distance of
+    * each vector to its assigned centroid — rising error means the
+    * frozen quantizer no longer describes the data, so the true
+    * neighbors of a query leak into unprobed cells and recall decays).
+    * One column-pruned scan + one tiny agg; the per-vector distance pass
+    * broadcasts the centroid table like every other cell computation. */
+  final case class IvfStats(n: Long, nonEmptyCells: Int,
+                            meanCell: Double, maxCell: Long, meanSqErr: Double)
+
+  def layoutStats(spark: SparkSession, path: String,
+                  cents: Array[Array[Float]]): IvfStats = {
+    val corpus = spark.read.parquet(path)
+    val bc = spark.sparkContext.broadcast(cents)
+    val sqErr = udf { (v: Seq[Float], cell: Int) =>
+      val c = bc.value(cell)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val sizes = corpus.groupBy("cell").agg(
+      count(lit(1)).as("n"),
+      sum(sqErr(col("embedding"), col("cell"))).as("err")).collect()
+    val n = sizes.map(_.getLong(1)).sum
+    IvfStats(
+      n = n,
+      nonEmptyCells = sizes.length,
+      meanCell = if (sizes.isEmpty) 0.0 else n.toDouble / sizes.length,
+      maxCell = if (sizes.isEmpty) 0L else sizes.map(_.getLong(1)).max,
+      meanSqErr = if (n == 0) 0.0 else sizes.map(_.getDouble(2)).sum / n)
+  }
+
+  /** Drift verdict against the training-time snapshot (capture it with
+    * [[layoutStats]] right after [[writeCellLayout]]): the layout has
+    * drifted when sustained churn has EITHER
+    *  - concentrated mass (max/mean cell skew grew past `skewFactor` ×
+    *    the baseline skew — upserts land where the data moved, not where
+    *    the frozen centroids are), or
+    *  - degraded the quantizer fit (mean squared error per vector grew
+    *    past `errFactor` × baseline), or
+    *  - outgrown the cell-size target the nList was sized for
+    *    (mean cell > `cellFactor` × baseline — the adaptiveNList contract
+    *    inverted: N grew, nList didn't).
+    * Returns the triggered reasons (empty = healthy). Pure arithmetic on
+    * two 5-number summaries — run it per maintenance batch. */
+  def driftReasons(baseline: IvfStats, current: IvfStats,
+                   skewFactor: Double = 2.0, errFactor: Double = 1.5,
+                   cellFactor: Double = 2.0): Seq[String] = {
+    def skew(s: IvfStats) = if (s.meanCell == 0) 1.0 else s.maxCell / s.meanCell
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (skew(current) > skewFactor * math.max(1.0, skew(baseline)))
+      out += f"cell skew ${skew(current)}%.2f vs baseline ${skew(baseline)}%.2f"
+    if (baseline.meanSqErr > 0 && current.meanSqErr > errFactor * baseline.meanSqErr)
+      out += f"quantization error ${current.meanSqErr}%.4f vs baseline ${baseline.meanSqErr}%.4f"
+    if (baseline.meanCell > 0 && current.meanCell > cellFactor * baseline.meanCell)
+      out += f"mean cell ${current.meanCell}%.1f vs baseline ${baseline.meanCell}%.1f"
+    out.toSeq
+  }
+
+  /** Retrain the coarse quantizer from the CURRENT stored vectors and
+    * rewrite the whole layout under the fresh centroids — the rebuild a
+    * deployment schedules when [[driftReasons]] fires. nList is re-sized
+    * by the adaptiveNList contract so post-churn corpus growth gets more
+    * cells, restoring |cell| ≈ targetCell and with it the O(N·|cell|)
+    * probe cost. A full rewrite (not dynamic overwrite): after retraining
+    * EVERY vector may change cells, so there is nothing surgical to
+    * preserve — run it at the cadence of a compaction, not per batch.
+    * Returns the new centroids; value-parity with the old layout is
+    * pinned by EmbeddingMaintenanceSpec (exhaustive-probe ivfTopKAtRest
+    * equal before/after — centroids change WHERE vectors sit, never which
+    * vectors exist). */
+  def recluster(spark: SparkSession, path: String,
+                targetCell: Int = 500, sampleN: Int = 2048): Array[Array[Float]] = {
+    val current = materialized(spark.read.parquet(path).drop("cell"))
+    val nList = ProductQuantization.adaptiveNList(current, targetCell)
+    val cents = ProductQuantization.trainCoarse(current, nList, sampleN)
+    writeCellLayout(current, cents, path)
+    cents
+  }
 }

@@ -67,6 +67,18 @@ object ProductQuantization {
     * point farthest from its assigned centroid, so no codeword goes dead. */
   def train(emb: DataFrame, m: Int = 16, k: Int = 16,
             sampleN: Int = 2048): PQCodebook = {
+    val sample = trainingSample(emb, sampleN)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val kEff = math.min(k, sample.length)
+    PQCodebook(m, kEff, subDim, lloydBooks(sample, m, kEff, subDim))
+  }
+
+  /** Content-addressed bounded training sample (order by md5(vec_id),
+    * take sampleN): deterministic, unbiased for hash-distributed ids,
+    * stable as the corpus grows. */
+  private def trainingSample(emb: DataFrame, sampleN: Int): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("h", md5(col("vec_id").cast("string")))
@@ -74,11 +86,16 @@ object ProductQuantization {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "PQ training needs a non-empty corpus")
-    val dim = sample(0).length
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val subDim = dim / m
-    val kEff = math.min(k, sample.length)
+    sample
+  }
 
+  /** The farthest-point-init + Lloyd's core, per subspace, with no code-
+    * width restriction — [[train]] wraps it into a byte-coded
+    * [[PQCodebook]] (k ≤ 256); [[trainCoarse]] calls it directly because
+    * coarse cell ids are ints, not byte codes, and the adaptiveNList
+    * contract regularly needs more than 256 cells. */
+  private def lloydBooks(sample: Array[Array[Float]], m: Int, kEff: Int,
+                         subDim: Int): Array[Array[Array[Float]]] = {
     val books = Array.tabulate(m) { s =>
       val off = s * subDim
       // farthest-point init: centroid 0 = sample 0; each next centroid is
@@ -150,19 +167,30 @@ object ProductQuantization {
       }
       cents
     }
-    PQCodebook(m, kEff, subDim, books)
+    books
   }
 
   /** Coarse quantizer for IVF cell assignment: `nList` full-vector
     * centroids from the SAME deterministic sampled-Lloyd's trainer as the
-    * PQ codebooks — [[train]] with m=1 is exactly a full-vector k-means
-    * (one "subspace" spanning all dims). Replaces the former Spark-ML
+    * PQ codebooks — [[lloydBooks]] with m=1 is exactly a full-vector
+    * k-means (one "subspace" spanning all dims), called directly rather
+    * than through [[train]] because coarse cell ids are ints, not one-byte
+    * PQ codes: the adaptiveNList contract regularly wants nList > 256
+    * (1M vectors at targetCell=500 is 2000 cells), and the byte-width
+    * `require` in PQCodebook must not cap it (the round-11 churn soak hit
+    * exactly that at 150k vectors). Replaces the former Spark-ML
     * KMeans fit: content-addressed sampling, farthest-point init, fixed
     * iterations — a pure function of the corpus, no RNG stream, and no
     * Kryo/JDK-module surface (the engine's last `--add-opens`-sensitive
-    * path, SOAK.md round-8 finding 3). */
-  def trainCoarse(emb: DataFrame, nList: Int, sampleN: Int = 2048): Array[Array[Float]] =
-    train(emb, m = 1, k = nList, sampleN = sampleN).centroids(0)
+    * path, SOAK.md round-8 finding 3). The sample is widened to 4×nList
+    * when the default 2048 would under-determine the centroids (FAISS's
+    * train-on-a-sample policy; driver cost O(sample·nList·dim·iters),
+    * bounded by the 4096 nList clamp). */
+  def trainCoarse(emb: DataFrame, nList: Int, sampleN: Int = 2048): Array[Array[Float]] = {
+    val sample = trainingSample(emb, math.max(sampleN, 4 * nList))
+    val dim = sample(0).length
+    lloydBooks(sample, m = 1, kEff = math.min(nList, sample.length), subDim = dim)(0)
+  }
 
   /** The IVF sizing contract, made executable: nList grows with the
     * corpus so |cell| ≈ targetCell stays FIXED as data scales — the
@@ -226,9 +254,9 @@ object ProductQuantization {
   /** Per-query probe list: the `nProbe` nearest coarse cells, computed
     * driver-side (centroid table is tiny), distance ties broken by cell
     * id for determinism. */
-  private[operators] def probeCells(queryVecs: Seq[(Long, Array[Float])],
-                                    cents: Array[Array[Float]],
-                                    nProbe: Int): Seq[(Long, Int)] =
+  private[graft] def probeCells(queryVecs: Seq[(Long, Array[Float])],
+                                cents: Array[Array[Float]],
+                                nProbe: Int): Seq[(Long, Int)] =
     queryVecs.flatMap { case (qid, qv) =>
       cents.zipWithIndex
         .map { case (c, i) => (i, sqdist(qv, 0, c)) }
