@@ -410,17 +410,31 @@ object DedupOps {
   }
 
   /** The banded Hamming-profile stage of [[q64HammingProfile]], factored
-    * out so the ≤3-bit recall contract is testable on synthetic signature
-    * sets (adversarial high-bit cases that a real corpus may never hit).
+    * out so the recall contract is testable on synthetic signature sets
+    * (adversarial high-bit cases that a real corpus may never hit).
     * `sigs` must be (simhash: LONG, n: LONG) with distinct simhash values.
-    */
-  def hammingProfile(sigs: DataFrame, nPar: Int): DataFrame = {
+    *
+    * Generalized pigeonhole: `nBands` equal chunks of a 64-bit signature
+    * guarantee that any pair within Hamming distance `maxDist < nBands`
+    * agrees on at least one chunk, so the chunk-equality self-join has
+    * EXACT recall at the threshold. q64 uses the classic 4×16 ≤3; the
+    * perceptual family (q123) uses 8×8 ≤7 — more bands cost shuffle
+    * volume ∝ signatures×nBands and smaller (more collision-prone) chunks,
+    * the standard recall/cost dial. */
+  def hammingProfile(sigs: DataFrame, nPar: Int,
+                     nBands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(64 % nBands == 0, s"nBands $nBands must divide 64")
+    require(maxDist < nBands,
+      s"pigeonhole recall needs maxDist ($maxDist) < nBands ($nBands)")
+    val width = 64 / nBands
+    val chunkMask = if (width == 64) -1L else (1L << width) - 1
     val same = sigs.filter(col("n") > 1)
       .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("n_pairs"))
       .select(lit(0).as("hamming"), col("n_pairs"))
     val bands = sigs
       .select(col("simhash"), col("n"),
-        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, 16 * b) & 65535)"))
+        posexplode(expr(
+          s"transform(sequence(0, ${nBands - 1}), b -> shiftright(simhash, $width * b) & $chunkMask)"))
           .as(Seq("band", "chunk")))
       .repartition(nPar, col("band"), col("chunk"))
     val crossPairs = bands.as("x").join(bands.as("y"),
@@ -431,7 +445,7 @@ object DedupOps {
       .distinct() // a pair agreeing on k chunks matches k bands — count once
       .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"),
         (col("na") * col("nb")).as("p"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxDist)
       .groupBy("hamming").agg(sum("p").as("n_pairs"))
     same.unionByName(crossPairs).orderBy("hamming")
   }

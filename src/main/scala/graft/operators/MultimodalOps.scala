@@ -639,12 +639,158 @@ object MultimodalOps {
       |FROM parsed
       |GROUP BY 1, 2 ORDER BY source, timescale""".stripMargin
 
+  // --- perceptual near-dup over the binary column (round-10 verdict task 4) ---
+
+  /** 32×32 synthetic grayscale bitmap from a token array — the binary
+    * payload the perceptual hashes below consume. Pixel i (row-major) is
+    * pure byte arithmetic on the token at the proportional text position
+    * (`(i·n) / 1024`), so an exact-dup document renders the IDENTICAL
+    * bitmap and a near-dup (few tokens changed) renders a bitmap
+    * differing only in the changed tokens' pixel runs — exactly the
+    * locality a perceptual hash needs, and DuckDB-replayable like q93's
+    * header bytes (ASCII corpus: bytes == code points). A real image
+    * column replaces this builder with decoded pixels; everything
+    * downstream (hashing, banding) is unchanged. */
+  def bitmap32(toks: Seq[String]): Array[Byte] = {
+    val n = math.max(1, toks.length)
+    Array.tabulate[Byte](1024) { i =>
+      val t = toks((i * n) / 1024)
+      var s = 0
+      var j = 0
+      while (j < t.length) { s += t.charAt(j).toInt; j += 1 }
+      ((s * 31 + i * 7) % 256).toByte
+    }
+  }
+
+  /** Per-8×8-block pixel sums of a 32×32 bitmap (4×4 pixels per block) —
+    * the "resize" step both perceptual hashes share. */
+  private def blockSums(p: Array[Byte]): Array[Long] = {
+    require(p.length == 1024, s"bitmap32 payload expected, got ${p.length} bytes")
+    val bs = new Array[Long](64)
+    var i = 0
+    while (i < 1024) {
+      bs(((i / 32) / 4) * 8 + ((i % 32) / 4)) += p(i) & 0xff
+      i += 1
+    }
+    bs
+  }
+
+  /** aHash (average hash): bit (r,c) = block mean > global mean, as exact
+    * integer arithmetic (blockSum·64 > totalSum — both engines compare
+    * longs, no float drift). */
+  def aHash64(p: Array[Byte]): Long = {
+    val bs = blockSums(p)
+    val total = bs.sum
+    var h = 0L
+    var b = 0
+    while (b < 64) { if (bs(b) * 64L > total) h |= (1L << b); b += 1 }
+    h
+  }
+
+  /** dHash (gradient hash), wrap-around variant: bit (r,c) = block(r,c) >
+    * block(r, (c+1) mod 8) — 64 bits from the same 8×8 block grid instead
+    * of the classic 9×8 resize (32 doesn't divide into 9 columns; the
+    * wrap keeps the grid exact and the comparison integer-only). */
+  def dHash64(p: Array[Byte]): Long = {
+    val bs = blockSums(p)
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (bs(b) > bs((b / 8) * 8 + ((b % 8) + 1) % 8)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** q123: perceptual near-dup audit of the binary column — render every
+    * document's synthetic bitmap, hash it with aHash AND dHash, and emit
+    * the ≤7-bit Hamming pair profile per hash kind (the corpus-level
+    * near-dup number, not the quadratic pair list).
+    *
+    * Scale shape: the bitmap+hash pass is narrow per-row byte arithmetic
+    * (payload never shuffles — only the two 8-byte signatures do); the
+    * pair counting reuses [[DedupOps.hammingProfile]]'s machinery with
+    * the 8×8-bit pigeonhole (8 bands guarantee exact recall at ≤7 bits —
+    * perceptual hashes spread differences wider than SimHash, so q64's
+    * 4×16 ≤3 window would miss real near-dups) — collapse to distinct
+    * signatures with multiplicities first, then a band self-join whose
+    * shuffle is ∝ signatures×8, distance-0 mass counted arithmetically.
+    * PerceptualHashSpec pins planted exact/near/far triples; the DuckDB
+    * oracle recomputes both hashes from the same pixel formula and the
+    * naive signature self-join. */
+  val q123PerceptualNearDup: Q = (s, d) => {
+    val nPar = s.sparkContext.defaultParallelism
+    val aU = udf { (p: Array[Byte]) => aHash64(p) }
+    val dU = udf { (p: Array[Byte]) => dHash64(p) }
+    val bmU = udf { (toks: Seq[String]) => bitmap32(toks) }
+    val sigs = documents(s, d)
+      .repartition(nPar, col("doc_id"))
+      .select(col("doc_id"), bmU(split(trim(col("text")), "\\s+")).as("payload"))
+      .select(col("doc_id"), aU(col("payload")).as("ahash"), dU(col("payload")).as("dhash"))
+    def profile(c: String, kind: String) =
+      DedupOps.hammingProfile(
+        sigs.groupBy(col(c).as("simhash")).agg(count(lit(1)).as("n")), nPar,
+        nBands = 8, maxDist = 7)
+        .withColumn("kind", lit(kind))
+    profile("ahash", "ahash").unionByName(profile("dhash", "dhash"))
+      .select(col("kind"), col("hamming"), col("n_pairs"))
+      .orderBy("kind", "hamming")
+  }
+
+  private val q123Sql: String = {
+    def sigFold(bits: String, name: String) =
+      s"""$name AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(bit * (CASE WHEN b = 63 THEN -9223372036854775808
+         |                         ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)) AS BIGINT) AS sig
+         |  FROM $bits GROUP BY doc_id)"""
+    def pairCte(sig: String, kind: String) =
+      s"""SELECT '$kind' AS kind, 0 AS hamming,
+         |  CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS n_pairs
+         |FROM (SELECT sig, COUNT(*) AS n FROM $sig GROUP BY 1) sc WHERE n > 1
+         |UNION ALL
+         |SELECT '$kind', bit_count(xor(a.sig, b.sig)), CAST(SUM(a.n * b.n) AS BIGINT)
+         |FROM (SELECT sig, COUNT(*) AS n FROM $sig GROUP BY 1) a
+         |JOIN (SELECT sig, COUNT(*) AS n FROM $sig GROUP BY 1) b ON a.sig < b.sig
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+         |GROUP BY 2"""
+    s"""WITH t AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+       |           FROM documents),
+       |px0 AS (
+       |  SELECT doc_id, u.i AS i,
+       |    toks[1 + (u.i * len(toks)) // 1024] AS tok
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) u),
+       |px AS (
+       |  SELECT doc_id, i,
+       |    (COALESCE(list_sum(list_transform(range(1, len(tok) + 1),
+       |       j -> ascii(substr(tok, CAST(j AS INT), 1)))), 0) * 31 + i * 7) % 256 AS p
+       |  FROM px0),
+       |blocks AS (
+       |  SELECT doc_id, ((i // 32) // 4) * 8 + ((i % 32) // 4) AS b, SUM(p) AS bs
+       |  FROM px GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, SUM(bs) AS g FROM blocks GROUP BY 1),
+       |abits AS (
+       |  SELECT doc_id, b, CASE WHEN bs * 64 > g THEN 1 ELSE 0 END AS bit
+       |  FROM blocks JOIN tot USING (doc_id)),
+       |${sigFold("abits", "asig")},
+       |dbits AS (
+       |  SELECT x.doc_id, x.b, CASE WHEN x.bs > y.bs THEN 1 ELSE 0 END AS bit
+       |  FROM blocks x JOIN blocks y
+       |    ON x.doc_id = y.doc_id AND y.b = (x.b // 8) * 8 + ((x.b % 8) + 1) % 8),
+       |${sigFold("dbits", "dsig")}
+       |${pairCte("asig", "ahash")}
+       |UNION ALL
+       |${pairCte("dsig", "dhash")}
+       |ORDER BY kind, hamming""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_multimodal_decode" -> q31MultimodalDecode,
     "q43_frame_sample" -> q43FrameSample,
     "q93_image_meta" -> q93ImageMeta,
     "q94_audio_meta" -> q94AudioMeta,
     "q96_video_meta" -> q96VideoMeta,
+    "q123_perceptual_neardup" -> q123PerceptualNearDup,
   )
   val oracle: Map[String, String] = Map(
     "q31_multimodal_decode" -> q31Sql,
@@ -652,5 +798,6 @@ object MultimodalOps {
     "q93_image_meta" -> q93Sql,
     "q94_audio_meta" -> q94Sql,
     "q96_video_meta" -> q96Sql,
+    "q123_perceptual_neardup" -> q123Sql,
   )
 }

@@ -133,7 +133,7 @@ object Soak {
     "q64_hamming_profile", "q42_dedup_clusters", "q92_dedup_clusters_fast",
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
     "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
-    "q102_semantic_dedup",
+    "q122_substr_removal", "q102_semantic_dedup",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -151,7 +151,7 @@ object Soak {
     "q121_split_leakage",
     // multimodal plumbing
     "q31_multimodal_decode", "q43_frame_sample", "q93_image_meta",
-    "q94_audio_meta", "q96_video_meta",
+    "q94_audio_meta", "q96_video_meta", "q123_perceptual_neardup",
     // similarity / ANN
     "q29_ann_bruteforce", "q30_ann_lsh_bucketed", "q32_embedding_neardup",
     "q33_ann_native", "q61_embedding_outliers", "q70_dim_stats",
