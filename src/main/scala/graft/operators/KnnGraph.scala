@@ -33,8 +33,11 @@ import graft.Tables._
   * it against the exact graph and pins a floor; raising nProbe buys
   * recall linearly in cost).
   *
-  * Learned centroids aren't SQL-portable → rows-only in the gate;
-  * KnnGraphSpec carries exact-recall, determinism, degree and
+  * Correctness evidence is two-layered (as [[SemanticDedup]]): the gates
+  * (q103/q105/q107) run the operators under the SQL-expressible
+  * [[SemanticDedup.gridCentroids]] and are hash-exact vs DuckDB oracles
+  * that replay every stage term for term; the TRAINED-quantizer path
+  * keeps KnnGraphSpec's exact-recall, determinism, degree and
   * self-exclusion evidence.
   */
 object KnnGraph {
@@ -43,9 +46,17 @@ object KnnGraph {
 
   /** Top-k cosine neighbor edges (src_id, nbr_id, sim, rk) for every
     * vector in `emb`. */
-  def knnEdges(emb: DataFrame, k: Int, nList: Int, nProbe: Int): DataFrame = {
+  def knnEdges(emb: DataFrame, k: Int, nList: Int, nProbe: Int): DataFrame =
+    knnEdgesWithCents(emb, ProductQuantization.trainCoarse(emb, nList), k, nProbe)
+
+  /** [[knnEdges]] under externally supplied centroids — the operator body
+    * is quantizer-agnostic (same reason as
+    * [[SemanticDedup.verdictsWithCents]]), which lets the gate queries run
+    * on SQL-expressible grid centroids and be hash-exact while the
+    * trained path keeps KnnGraphSpec's recall/determinism evidence. */
+  def knnEdgesWithCents(emb: DataFrame, cents: Array[Array[Float]],
+                        k: Int, nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
-    val cents = ProductQuantization.trainCoarse(emb, nList)
     val index = emb.select(col("vec_id"), col("embedding"),
       ProductQuantization.cellExpr(spark, cents)(col("embedding")).as("cell"))
     val probes = emb.select(col("vec_id").as("src_id"),
@@ -68,15 +79,22 @@ object KnnGraph {
   }
 
   /** q103: the kNN-graph edge list over the embeddings table, ordered for
-    * the gate. nList ≤ 0 → sized by
-    * [[ProductQuantization.adaptiveNList]] (fixed cell size as the
-    * corpus grows — the contract all the O(N·|cell|) claims rest on; at
-    * the sf0.01 gate the adaptive value IS 16, so outputs are
-    * unchanged). */
+    * the gate — run under the SQL-expressible
+    * [[SemanticDedup.gridCentroids]] so the gate is hash-exact (r10
+    * verdict stretch): the oracle replays cell argmin, per-row nProbe
+    * probe lists, the cell equi-join, cosine rescoring, and the top-k
+    * window term for term. The TRAINED-quantizer form ([[knnEdges]]) is
+    * the production path, spec-gated by KnnGraphSpec and sized by
+    * [[ProductQuantization.adaptiveNList]]. */
   def q103KnnGraph(k: Int = 5, nList: Int = -1, nProbe: Int = 4): Q = (s, d) => {
     val emb = embeddings(s, d)
+    // nList ≤ 0 → adaptiveNList (fixed cell size as the corpus grows —
+    // the wrapper must keep the scale contract when soaked); the oracle
+    // SQL pins nList=16, which IS the adaptive value at the sf0.01 gate
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
-    knnEdges(emb, k, nl, nProbe).orderBy("src_id", "rk")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    knnEdgesWithCents(emb, SemanticDedup.gridCentroids(nl, dim), k, nProbe)
+      .orderBy("src_id", "rk")
   }
 
   /** Semantic clusters: connected components over the kNN graph's
@@ -89,8 +107,15 @@ object KnnGraph {
     * (≤ k·N rows) filtered by similarity — never a pair enumeration.
     * Labels are the component's minimum vec_id (deterministic). */
   def semanticClusters(emb: DataFrame, k: Int, nList: Int, nProbe: Int,
-                       tau: Double): DataFrame = {
-    val edges = knnEdges(emb, k, nList, nProbe)
+                       tau: Double): DataFrame =
+    semanticClustersWithCents(emb,
+      ProductQuantization.trainCoarse(emb, nList), k, nProbe, tau)
+
+  /** [[semanticClusters]] under externally supplied centroids (see
+    * [[knnEdgesWithCents]]). */
+  def semanticClustersWithCents(emb: DataFrame, cents: Array[Array[Float]],
+                                k: Int, nProbe: Int, tau: Double): DataFrame = {
+    val edges = knnEdgesWithCents(emb, cents, k, nProbe)
       .filter(col("sim") >= tau)
       .select(col("src_id").as("doc_a"), col("nbr_id").as("doc_b"))
     DedupOps.connectedComponents(emb.select(col("vec_id").as("doc_id")), edges)
@@ -107,7 +132,9 @@ object KnnGraph {
                            tau: Double = 0.40): Q = (s, d) => {
     val emb = embeddings(s, d)
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
-    semanticClusters(emb, k, nl, nProbe, tau).orderBy("vec_id")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    semanticClustersWithCents(emb, SemanticDedup.gridCentroids(nl, dim),
+      k, nProbe, tau).orderBy("vec_id")
   }
 
   /** q107: diversity-preserving subset — at most `m` vectors per
@@ -126,10 +153,12 @@ object KnnGraph {
                           nProbe: Int = 2, tau: Double = 0.40): Q = (s, d) => {
     val emb = embeddings(s, d)
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
       .cast("long")
     val w = Window.partitionBy("component").orderBy(col("key"), col("vec_id"))
-    semanticClusters(emb, k, nl, nProbe, tau)
+    semanticClustersWithCents(emb, SemanticDedup.gridCentroids(nl, dim),
+      k, nProbe, tau)
       .select(col("vec_id"), col("component"), u.as("key"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= m)
@@ -137,12 +166,90 @@ object KnnGraph {
       .orderBy("component", "rk")
   }
 
+  // --- DuckDB oracles (r10 verdict stretch): the gates run under the
+  // SQL-expressible grid quantizer, so every stage — cell argmin, probe
+  // lists, the cell equi-join, cosine rescoring, top-k, the component
+  // closure — replays in SQL term for term. The cosine/distance
+  // accumulation pattern is q114's established bit-parity form.
+
+  private def cosSql(a: String, b: String) =
+    s"""(list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+
+  /** Shared CTE chain: grid centroids → per-(vec, cell) distances →
+    * one-cell index assignment → nProbe probe lists → rescored top-k
+    * candidate edges (src_id, nbr_id, sim, rk ≤ k). */
+  private def knnCtes(nList: Int, nProbe: Int, k: Int) =
+    s"""cents AS (
+       |  SELECT cc.c AS c,
+       |    list_transform(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+       |      i -> CAST(((cc.c * 37 + i * 11) % 17 - 8) / 4.0 AS FLOAT)) AS cent
+       |  FROM (SELECT unnest(range(0, $nList)) AS c) cc),
+       |dist AS (
+       |  SELECT e.vec_id, c.c,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |drank AS (
+       |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM dist),
+       |assigned AS (SELECT vec_id, c AS cell FROM drank WHERE rn = 1),
+       |probes AS (SELECT vec_id AS src_id, c AS cell FROM drank WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.src_id, a.vec_id AS nbr_id,
+       |    ROUND(${cosSql("se.embedding", "ne.embedding")}, 6) AS sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.src_id
+       |  JOIN embeddings se ON se.vec_id = p.src_id
+       |  JOIN embeddings ne ON ne.vec_id = a.vec_id),
+       |edges_k AS (
+       |  SELECT src_id, nbr_id, sim, rk FROM (
+       |    SELECT src_id, nbr_id, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rk
+       |    FROM cand) x WHERE rk <= $k)"""
+
+  private val q103Sql: String =
+    s"""WITH ${knnCtes(nList = 16, nProbe = 4, k = 5)}
+       |SELECT src_id, nbr_id, sim, rk FROM edges_k ORDER BY src_id, rk""".stripMargin
+
+  /** τ-thresholded kNN edges → undirected closure → min-id component per
+    * vector (the q42 recursive-CTE component pattern over embeddings). */
+  private def clusterCtes(tau: Double) =
+    s"""tedges AS (SELECT src_id AS a, nbr_id AS b FROM edges_k WHERE sim >= $tau),
+       |uedges AS (SELECT a, b FROM tedges UNION SELECT b, a FROM tedges),
+       |reach(n, m) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN uedges e ON r.m = e.a),
+       |comp AS (SELECT n AS vec_id, MIN(m) AS component FROM reach GROUP BY n)"""
+
+  private val q105Sql: String =
+    s"""WITH RECURSIVE ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+       |${clusterCtes(tau = 0.40)}
+       |SELECT vec_id, component FROM comp ORDER BY vec_id""".stripMargin
+
+  private val q107Sql: String =
+    s"""WITH RECURSIVE ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+       |${clusterCtes(tau = 0.40)}
+       |SELECT vec_id, component, rk FROM (
+       |  SELECT vec_id, component,
+       |    ROW_NUMBER() OVER (PARTITION BY component
+       |      ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+       |               vec_id) AS rk
+       |  FROM comp) x WHERE rk <= 3
+       |ORDER BY component, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q103_knn_graph" -> q103KnnGraph(),
     "q105_semantic_clusters" -> q105SemanticClusters(),
     "q107_diversity_sample" -> q107DiversitySample(),
   )
-  // Learned centroids aren't SQL-portable — rows-only in the gate;
-  // KnnGraphSpec pins recall vs the exact graph, determinism, and shape.
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q103_knn_graph" -> q103Sql,
+    "q105_semantic_clusters" -> q105Sql,
+    "q107_diversity_sample" -> q107Sql,
+  )
 }

@@ -33,10 +33,13 @@ import graft.Tables._
   *     BY DESIGN (that is SemDeDup's documented approximation; the
   *     lexical family and q32's sign-LSH cover the global modalities).
   *
-  * Not SQL-portable (learned centroids), so q102 is rows-only in the gate;
-  * SemanticDedupSpec pins exact within-cell parity against an independent
-  * brute-force implementation, determinism across runs, and the
-  * keep-most-central invariant.
+  * Correctness evidence is two-layered: the q102 GATE runs the operator
+  * under SQL-expressible [[gridCentroids]] and is hash-exact vs a DuckDB
+  * oracle that replays the full verdict machinery (cell argmin, centroid-
+  * cosine ranking, rank-ordered pairwise drop) term-for-term; the TRAINED
+  * quantizer path ([[verdicts]]) keeps SemanticDedupSpec's exact
+  * within-cell parity against an independent brute-force implementation,
+  * determinism across runs, and the keep-most-central invariant.
   */
 object SemanticDedup {
 
@@ -45,10 +48,18 @@ object SemanticDedup {
   /** Per-vector verdicts: (cell, vec_id, rk, dropped). `rk` is the
     * intra-cell priority (1 = most central = never dropped); a vector is
     * dropped iff a cell-mate with smaller rk has cosine ≥ tau to it. */
-  def verdicts(emb: DataFrame, nList: Int, tau: Double): DataFrame = {
+  def verdicts(emb: DataFrame, nList: Int, tau: Double): DataFrame =
+    verdictsWithCents(emb, ProductQuantization.trainCoarse(emb, nList), tau)
+
+  /** [[verdicts]] under EXTERNALLY supplied centroids — the same operator
+    * body (the quantizer is an input everywhere downstream of training),
+    * which is what lets the q102 gate run on SQL-expressible grid
+    * centroids and be hash-exact while the trained path keeps its spec
+    * parity evidence. */
+  def verdictsWithCents(emb: DataFrame, cents: Array[Array[Float]],
+                        tau: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = ProductQuantization.trainCoarse(emb, nList)
     val assigned = emb.select(col("vec_id"), col("embedding"),
       ProductQuantization.cellExpr(spark, cents)(col("embedding")).as("cell"))
     val centDF = broadcast(
@@ -73,15 +84,33 @@ object SemanticDedup {
       .na.fill(false, Seq("dropped"))
   }
 
+  /** Deterministic GRID quantizer: centroid c, dim i =
+    * ((c·37 + i·11) mod 17 − 8) / 4 — pure rational arithmetic whose
+    * values are exact in FLOAT (quarters), so the identical table is a
+    * pure SQL expression in the DuckDB oracle and the cell assignment +
+    * rank + drop rule become cross-engine hash-checkable. Not a trained
+    * quantizer — the grid is deliberately arbitrary; what the gate then
+    * proves exactly is the whole verdict MACHINERY (argmin cell
+    * assignment with tie-to-lowest, centroid-cosine ranking, the
+    * rank-ordered pairwise drop rule) rather than the training, which
+    * keeps its own parity evidence in SemanticDedupSpec. */
+  def gridCentroids(nList: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nList, dim)((c, i) => ((c * 37 + i * 11) % 17 - 8) / 4.0f)
+
   /** q102: per-cell semantic-dedup summary — cluster size, dropped count,
-    * keep fraction. The curation-dashboard view of [[verdicts]]. */
-  /** nList ≤ 0 → sized by [[ProductQuantization.adaptiveNList]] (the IVF
-    * contract: cell size stays fixed as the corpus grows; at the sf0.01
-    * gate the adaptive value IS 16, so gate outputs are unchanged). */
+    * keep fraction. The curation-dashboard view of [[verdicts]], run over
+    * the SQL-expressible [[gridCentroids]] so the gate is hash-exact
+    * (round-10 verdict stretch task); [[verdicts]] with TRAINED centroids
+    * is the production form, spec-gated (SemanticDedupSpec brute-force
+    * parity + determinism) and exercised by q103/q105/q107. */
   def q102SemanticDedup(nList: Int = -1, tau: Double = 0.45): Q = (s, d) => {
     val emb = embeddings(s, d)
+    // nList ≤ 0 → adaptiveNList, preserving the fixed-cell-size scale
+    // contract when the same wrapper runs on a soak corpus; the oracle
+    // SQL pins nList=16, which IS the adaptive value at the sf0.01 gate
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
-    val vs = verdicts(emb, nl, tau)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val vs = verdictsWithCents(emb, gridCentroids(nl, dim), tau)
     vs.groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
@@ -91,10 +120,52 @@ object SemanticDedup {
       .orderBy("cell")
   }
 
+  private val q102Sql: String = {
+    val (nList, tau) = (16, 0.45)
+    // the exact arithmetic of the Spark side, term for term: distances and
+    // cosines accumulate left-to-right in doubles over float inputs (the
+    // q114-established parity pattern); ties on distance break to the
+    // lowest cell id like cellExpr's strict < scan
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(range(1, len($a) + 1),
+         |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |  / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    s"""WITH cents AS (
+       |  SELECT cc.c AS c,
+       |    list_transform(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+       |      i -> CAST(((cc.c * 37 + i * 11) % 17 - 8) / 4.0 AS FLOAT)) AS cent
+       |  FROM (SELECT unnest(range(0, $nList)) AS c) cc),
+       |dist AS (
+       |  SELECT e.vec_id, c.c,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, c AS cell FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM dist) x WHERE rn = 1),
+       |ranked AS (
+       |  SELECT a.cell, e.vec_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY a.cell
+       |      ORDER BY ROUND(${cos("e.embedding", "c.cent")}, 6) DESC, e.vec_id) AS rk
+       |  FROM embeddings e JOIN assigned a USING (vec_id) JOIN cents c ON c.c = a.cell),
+       |dropped AS (
+       |  SELECT DISTINCT v.vec_id FROM ranked u JOIN ranked v
+       |    ON u.cell = v.cell AND u.rk < v.rk
+       |  WHERE ${cos("u.embedding", "v.embedding")} >= $tau)
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       |  ROUND(CAST(COUNT(*) - COUNT(d.vec_id) AS DOUBLE) / COUNT(*), 6) AS keep_frac
+       |FROM ranked r LEFT JOIN dropped d USING (vec_id)
+       |GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q102_semantic_dedup" -> q102SemanticDedup(),
   )
-  // Learned centroids aren't SQL-portable — rows-only in the gate;
-  // SemanticDedupSpec carries the exact within-cell parity evidence.
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q102_semantic_dedup" -> q102Sql,
+  )
 }
