@@ -47,8 +47,9 @@ import graft.strategy._
   * Resumability (SURVEY §3.1): every run persists a [[graft.strategy.RunSnapshot]]
   * per round next to its trace (`<trace>.state.json`); `--resume true` skips
   * runs whose snapshot is complete and continues interrupted ones from their
-  * last persisted RoundState, bit-identically (ResumeSpec). LimeQO+ is the
-  * exception (TCNN weights are unrecoverable cross-round state; it reruns).
+  * last persisted RoundState, bit-identically (ResumeSpec). LimeQO+ includes
+  * its TCNN in the snapshot (serialized weights + optimizer state), so the
+  * learned strategy resumes mid-training-stream too.
   */
 object ExperimentRunner {
 
@@ -193,9 +194,10 @@ object ExperimentRunner {
           val fz = graft.plans.PlanFeaturizer.fit(plans)
           val rowOf = w.queryIds.zipWithIndex.toMap
           for (i <- 1 to plusSeeds)
-            new LimeQOPlusStrategy(plans, fz, rowOf, rank, alpha, beta,
-              newObserveSize = plusBatch, seed = i, maxRounds = maxRounds)
-              .run(w, mask, Some(Paths.get(s"$outDir/limeqo+/$i.json")))
+            runResumable(
+              new LimeQOPlusStrategy(plans, fz, rowOf, rank, alpha, beta,
+                newObserveSize = plusBatch, seed = i, maxRounds = maxRounds),
+              i, mask, Paths.get(s"$outDir/limeqo+/$i.json"))
       }
     }
 

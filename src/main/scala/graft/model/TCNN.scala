@@ -40,12 +40,16 @@ final case class PlanSample(
   * partitions of featurized plans (see `LimeQOPlusStrategy`).
   */
 final class TCNN(val numFeatures: Int, val rank: Int, val nRows: Int, val nCols: Int,
-                 seed: Long, dropP: Double = 0.3) {
+                 seed: Long, dropP: Double = 0.3) extends Serializable {
+  // Serializable: the model IS cross-round state (weights + Adam moments +
+  // the dropout RNG mid-stream), and LimeQO+'s per-round RunSnapshot
+  // persists the whole instance so an interrupted run resumes
+  // bit-identically (ResumeSpec/LimeQOPlusSpec).
 
   private val rng = new Random(seed)
 
   /** A parameter tensor with its gradient and Adam state. */
-  final class Param(val w: DenseMatrix[Double]) {
+  final class Param(val w: DenseMatrix[Double]) extends Serializable {
     val g: DenseMatrix[Double] = DenseMatrix.zeros[Double](w.rows, w.cols)
     val m: DenseMatrix[Double] = DenseMatrix.zeros[Double](w.rows, w.cols)
     val v: DenseMatrix[Double] = DenseMatrix.zeros[Double](w.rows, w.cols)

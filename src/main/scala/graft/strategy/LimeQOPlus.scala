@@ -33,19 +33,28 @@ final class LimeQOPlusStrategy(
 
   val name = "limeqo_plus"
 
-  /** `snapshotPath` is accepted but ignored: the TCNN's weights are
-    * cross-round state the exploration-matrix snapshot cannot restore, so
-    * an interrupted LimeQO+ run restarts from scratch (see [[Strategy]]). */
+  /** Resumable like the core strategies, with one addition: the TCNN is
+    * cross-round state (weights, Adam moments, dropout RNG), so the
+    * per-round [[RunSnapshot]] carries the whole Java-serialized model in
+    * its `extra` map alongside the exploration matrices and the strategy
+    * RNG — a resumed run continues training the SAME model mid-stream,
+    * bit-identically (LimeQOPlusSpec kill/resume test). */
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
           tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics] = {
-    val rng = new Random(seed)
+    val resumed = Loop.resumable(snapshotPath, name, seed)
+    val rng = resumed.flatMap(_.rng).map(RunSnapshot.rngFrom)
+      .getOrElse(new Random(seed))
     val st = new RoundState(w)
-    val initMask = init.getOrElse(Array.tabulate(w.nRows, w.nCols)((_, j) => j == 0))
-    var i = 0
-    while (i < w.nRows) {
-      var j = 0
-      while (j < w.nCols) { if (initMask(i)(j)) st.mask(i)(j) = true; j += 1 }
-      i += 1
+    resumed match {
+      case Some(s) => s.restore(st)
+      case None =>
+        val initMask = init.getOrElse(Array.tabulate(w.nRows, w.nCols)((_, j) => j == 0))
+        var i = 0
+        while (i < w.nRows) {
+          var j = 0
+          while (j < w.nCols) { if (initMask(i)(j)) st.mask(i)(j) = true; j += 1 }
+          i += 1
+        }
     }
 
     // featurize the corpus once (driver-resident; the Spark path for a
@@ -62,12 +71,24 @@ final class LimeQOPlusStrategy(
       }
     }.toIndexedSeq
 
-    val tcnn = new TCNN(featurizer.numFeatures, rank, w.nRows, w.nCols, rng.nextLong())
+    // fresh run: the model seed is the strategy RNG's next draw (so the
+    // stream stays aligned across resume); resumed run: deserialize the
+    // persisted model instead of drawing — the restored RNG is already
+    // past that draw
+    val tcnn = resumed.map(s => RunSnapshot.unblob[TCNN](s.extra("tcnn")))
+      .getOrElse(new TCNN(featurizer.numFeatures, rank, w.nRows, w.nCols, rng.nextLong()))
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
+    resumed.foreach(results ++= _.results)
 
-    var minObs = st.minObserved
-    val perfect = minObs.sum - w.optTime
-    var round = 0
+    var minObs = resumed.map(_.minObs).getOrElse(st.minObserved)
+    val perfect = resumed.map(_.extra("perfect").toDouble)
+      .getOrElse(minObs.sum - w.optTime)
+    var round = resumed.map(_.round).getOrElse(0)
+    def snap(done: Boolean): Unit = Loop.snap(snapshotPath,
+      RunSnapshot.capture(name, seed, st, round, minObs, results.toSeq,
+        rng = Some(rng),
+        extra = Map("tcnn" -> RunSnapshot.blob(tcnn), "perfect" -> perfect.toString),
+        done = done))
     while (minObs.sum - w.optTime > perfect * 0.05 && round < maxRounds) {
       minObs = st.minObserved
 
@@ -158,7 +179,9 @@ final class LimeQOPlusStrategy(
 
       minObs = st.minObserved
       round += 1
+      snap(done = false)
     }
+    if (minObs.sum - w.optTime <= perfect * 0.05) snap(done = true)
     results.toVector
   }
 }

@@ -119,6 +119,24 @@ object RunSnapshot {
     finally ois.close()
   }
 
+  /** Java-serialize an arbitrary cross-round model object (LimeQO+'s
+    * TCNN: weights + Adam moments + dropout RNG) into a base64 blob for
+    * the snapshot's `extra` map, and back. */
+  def blob(o: java.io.Serializable): String =
+    Base64.getEncoder.encodeToString {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.toByteArray
+    }
+
+  def unblob[T](s: String): T = {
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(Base64.getDecoder.decode(s)))
+    try ois.readObject().asInstanceOf[T]
+    finally ois.close()
+  }
+
   def capture(strategy: String, seed: Long, st: RoundState, round: Int,
               minObs: Array[Double], results: Seq[RoundMetrics],
               rng: Option[Random] = None,

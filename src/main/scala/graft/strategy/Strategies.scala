@@ -22,10 +22,11 @@ trait Strategy {
   /** As above, plus per-round state persistence: with `snapshotPath` set
     * the strategy writes a [[RunSnapshot]] after every round (atomic
     * replace) and, when the file already holds an unfinished run of the
-    * SAME strategy, resumes from it bit-identically (ResumeSpec).
-    * [[LimeQOPlusStrategy]] accepts but ignores `snapshotPath`: its TCNN
-    * weights are cross-round state that the exploration-matrix snapshot
-    * alone cannot restore, so it always runs from the start. */
+    * SAME strategy (and seed), resumes from it bit-identically
+    * (ResumeSpec). [[LimeQOPlusStrategy]] additionally persists its TCNN
+    * (weights + Adam moments + dropout RNG) as a serialized blob in the
+    * snapshot's `extra` map, so even the learned strategy resumes
+    * mid-training-stream. */
   def run(w: WorkloadMatrix, init: Option[Array[Array[Boolean]]],
           tracePath: Option[Path], snapshotPath: Option[Path]): Vector[RoundMetrics]
 }

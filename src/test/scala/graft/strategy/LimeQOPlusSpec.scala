@@ -64,4 +64,30 @@ class LimeQOPlusSpec extends AnyFunSuite {
     assert(body.trim.startsWith("[") && body.trim.endsWith("]"))
     assert(body.linesIterator.count(_.contains("\"total_latency\"")) == res.length)
   }
+
+  test("kill/resume: the serialized TCNN continues training mid-stream, trace bit-identical") {
+    val (w, plans, idx) = mkWorkload(24, 6, seed = 42)
+    val fz = PlanFeaturizer.fit(plans)
+    def strat(maxRounds: Int) = new LimeQOPlusStrategy(plans, fz, idx,
+      rank = 3, newObserveSize = 8, maxEpochs = 15, seed = 7, maxRounds = maxRounds)
+    def noTimes(m: graft.core.RoundMetrics) =
+      m.copy(trainingTime = 0.0, inferenceTime = 0.0)
+
+    val fullDir = Files.createTempDirectory("lqp_full")
+    val full = strat(20).run(w, None,
+      Some(fullDir.resolve("t.json")), Some(fullDir.resolve("t.state.json")))
+    assert(full.length > 2, "need rounds beyond the kill point")
+
+    val dir = Files.createTempDirectory("lqp_kill")
+    val (trace, snap) = (dir.resolve("t.json"), dir.resolve("t.state.json"))
+    val killed = strat(2).run(w, None, Some(trace), Some(snap))
+    assert(killed.length == 2)
+    val s = RunSnapshot.load(snap).get
+    assert(!s.done && s.extra.contains("tcnn"),
+      "capped run must leave a resumable snapshot carrying the model")
+
+    val resumed = strat(20).run(w, None, Some(trace), Some(snap))
+    assert(resumed.map(noTimes) == full.map(noTimes),
+      "resumed limeqo+ trace diverged — model/RNG state not restored exactly")
+  }
 }
