@@ -723,10 +723,17 @@ object MultimodalOps {
     val aU = udf { (p: Array[Byte]) => aHash64(p) }
     val dU = udf { (p: Array[Byte]) => dHash64(p) }
     val bmU = udf { (toks: Seq[String]) => bitmap32(toks) }
-    val sigs = documents(s, d)
+    // the signature table is a narrow multi-consumer stage (both hash
+    // kinds' distance-0 AND band branches read it): materialize the
+    // 24-byte-per-doc result once so the bitmap render + double hash —
+    // the expensive pass — runs exactly once and no text/payload bytes
+    // reach any downstream exchange (PlanShapeSpec pins this; without it
+    // the composed plan re-scans and re-hashes the corpus per consumer)
+    val sigs = StageMaterialize(documents(s, d)
       .repartition(nPar, col("doc_id"))
       .select(col("doc_id"), bmU(split(trim(col("text")), "\\s+")).as("payload"))
-      .select(col("doc_id"), aU(col("payload")).as("ahash"), dU(col("payload")).as("dhash"))
+      .select(col("doc_id"), aU(col("payload")).as("ahash"), dU(col("payload")).as("dhash")),
+      "q123_sigs")
     def profile(c: String, kind: String) =
       DedupOps.hammingProfile(
         sigs.groupBy(col(c).as("simhash")).agg(count(lit(1)).as("n")), nPar,

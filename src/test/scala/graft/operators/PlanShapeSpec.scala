@@ -527,4 +527,44 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(wgl.size >= 2,
       s"both ranker windows must push their rank<=20 limit map-side:\n${physicalPlan(df)}")
   }
+
+  test("q122: no pair joins, no window — one gram explode, canon joined back by key") {
+    val df = SubstrDedup.q122SubstrRemoval(spark, sf)
+    // exactly two generators: the gram stream feeds BOTH the canon
+    // aggregate and the removable-starts probe, and each consumer
+    // re-explodes from the (compressed, column-pruned) scan rather than
+    // shuffling the expanded gram stream — the canon/dup table comes back
+    // via a key join (AQE-broadcastable), so grams never cross an
+    // exchange. A third generator would mean the covered-index set got
+    // exploded per removable position instead of the gap-slice rewrite.
+    val gens = nodes(df) { case g: GenerateExec => g }
+    assert(gens.size == 2,
+      s"exactly two gram explodes expected, got ${gens.size}:\n${physicalPlan(df)}")
+    // no rank window and no nested-loop/cartesian pair shape anywhere
+    assert(nodes(df) { case w: WindowExec => w }.isEmpty,
+      s"q122 must not sort-rank anything:\n${physicalPlan(df)}")
+    val badJoins = nodes(df) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(badJoins.isEmpty, s"pair-shaped join in q122:\n${physicalPlan(df)}")
+  }
+
+  test("q123: one materialized hash pass; no text/payload bytes cross a shuffle") {
+    val df = MultimodalOps.q123PerceptualNearDup(spark, sf)
+    // the signature stage materializes once — the final plan reads it as
+    // an RDD scan (the q118 pattern), so no consumer re-renders bitmaps
+    val rddScans = nodes(df) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty,
+      s"expected the materialized signature stage in the final plan:\n${physicalPlan(df)}")
+    // every shuffle carries (simhash, n) / band chunks — never text bytes
+    val shuffles = nodes(df) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    val leaky = shuffles.filter(_.child.output.exists(a =>
+      a.name == "payload" || a.name == "text"))
+    assert(leaky.isEmpty,
+      s"payload/text bytes crossing a shuffle:\n${physicalPlan(df)}")
+  }
 }
