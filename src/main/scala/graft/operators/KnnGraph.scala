@@ -35,7 +35,7 @@ import graft.Tables._
   *
   * Correctness evidence is two-layered (as [[SemanticDedup]]): the gates
   * (q103/q105/q107) run the operators under the SQL-expressible
-  * [[SemanticDedup.gridCentroids]] and are hash-exact vs DuckDB oracles
+  * [[SemanticDedup.refinedCentroids]] and are hash-exact vs DuckDB oracles
   * that replay every stage term for term; the TRAINED-quantizer path
   * keeps KnnGraphSpec's exact-recall, determinism, degree and
   * self-exclusion evidence.
@@ -80,7 +80,7 @@ object KnnGraph {
 
   /** q103: the kNN-graph edge list over the embeddings table, ordered for
     * the gate — run under the SQL-expressible
-    * [[SemanticDedup.gridCentroids]] so the gate is hash-exact (r10
+    * [[SemanticDedup.refinedCentroids]] so the gate is hash-exact (r10
     * verdict stretch): the oracle replays cell argmin, per-row nProbe
     * probe lists, the cell equi-join, cosine rescoring, and the top-k
     * window term for term. The TRAINED-quantizer form ([[knnEdges]]) is
@@ -92,8 +92,7 @@ object KnnGraph {
     // the wrapper must keep the scale contract when soaked); the oracle
     // SQL pins nList=16, which IS the adaptive value at the sf0.01 gate
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    knnEdgesWithCents(emb, SemanticDedup.gridCentroids(nl, dim), k, nProbe)
+    knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl), k, nProbe)
       .orderBy("src_id", "rk")
   }
 
@@ -132,8 +131,7 @@ object KnnGraph {
                            tau: Double = 0.40): Q = (s, d) => {
     val emb = embeddings(s, d)
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    semanticClustersWithCents(emb, SemanticDedup.gridCentroids(nl, dim),
+    semanticClustersWithCents(emb, SemanticDedup.refinedCentroids(emb, nl),
       k, nProbe, tau).orderBy("vec_id")
   }
 
@@ -153,11 +151,10 @@ object KnnGraph {
                           nProbe: Int = 2, tau: Double = 0.40): Q = (s, d) => {
     val emb = embeddings(s, d)
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
       .cast("long")
     val w = Window.partitionBy("component").orderBy(col("key"), col("vec_id"))
-    semanticClustersWithCents(emb, SemanticDedup.gridCentroids(nl, dim),
+    semanticClustersWithCents(emb, SemanticDedup.refinedCentroids(emb, nl),
       k, nProbe, tau)
       .select(col("vec_id"), col("component"), u.as("key"))
       .withColumn("rk", row_number().over(w))
@@ -182,11 +179,7 @@ object KnnGraph {
     * one-cell index assignment → nProbe probe lists → rescored top-k
     * candidate edges (src_id, nbr_id, sim, rk ≤ k). */
   private def knnCtes(nList: Int, nProbe: Int, k: Int) =
-    s"""cents AS (
-       |  SELECT cc.c AS c,
-       |    list_transform(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
-       |      i -> CAST(((cc.c * 37 + i * 11) % 17 - 8) / 4.0 AS FLOAT)) AS cent
-       |  FROM (SELECT unnest(range(0, $nList)) AS c) cc),
+    s"""${SemanticDedup.refinedCentsSql(nList)},
        |dist AS (
        |  SELECT e.vec_id, c.c,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),

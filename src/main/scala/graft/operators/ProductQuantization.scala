@@ -446,7 +446,7 @@ object ProductQuantization {
   }
 
   /** Deterministic GRID codebook — the PQ twin of
-    * [[SemanticDedup.gridCentroids]] (different constants so codebook and
+    * the sampled coarse quantizer ([[SemanticDedup.sampledCentroids]]; different construction so codebook and
     * coarse quantizer never coincide): centroid (s, c), dim i =
     * ((s·53 + c·37 + i·11) mod 17 − 8) / 4, exact in FLOAT and pure SQL
     * arithmetic. What the grid-codebook gates then prove hash-exactly is
@@ -497,7 +497,7 @@ object ProductQuantization {
       val book = gridCodebook(m = 16, k = 16, subDim = dim / 16)
       val nl = adaptiveNList(emb)
       val out = ivfPqTopK(emb, book, qids, k = 5,
-        coarse = Some(SemanticDedup.gridCentroids(nl, dim)))
+        coarse = Some(SemanticDedup.refinedCentroids(emb, nl)))
       val pinned = out.cache()
       pinned.count() // materialize before releasing the parent cache
       emb.unpersist()

@@ -834,11 +834,7 @@ object SimilarityOps {
 
   private val q83Sql: String =
     s"""WITH ${pqCtes(m = 16, k = 16, sd = 4)},
-       |cents AS (
-       |  SELECT cc.c AS c,
-       |    list_transform(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
-       |      i -> CAST(((cc.c * 37 + i * 11) % 17 - 8) / 4.0 AS FLOAT)) AS cent
-       |  FROM (SELECT unnest(range(0, 16)) AS c) cc),
+       |${SemanticDedup.refinedCentsSql(16)},
        |cdist AS (
        |  SELECT e.vec_id, c.c,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),

@@ -133,7 +133,7 @@ object Soak {
     "q64_hamming_profile", "q42_dedup_clusters", "q92_dedup_clusters_fast",
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
     "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
-    "q122_substr_removal", "q102_semantic_dedup",
+    "q122_substr_removal", "q102_semantic_dedup", "q102_semantic_trained",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -156,7 +156,8 @@ object Soak {
     "q29_ann_bruteforce", "q30_ann_lsh_bucketed", "q32_embedding_neardup",
     "q33_ann_native", "q61_embedding_outliers", "q70_dim_stats",
     "q81_pq_ann", "q83_ivfpq_ann", "q97_crossmodal_purity", "q103_knn_graph",
-    "q105_semantic_clusters", "q107_diversity_sample", "q114_filtered_ann",
+    "q103_knn_trained", "q105_semantic_clusters", "q105_clusters_trained",
+    "q107_diversity_sample", "q114_filtered_ann",
     "q115_maxsim", "q116_truncation_audit", "q117_hybrid_rrf",
     "q119_semantic_decontam",
     // sequence assembly + pipeline
@@ -200,6 +201,27 @@ object Soak {
         // queries (not SparkEntry gate entries — their contract lives in
         // specs), timed here so the md5-vs-fast gap stays measurable.
         val soakOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+          // TRAINED-quantizer twins of the semantic gates: since r11 the
+          // gate wrappers run the oracle-replayable sampled+refined
+          // quantizer (hash-exact, ~2× slower at soak scale because the
+          // one-step refinement converges to ~1.5× the balanced candidate
+          // volume); production deployments run the trained path, so the
+          // soak times BOTH
+          "q102_semantic_trained" -> ((s, d) => {
+            val emb = graft.Tables.embeddings(s, d)
+            graft.operators.SemanticDedup.verdicts(emb,
+              graft.operators.ProductQuantization.adaptiveNList(emb), 0.45)
+          }),
+          "q103_knn_trained" -> ((s, d) => {
+            val emb = graft.Tables.embeddings(s, d)
+            graft.operators.KnnGraph.knnEdges(emb, 5,
+              graft.operators.ProductQuantization.adaptiveNList(emb), 4)
+          }),
+          "q105_clusters_trained" -> ((s, d) => {
+            val emb = graft.Tables.embeddings(s, d)
+            graft.operators.KnnGraph.semanticClusters(emb, 5,
+              graft.operators.ProductQuantization.adaptiveNList(emb), 2, 0.40)
+          }),
           "q26_minhash_fast" -> ((s, d) => graft.operators.DedupOps
             .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)),
           "q98_substr_hashed" -> ((s, d) => graft.operators.SubstrDedup
