@@ -82,6 +82,18 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("qo_advisor: kill after 1 round, resume, trace byte-identical") {
+    val (fullTrace, fullSnap) = tmp("resume_qo_full")
+    val full = new QOAdvisorStrategy(8).run(w, None, Some(fullTrace), Some(fullSnap))
+    assert(full.length > 1)
+    val (trace, snap) = tmp("resume_qo_kill")
+    new QOAdvisorStrategy(8, maxRounds = 1).run(w, None, Some(trace), Some(snap))
+    assert(RunSnapshot.load(snap).exists(!_.done))
+    val resumed = new QOAdvisorStrategy(8).run(w, None, Some(trace), Some(snap))
+    assert(resumed == full)
+    assert(Files.readString(trace) == Files.readString(fullTrace))
+  }
+
   test("a done snapshot does not resume: run() restarts fresh and overwrites") {
     val (trace, snap) = tmp("resume_done")
     val first = new OracleStrategy().run(w, None, Some(trace), Some(snap))
