@@ -183,21 +183,7 @@ object SubstrDedup {
       .filter(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    // Equal-width intervals: consecutive sorted starts a < b overlap-or-
-    // touch iff b ≤ a+k, so the kept tokens are exactly the head gap,
-    // the between-gaps, and the tail gap — each a slice of the original
-    // token array. slice(_, _, 0) is the empty array, so zero-width head
-    // gaps need no guard; the tail/between widths are IF-guarded because
-    // a negative slice length is an error.
-    val keptCol = expr(
-      s"""flatten(concat(
-         |  array(slice(l, 1, element_at(starts, 1) - 1)),
-         |  zip_with(slice(starts, 1, size(starts) - 1), slice(starts, 2, size(starts) - 1),
-         |    (a, b) -> IF(b > a + $k, slice(l, a + $k, b - a - $k), array())),
-         |  array(IF(size(l) - element_at(starts, -1) - ${k - 1} > 0,
-         |           slice(l, element_at(starts, -1) + $k,
-         |                 size(l) - element_at(starts, -1) - ${k - 1}),
-         |           array()))))""".stripMargin)
+    val keptCol = keptTokensExpr(k)
     toks.join(removableStarts, Seq("doc_id"), "left")
       .withColumn("kept", when(col("starts").isNull, col("l")).otherwise(keptCol))
       .select(col("doc_id"), col("source"),
@@ -205,6 +191,28 @@ object SubstrDedup {
         size(col("l")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"))
   }
+
+  /** The gap-slice rewrite over columns `l` (token array) and `starts`
+    * (sorted 1-based removable start positions): kept tokens = the
+    * complement of the union of the width-`k` intervals. Equal-width
+    * intervals mean consecutive sorted starts a < b overlap-or-touch iff
+    * b ≤ a+k, so the kept tokens are exactly the head gap, the
+    * between-gaps, and the tail gap — each a slice of the original token
+    * array; O(tokens + starts), no explode, no scan-order dependence.
+    * slice(_, _, 0) is the empty array, so zero-width head gaps need no
+    * guard; the tail/between widths are IF-guarded because a negative
+    * slice length is an error. Shared by the batch transform above and
+    * the streaming ingest form
+    * ([[graft.streaming.CorpusStreams.substrRemovalAtIngest]]). */
+  private[graft] def keptTokensExpr(k: Int): org.apache.spark.sql.Column = expr(
+    s"""flatten(concat(
+       |  array(slice(l, 1, element_at(starts, 1) - 1)),
+       |  zip_with(slice(starts, 1, size(starts) - 1), slice(starts, 2, size(starts) - 1),
+       |    (a, b) -> IF(b > a + $k, slice(l, a + $k, b - a - $k), array())),
+       |  array(IF(size(l) - element_at(starts, -1) - ${k - 1} > 0,
+       |           slice(l, element_at(starts, -1) + $k,
+       |                 size(l) - element_at(starts, -1) - ${k - 1}),
+       |           array()))))""".stripMargin)
 
   /** q122: the removal transform as a gate query — per-source token-mass
     * waterfall of the cleaned corpus (all longs → hash-exact): how many

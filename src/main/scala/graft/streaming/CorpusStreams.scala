@@ -358,6 +358,73 @@ object CorpusStreams {
         col("admitted"))
   }
 
+  /** Build the static k-gram index a streaming SUBSTRING probe hits —
+    * the accumulated corpus's DISTINCT xxhash64'd sliding k-grams
+    * (membership is all removal needs, so no doc ids and no bucket cap:
+    * one row per distinct gram, ≤ total token mass and in practice far
+    * below it). In a deployment this is a parquet table bucketed by
+    * gram, appended by the batch pipeline after each rebuild — the
+    * substring twin of [[signatureIndex]]. */
+  def gramIndex(corpus: DataFrame,
+                k: Int = graft.operators.SubstrDedup.DefaultSpanTokens): DataFrame =
+    corpus
+      .withColumn("l", split(trim(col("text")), "\\s+"))
+      .filter(size(col("l")) >= k)
+      .select(explode(expr(
+        s"transform(sequence(1, size(l) - ${k - 1}), i -> concat_ws(' ', slice(l, i, $k)))"))
+        .as("g"))
+      .select(xxhash64(col("g")).as("gram")).distinct()
+
+  /** Streaming substring-span probe — the ingest-time form of q122's
+    * detection half: each arriving document's k-gram positions
+    * stream-static join the corpus [[gramIndex]]; a collision row
+    * (doc_id, pos) marks a span the corpus already contains. STATELESS
+    * on the stream side (the index is the state, maintained by the batch
+    * pipeline), so restarts and replays route identically — the sink
+    * aggregates or rewrites as it pleases. */
+  def substrSpanProbe(docs: DataFrame, index: DataFrame,
+                      k: Int = graft.operators.SubstrDedup.DefaultSpanTokens): DataFrame =
+    docs
+      .withColumn("l", split(trim(col("text")), "\\s+"))
+      .filter(size(col("l")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(l) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(l, i, $k))))"))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+      .join(index, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+
+  /** The REWRITE half of ingest-time substring removal, for
+    * `foreachBatch` (it aggregates per document, so it runs on each
+    * micro-batch's DataFrame, not on the unbounded stream): drop every
+    * span the corpus index already contains, via the same gap-slice
+    * array rewrite as the batch transform
+    * ([[graft.operators.SubstrDedup.keptTokensExpr]]). Semantics vs
+    * q122: the index docs are the canonical keepers (they arrived
+    * first), so EVERY colliding span in the arriving doc is removed;
+    * intra-batch duplicate spans are deliberately left to the next index
+    * rebuild — the same incremental contract as [[dedupProbeAgainstIndex]]
+    * (q95). CorpusStreamsSpec pins parity: for a batch whose duplicate
+    * spans all point at index docs, the cleaned output equals
+    * [[graft.operators.SubstrDedup.removeDuplicateSpans]] run on
+    * index ∪ batch and restricted to the batch docs. */
+  def substrRemovalAtIngest(docs: DataFrame, index: DataFrame,
+                            k: Int = graft.operators.SubstrDedup.DefaultSpanTokens): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      split(trim(col("text")), "\\s+").as("l"))
+    val starts = substrSpanProbe(docs, index, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("starts").isNull, col("l"))
+        .otherwise(graft.operators.SubstrDedup.keptTokensExpr(k)))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("kept")).as("text_clean"),
+        size(col("l")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"))
+  }
+
   /** Stateless shard router — the ingest-time form of q86's assignment
     * ([[graft.operators.MixtureOps.shardCol]], same expression): adds the
     * deterministic shard id so the stream sink can `partitionBy("shard")`

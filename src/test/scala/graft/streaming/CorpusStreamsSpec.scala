@@ -533,4 +533,48 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     val again = CorpusStreams.dsirAdmission(corpus, model, logZ = p10)
     assert(loose.exceptAll(again).count() == 0 && again.exceptAll(loose).count() == 0)
   }
+
+  test("streaming substring probe: corpus spans collide positionally; ingest rewrite equals batch removal") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val span = (1 to 14).map(i => s"s$i").mkString(" ") // 14 tokens → 3 colliding 12-gram starts
+    val fill = (tag: String, n: Int) => (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${fill("a", 5)} $span ${fill("b", 5)}"),
+      (2L, fill("c", 30))).toDF("doc_id", "text")
+    val index = CorpusStreams.gramIndex(corpus)
+
+    // stream side: one doc embedding the corpus span, one novel doc
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.substrSpanProbe(
+        stream.toDF().select(col("doc_id"), col("text")), index)
+      .writeStream.format("memory").queryName("substrprobe").outputMode("append").start()
+    stream.addData(SourcedDoc(100, "web", s"${fill("x", 4)} $span ${fill("y", 4)}"))
+    q.processAllAvailable()
+    stream.addData(SourcedDoc(101, "web", fill("z", 30)))
+    q.processAllAvailable()
+    q.stop()
+    val hits = sp.table("substrprobe").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    // doc 100's span occupies token positions 5..18 → 12-gram starts 5, 6, 7
+    assert(hits == Set((100L, 5L), (100L, 6L), (100L, 7L)), hits.toString)
+
+    // foreachBatch rewrite: equals the batch transform on index ∪ batch,
+    // restricted to the batch docs (all duplicate spans are cross-index)
+    val batchDocs = Seq(
+      (100L, "web", s"${fill("x", 4)} $span ${fill("y", 4)}"),
+      (101L, "web", fill("z", 30))).toDF("doc_id", "source", "text")
+    val got = CorpusStreams.substrRemovalAtIngest(batchDocs, index)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    val union = corpus.select(col("doc_id"), lit("corpus").as("source"), col("text"))
+      .unionByName(batchDocs)
+    val expect = graft.operators.SubstrDedup.removeDuplicateSpans(union)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect, s"ingest rewrite diverged:\n got=$got\n exp=$expect")
+    // the span is really gone and conservation holds
+    val cleaned = got.find(_._1 == 100L).get
+    assert(!cleaned._2.contains("s1 s2") && cleaned._4 == cleaned._3 - 14)
+  }
 }
