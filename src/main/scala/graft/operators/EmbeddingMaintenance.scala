@@ -205,4 +205,26 @@ object EmbeddingMaintenance {
     writeCellLayout(current, cents, path)
     cents
   }
+
+  /** One self-healing maintenance cycle — the loop a deployment runs per
+    * change batch: apply the upserts under the frozen quantizer, audit
+    * drift against the training-time baseline, and when the audit fires,
+    * [[recluster]] and refresh the baseline. Returns the (possibly new)
+    * centroids and baseline — callers thread them into the next cycle.
+    * The recluster re-sizes nList by the adaptiveNList contract, so a
+    * corpus that grew through churn gets proportionally more cells.
+    * EmbeddingMaintenanceSpec pins both branches (healthy batch keeps the
+    * quantizer untouched; off-manifold churn triggers a rebuild whose
+    * fresh baseline audits healthy). */
+  def maintain(spark: SparkSession, path: String,
+               cents: Array[Array[Float]], baseline: IvfStats,
+               changed: DataFrame,
+               targetCell: Int = 500): (Array[Array[Float]], IvfStats) = {
+    upsertVecs(spark, path, cents, changed)
+    val current = layoutStats(spark, path, cents)
+    if (driftReasons(baseline, current).nonEmpty) {
+      val fresh = recluster(spark, path, targetCell)
+      (fresh, layoutStats(spark, path, fresh))
+    } else (cents, baseline)
+  }
 }

@@ -136,6 +136,32 @@ class EmbeddingMaintenanceSpec extends AnyFunSuite with SharedSpark {
       "recluster must break up the ballooned cell")
   }
 
+  test("maintain: healthy batch keeps the quantizer; off-manifold churn triggers a rebuild") {
+    val (path, cents0) = fresh("maint")
+    val base0 = EmbeddingMaintenance.layoutStats(spark, path, cents0)
+
+    // an on-manifold batch: more vectors near the existing blobs, with
+    // the SAME jitter envelope as the original corpus (0.01–0.06) so the
+    // quantization-error audit sees the distribution it was trained on
+    val tame = (300L to 305L).map(i => (i, blobVec(b1, 0.01f * (i - 299)), 0))
+      .toDF("vec_id", "embedding", "label")
+    val (cents1, base1) =
+      EmbeddingMaintenance.maintain(spark, path, cents0, base0, tame, targetCell = 6)
+    assert(cents1 eq cents0, "healthy batch must not retrain the quantizer")
+    assert(base1 eq base0, "healthy batch must keep the baseline")
+
+    // sustained off-manifold churn: drift fires, the cycle rebuilds
+    val churn = (400L to 423L).map(i => (i, blobVec(b3, 0.01f * i), 2))
+      .toDF("vec_id", "embedding", "label")
+    val (cents2, base2) =
+      EmbeddingMaintenance.maintain(spark, path, cents1, base1, churn, targetCell = 6)
+    assert(!(cents2 eq cents1), "churn batch must trigger a recluster")
+    assert(EmbeddingMaintenance.driftReasons(base2,
+      EmbeddingMaintenance.layoutStats(spark, path, cents2)).isEmpty,
+      "the refreshed baseline must audit healthy against the rebuilt layout")
+    assert(EmbeddingMaintenance.layoutStats(spark, path, cents2).n == base2.n)
+  }
+
   test("recluster parity: exhaustive-probe ivfTopKAtRest identical before and after") {
     val (path, cents) = fresh("repar")
     val churn = (200L to 217L).map(i => (i, blobVec(b3, 0.02f * i), 2))
