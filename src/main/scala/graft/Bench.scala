@@ -63,10 +63,21 @@ object Bench {
       n -> t
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only the LAST 2000 chars of stdout; the full-name
+    // 123-query map is ~5 KB, so a full-name final line gets its head cut
+    // off mid-JSON and the round artifact records "parsed": null (the
+    // round-11 failure mode). The final stdout line therefore uses SHORT
+    // keys (the qNN prefix, the contract's own example form) and
+    // 2-decimal values — ~1.7 KB at 123 queries, inside the window. Full
+    // names + 3-decimal values live in the committed bench/ file below
+    // and on stderr.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    System.err.println("[bench] full-name map: " + results.map {
+      case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
     // Durable copy of the FULL per-query map: the driver's BENCH_r*.json
     // keeps only the tail of stdout, which truncated q01–q29 out of the
     // round-8 artifact and cost round 7 a noise-vs-regression fight. The

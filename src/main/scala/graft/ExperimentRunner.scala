@@ -103,16 +103,53 @@ object ExperimentRunner {
     val mask = opts.get("mask").map(Workloads.initMask(_, w))
     Files.createDirectories(Paths.get(outDir))
 
+    // Config fingerprint for --resume: matching a snapshot on (strategy,
+    // seed) alone lets a rerun with a changed matrix/mask/budget/rank
+    // silently skip "done" runs from the old config or continue
+    // mid-run under the new one, producing traces that are neither
+    // config's. Hash everything that shapes a run — the matrix FILE
+    // BYTES (not its path), the mask option, and every strategy
+    // parameter — and refuse to skip/resume when it differs (the stale
+    // snapshot is replaced by a fresh run). Stored as a sibling .cfg
+    // file so the RunSnapshot wire format is untouched.
+    val configHash: String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(Files.readAllBytes(Paths.get(matrixPath)))
+      // maxRounds is deliberately NOT hashed: it is a stop CAP, not a
+      // behavior parameter — a cap-stopped run is never marked done, and
+      // resuming it under a larger cap is bit-identical to an
+      // uninterrupted large-cap run (the grid --resume spec exercises
+      // exactly that extension). The budgets ARE hashed: a budget-stopped
+      // run is marked done, so a rerun with a larger budget must rerun,
+      // not skip.
+      val params = Seq(batch, plusBatch, rank, alpha, beta, budget,
+        limeqoBudget, opts.getOrElse("mask", "")).mkString("|")
+      md.update(params.getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
+
     def runResumable(s: Strategy, seed: Long,
                      init: Option[Array[Array[Boolean]]], trace: java.nio.file.Path): Unit = {
       val snap = RunSnapshot.pathFor(trace)
-      val prior = RunSnapshot.load(snap)
-      if (resume && prior.exists(x => x.done && x.strategy == s.name && x.seed == seed))
+      val cfgPath = snap.resolveSibling(snap.getFileName.toString + ".cfg")
+      val cfgMatches = Files.isRegularFile(cfgPath) &&
+        Files.readString(cfgPath).trim == configHash
+      val prior = RunSnapshot.load(snap).filter { x =>
+        val ours = x.strategy == s.name && x.seed == seed
+        if (resume && ours && !cfgMatches)
+          println(s"   ${trace.getFileName}: snapshot is from a different " +
+            "config (matrix/mask/params changed) — restarting fresh")
+        ours && cfgMatches
+      }
+      if (resume && prior.exists(_.done))
         println(s"   ${trace.getFileName}: complete snapshot found, skipped")
       else {
         if (!resume) Files.deleteIfExists(snap)
-        if (resume && prior.exists(x => !x.done && x.strategy == s.name && x.seed == seed))
+        if (resume && prior.exists(x => !x.done))
           println(s"   ${trace.getFileName}: resuming from round ${prior.get.round}")
+        if (resume && prior.isEmpty) Files.deleteIfExists(snap)
+        Option(cfgPath.getParent).foreach(Files.createDirectories(_))
+        Files.writeString(cfgPath, configHash)
         s.run(w, init, Some(trace), Some(snap))
       }
     }

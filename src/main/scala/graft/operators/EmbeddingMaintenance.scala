@@ -196,13 +196,31 @@ object EmbeddingMaintenance {
     * Returns the new centroids; value-parity with the old layout is
     * pinned by EmbeddingMaintenanceSpec (exhaustive-probe ivfTopKAtRest
     * equal before/after — centroids change WHERE vectors sit, never which
-    * vectors exist). */
+    * vectors exist).
+    *
+    * Durability: the rebuilt layout is written to a sibling temp path and
+    * swapped in with two renames — the source files stay untouched (and
+    * readable as task inputs) for the whole write, so an executor loss or
+    * OOM mid-rebuild leaves the original index intact instead of
+    * destroying it (the earlier localCheckpoint + same-path overwrite
+    * truncated lineage, making the executor-resident blocks the ONLY copy
+    * mid-rewrite). The rename window is the same maintenance-window
+    * contract a compaction already has; a crash between the two renames
+    * leaves `<path>__old` to restore by hand. */
   def recluster(spark: SparkSession, path: String,
                 targetCell: Int = 500, sampleN: Int = 2048): Array[Array[Float]] = {
-    val current = materialized(spark.read.parquet(path).drop("cell"))
+    val current = spark.read.parquet(path).drop("cell")
     val nList = ProductQuantization.adaptiveNList(current, targetCell)
     val cents = ProductQuantization.trainCoarse(current, nList, sampleN)
-    writeCellLayout(current, cents, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val tmp = new Path(path + "__rebuild")
+    val old = new Path(path + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    writeCellLayout(current, cents, tmp.toString) // reads `path`, writes tmp
+    require(fs.rename(live, old), s"swap failed: could not move $live aside")
+    require(fs.rename(tmp, live), s"swap failed: could not promote $tmp")
+    fs.delete(old, true)
     cents
   }
 

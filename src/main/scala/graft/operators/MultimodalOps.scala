@@ -654,11 +654,15 @@ object MultimodalOps {
   def bitmap32(toks: Seq[String]): Array[Byte] = {
     val n = math.max(1, toks.length)
     Array.tabulate[Byte](1024) { i =>
-      val t = toks((i * n) / 1024)
-      var s = 0
+      // Long arithmetic throughout: i*n overflows Int past ~2.1M tokens
+      // (negative index → task failure), and the DuckDB oracle computes
+      // both the position and the char sum in BIGINT — Int here would be
+      // a silent cross-engine divergence at soak scale.
+      val t = toks(((i.toLong * n) / 1024L).toInt)
+      var s = 0L
       var j = 0
       while (j < t.length) { s += t.charAt(j).toInt; j += 1 }
-      ((s * 31 + i * 7) % 256).toByte
+      ((s * 31L + i * 7L) % 256L).toByte
     }
   }
 

@@ -26,13 +26,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * output equal under each); only the fault-tolerance/cost trade moves.
   */
 object StageMaterialize {
+  // dirs a shutdown hook has already been registered for (one per run dir)
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def apply(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.stage.dir") match {
       case Some(dir) if dir.nonEmpty =>
-        val path = s"$dir/$name"
+        // namespace per run: two jobs sharing one stage dir (the
+        // advertised cluster scenario) must not clobber each other's
+        // <name> stage mid-read — applicationId is unique per SparkContext
+        val runDir = s"$dir/${spark.sparkContext.applicationId}"
+        val path = s"$runDir/$name"
         df.write.mode(SaveMode.Overwrite).parquet(path)
-        spark.read.parquet(path)
+        val out = spark.read.parquet(path)
+        // best-effort cleanup of this run's namespace at JVM exit; a
+        // killed run leaves its appId dir behind for an external TTL
+        // sweep, never a shared path another run could be reading
+        if (hooked.add(runDir)) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(runDir)
+              p.getFileSystem(conf).delete(p, true)
+            } catch { case _: Throwable => () }))
+        }
+        out
       case _ => df.localCheckpoint()
     }
   }

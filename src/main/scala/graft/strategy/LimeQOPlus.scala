@@ -75,13 +75,15 @@ final class LimeQOPlusStrategy(
     // stream stays aligned across resume); resumed run: deserialize the
     // persisted model instead of drawing — the restored RNG is already
     // past that draw
-    val tcnn = resumed.map(s => RunSnapshot.unblob[TCNN](s.extra("tcnn")))
+    // tolerant read: a snapshot missing the model blob (older format)
+    // falls back to a fresh model rather than crashing the resume
+    val tcnn = resumed.flatMap(_.extra.get("tcnn")).map(RunSnapshot.unblob[TCNN])
       .getOrElse(new TCNN(featurizer.numFeatures, rank, w.nRows, w.nCols, rng.nextLong()))
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
     resumed.foreach(results ++= _.results)
 
     var minObs = resumed.map(_.minObs).getOrElse(st.minObserved)
-    val perfect = resumed.map(_.extra("perfect").toDouble)
+    val perfect = resumed.flatMap(_.extra.get("perfect")).map(_.toDouble)
       .getOrElse(minObs.sum - w.optTime)
     var round = resumed.map(_.round).getOrElse(0)
     def snap(done: Boolean): Unit = Loop.snap(snapshotPath,

@@ -95,7 +95,10 @@ final class OracleStrategy(maxRounds: Int = Int.MaxValue) extends Strategy {
     val results = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
     resumed.foreach(results ++= _.results)
     // iterator position = rounds emitted so far (one pick per emit)
-    var pos = resumed.map(_.extra("pos").toInt).getOrElse(0)
+    // tolerant read (mirrors Loop.resumable): a snapshot from an older
+    // format missing the key restarts the loop-local flag fresh instead
+    // of crashing the run with NoSuchElementException
+    var pos = resumed.flatMap(_.extra.get("pos")).map(_.toInt).getOrElse(0)
     var stop = false
     while (pos < order.length && !stop && results.length < maxRounds) {
       val row = order(pos)
@@ -232,7 +235,8 @@ final class RandomStrategy(newObserveSize: Int = 8, seed: Long = 42,
       case Some(b) => st.execTime + st.timeout - w.defaultTime < b
       case None => minObs.sum > w.optTime + 20
     }
-    var exhausted = resumed.exists(_.extra("exhausted").toBoolean)
+    // tolerant read: missing key (older snapshot format) = fresh default
+    var exhausted = resumed.flatMap(_.extra.get("exhausted")).exists(_.toBoolean)
     while (keepGoing && round < maxRounds && !exhausted) {
       minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)
@@ -312,7 +316,8 @@ final class GreedyStrategy(newObserveSize: Int = 8, seed: Long = 42,
       case None => minObs.sum > w.optTime + 20
     }
     // false once a full pass picks nothing: exhausted
-    var progressed = resumed.forall(_.extra("progressed").toBoolean)
+    // tolerant read: missing key (older snapshot format) = fresh default
+    var progressed = resumed.flatMap(_.extra.get("progressed")).forall(_.toBoolean)
     while (keepGoing && round < maxRounds && progressed) {
       minObs = st.minObserved
       Loop.emit(results, st.metrics(), tracePath)

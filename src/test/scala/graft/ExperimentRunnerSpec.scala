@@ -171,4 +171,36 @@ class ExperimentRunnerSpec extends AnyFunSuite with SharedSpark {
     assert(derived(s"$interrupted/limeqo/1.json") == derived(s"$control/limeqo/1.json"),
       "resumed limeqo grid run diverged from the uninterrupted control")
   }
+
+  test("--resume refuses snapshots from a different config (fingerprint mismatch)") {
+    // run the oracle to completion under budget A, then rerun with
+    // --resume under budget B: the done snapshot must NOT be skipped (its
+    // config fingerprint differs), and the fresh rerun must still land
+    // the deterministic oracle trace. A same-config rerun DOES skip —
+    // proven by mtime staying put.
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = Files.createTempDirectory("graft_cfg_guard").toString
+    val base = Array(
+      "/root/reference/dataset/job-matrix.csv", out,
+      "--mask", "/root/reference/dataset/init_job_mask.npy",
+      "--seeds", "1",
+      "--skip", "qo_advisor,random,greedy,limeqo,limeqo_plus,report")
+    ExperimentRunner.main(base ++ Array("--budget", "300", "--resume", "true"))
+    val trace = java.nio.file.Paths.get(s"$out/oracle.json")
+    val snap = graft.strategy.RunSnapshot.pathFor(trace)
+    assert(Files.exists(snap))
+
+    // same config: the completed run is skipped (snapshot untouched)
+    val t1 = Files.getLastModifiedTime(snap)
+    ExperimentRunner.main(base ++ Array("--budget", "300", "--resume", "true"))
+    assert(Files.getLastModifiedTime(snap) == t1,
+      "same-config rerun should have skipped the completed run")
+
+    // changed budget: fingerprint differs -> rerun fresh, not skip
+    ExperimentRunner.main(base ++ Array("--budget", "600", "--resume", "true"))
+    assert(Files.getLastModifiedTime(snap) != t1,
+      "changed-config rerun must not skip the stale done snapshot")
+    val rounds = graft.report.Report.loadTraces(spark, trace.toString).count()
+    assert(rounds > 0)
+  }
 }

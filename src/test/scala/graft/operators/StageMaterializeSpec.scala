@@ -22,9 +22,12 @@ class StageMaterializeSpec extends AnyFunSuite with SharedSpark {
     try {
       val stored = QualityModels.q118CurationPipeline(spark, sf).collect().toSeq
       assert(stored == local, "storage-materialized pipeline diverged from localCheckpoint mode")
+      // stages are namespaced per run (appId subdir) so two jobs sharing
+      // one stage dir never clobber each other's q118_* tables mid-read
+      val appId = spark.sparkContext.applicationId
       for (stage <- Seq("q118_ruled", "q118_nb", "q118_fc"))
-        assert(Files.isDirectory(java.nio.file.Paths.get(dir, stage)),
-          s"stage $stage not written to the stage dir")
+        assert(Files.isDirectory(java.nio.file.Paths.get(dir, appId, stage)),
+          s"stage $stage not written under the run's namespace $dir/$appId")
     } finally spark.conf.unset("spark.graft.stage.dir")
   }
 }
