@@ -224,6 +224,90 @@ object EmbeddingMaintenance {
     cents
   }
 
+  /** Quantizer sidecar: the frozen centroids + training-time baseline,
+    * persisted NEXT TO the layout (`<path>.quantizer.json`, atomic
+    * write-then-rename through the layout's own filesystem). This makes
+    * the quantizer part of the index's durable state instead of driver
+    * memory — a restarted ingest job (or any other maintainer) recovers
+    * the exact centroids the at-rest cells were assigned under, which is
+    * what lets the streaming self-healing cycle survive checkpointed
+    * restarts. Floats round-trip exactly through toString/toFloat. */
+  private def sidecar(path: String) = new Path(path + ".quantizer.json")
+
+  def saveQuantizer(spark: SparkSession, path: String,
+                    cents: Array[Array[Float]], baseline: IvfStats): Unit = {
+    val sb = new StringBuilder
+    sb ++= "{\"cents\":["
+    sb ++= cents.map(_.mkString("[", ",", "]")).mkString(",")
+    sb ++= s"""],"baseline":{"n":${baseline.n},"nonEmptyCells":${baseline.nonEmptyCells},"""
+    sb ++= s""""meanCell":${baseline.meanCell},"maxCell":${baseline.maxCell},"""
+    sb ++= s""""meanSqErr":${baseline.meanSqErr}}}"""
+    val fs = sidecar(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".quantizer.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(sidecar(path), false)
+    require(fs.rename(tmp, sidecar(path)), s"could not promote quantizer sidecar for $path")
+  }
+
+  def loadQuantizer(spark: SparkSession, path: String): Option[(Array[Array[Float]], IvfStats)] = {
+    val fs = sidecar(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sidecar(path))) return None
+    val in = fs.open(sidecar(path))
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val m = JsonMethods.parse(raw).asInstanceOf[JObject].obj.toMap
+    def num(v: JValue): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(x) => x
+      case JDecimal(x) => x.toDouble
+      case other => sys.error(s"bad number in quantizer sidecar: $other")
+    }
+    val cents = m("cents").asInstanceOf[JArray].arr.map(row =>
+      row.asInstanceOf[JArray].arr.map(x => num(x).toFloat).toArray).toArray
+    val b = m("baseline").asInstanceOf[JObject].obj.toMap
+    Some((cents, IvfStats(num(b("n")).toLong, num(b("nonEmptyCells")).toInt,
+      num(b("meanCell")), num(b("maxCell")).toLong, num(b("meanSqErr")))))
+  }
+
+  /** [[writeCellLayout]] plus the quantizer sidecar — the entry point for
+    * a layout that will be maintained by [[maintainPersistent]] (the
+    * streaming ingest path, or any maintainer without driver-held
+    * state). */
+  def writeCellLayoutPersistent(emb: DataFrame, cents: Array[Array[Float]],
+                                path: String): Unit = {
+    writeCellLayout(emb, cents, path)
+    saveQuantizer(emb.sparkSession, path, cents,
+      layoutStats(emb.sparkSession, path, cents))
+  }
+
+  /** One SIDECAR-BACKED self-healing cycle — [[maintain]] with the
+    * quantizer state loaded from (and persisted to) the layout itself
+    * instead of threaded through the caller: upsert under the stored
+    * frozen centroids, then (when `audit` — callers run it at a cadence,
+    * the audit is one column-pruned scan) check drift and recluster +
+    * refresh the sidecar when it fires. Returns the drift reasons that
+    * fired (empty = no rebuild), for observability and specs. Replaying
+    * the same batch is idempotent (same ids, same vectors, same cells),
+    * so foreachBatch's at-least-once delivery is safe. */
+  def maintainPersistent(spark: SparkSession, path: String, changed: DataFrame,
+                         audit: Boolean, targetCell: Int = 500): Seq[String] = {
+    val (cents, baseline) = loadQuantizer(spark, path).getOrElse(sys.error(
+      s"no quantizer sidecar at $path — create the layout with writeCellLayoutPersistent"))
+    upsertVecs(spark, path, cents, changed)
+    if (!audit) Seq.empty
+    else {
+      val reasons = driftReasons(baseline, layoutStats(spark, path, cents))
+      if (reasons.nonEmpty) {
+        val fresh = recluster(spark, path, targetCell)
+        saveQuantizer(spark, path, fresh, layoutStats(spark, path, fresh))
+      }
+      reasons
+    }
+  }
+
   /** One self-healing maintenance cycle — the loop a deployment runs per
     * change batch: apply the upserts under the frozen quantizer, audit
     * drift against the training-time baseline, and when the audit fires,

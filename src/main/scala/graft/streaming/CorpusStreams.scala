@@ -229,6 +229,33 @@ object CorpusStreams {
       graft.operators.ProductQuantization
         .cellExpr(corpus.sparkSession, cents)(col("embedding")).as("cell"))
 
+  /** Ingest-time IVF self-healing (round-11 verdict task 3): the
+    * `foreachBatch` sink that keeps a LIVE at-rest cell layout healthy
+    * under continuous vector churn without manual intervention. Each
+    * micro-batch of (vec_id, embedding) rows is upserted into the layout
+    * under the frozen quantizer
+    * ([[graft.operators.EmbeddingMaintenance.upsertVecs]] — only the
+    * affected cell directories rewrite); every `auditEvery`-th batch runs
+    * the drift audit (one column-pruned scan), and when it fires the
+    * cycle reclusters and refreshes the quantizer sidecar — exactly the
+    * batch [[graft.operators.EmbeddingMaintenance.maintain]] loop, but
+    * with the quantizer state persisted IN the layout
+    * (`<path>.quantizer.json`) instead of driver memory, so a
+    * checkpoint-restarted stream resumes the cycle with the exact
+    * centroids the stored cells were assigned under. Batch replays are
+    * idempotent (same ids, same vectors → same layout), so
+    * foreachBatch's at-least-once delivery is safe; the audit cadence
+    * keys off the checkpointed batchId, so it is stable across restarts
+    * too. Create the layout with
+    * [[graft.operators.EmbeddingMaintenance.writeCellLayoutPersistent]]
+    * before starting the stream. */
+  def selfHealingVectorSink(path: String, auditEvery: Int = 4,
+                            targetCell: Int = 500): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      graft.operators.EmbeddingMaintenance.maintainPersistent(
+        batch.sparkSession, path, batch.select("vec_id", "embedding"),
+        audit = (batchId + 1) % auditEvery == 0, targetCell)
+
   /** Streaming semantic near-dup probe — the ingest-time form of q102
     * (SemDeDup) and the embedding twin of [[dedupProbeAgainstIndex]]:
     * each arriving embedding probes its nProbe nearest cells of the
