@@ -162,6 +162,39 @@ object SteeringLoop {
       alsIters = alsIters, seed = seed,
       alpha = Double.PositiveInfinity, beta = Double.PositiveInfinity)
 
+  /** Per-round completion model — the pluggable heart of the loop. Given
+    * the observation state, return predicted SECONDS for every cell (the
+    * loop consults only unexplored entries). Two implementations: the
+    * matrix-only [[AlsCompletion]] (the reference's LimeQO) and
+    * [[graft.catalyst.LearnedSteering.TcnnCompletion]] (LimeQO+ over this
+    * engine's own live plan trees). A model may be stateful across rounds
+    * (the TCNN keeps training the same weights). */
+  trait CompletionModel {
+    def predictedSeconds(values: Array[Array[Double]], mask: Array[Array[Boolean]],
+                         cutoffs: Array[Array[Double]]): Array[Array[Double]]
+  }
+
+  /** The reference's censored-ALS completion in log1p space: observed
+    * cells at log1p(seconds), censored cells clamped at their log1p
+    * cutoffs, rank/λ per the reference defaults (`limeqo.py:18-123`). */
+  final class AlsCompletion(rank: Int, lambda: Double, alsIters: Int,
+                            rng: scala.util.Random) extends CompletionModel {
+    def predictedSeconds(values: Array[Array[Double]], mask: Array[Array[Boolean]],
+                         cutoffs: Array[Array[Double]]): Array[Array[Double]] = {
+      val nQ = values.length
+      val nC = if (nQ == 0) 0 else values(0).length
+      val logM = DenseMatrix.tabulate(nQ, nC)((r, c) =>
+        if (mask(r)(c)) math.log1p(values(r)(c)) else 0.0)
+      val maskM = DenseMatrix.tabulate(nQ, nC)((r, c) => if (mask(r)(c)) 1.0 else 0.0)
+      // cutoffs live in the same log1p space the ALS solves in
+      val cutM = DenseMatrix.tabulate(nQ, nC)((r, c) =>
+        if (cutoffs(r)(c) > 0.0) math.log1p(cutoffs(r)(c)) else 0.0)
+      val als = new CensoredALS(rank, alsIters, lambda, rng.nextLong())
+      val completed = als.complete(logM, maskM, cutM)
+      Array.tabulate(nQ, nC)((r, c) => math.expm1(completed(r, c)))
+    }
+  }
+
   /** Run the online loop with a pluggable tolerance-aware executor (tests
     * inject a synthetic cost function; production passes [[measureBounded]]
     * partially applied).
@@ -182,7 +215,31 @@ object SteeringLoop {
                   batch: Int = 2, rounds: Int = 3, rank: Int = 2,
                   lambda: Double = 0.2, alsIters: Int = 50, seed: Long = 42,
                   alpha: Double = 1.0, beta: Double = 15.0,
-                  warmStart: Vector[Observation] = Vector.empty): SteeringResult = {
+                  warmStart: Vector[Observation] = Vector.empty): SteeringResult =
+    runWith(queryNames, configNames, exec,
+      new AlsCompletion(rank, lambda, alsIters, new scala.util.Random(seed)),
+      batch = batch, rounds = rounds, alpha = alpha, beta = beta,
+      warmStart = warmStart)
+
+  /** The loop body shared by every completion model ([[runCensored]]'s
+    * contract with the ALS factored out — selection, tolerances, the
+    * censoring ledger, and recommendations are IDENTICAL regardless of
+    * what predicts the unexplored cells). */
+  /** `topUpSeed`: when set, rounds whose model-driven picks leave batch
+    * slots empty fill them with RANDOM unexplored cells (tolerance
+    * α·minObserved) — the reference LimeQO+'s random top-up
+    * (`limeqo_plus.py:127-148`), which keeps a fresh learned model from
+    * stalling when its early predictions cluster at the observed mean
+    * (no cell predicts an improvement, so nothing would ever be probed
+    * and nothing would ever be learned). The matrix loop keeps the
+    * reference LimeQO semantics: no top-up. */
+  def runWith(queryNames: Seq[String], configNames: Seq[String],
+              exec: (Int, Int, Double) => Outcome,
+              model: CompletionModel,
+              batch: Int = 2, rounds: Int = 3,
+              alpha: Double = 1.0, beta: Double = 15.0,
+              warmStart: Vector[Observation] = Vector.empty,
+              topUpSeed: Option[Long] = None): SteeringResult = {
     val nQ = queryNames.length
     val nC = configNames.length
     val values = Array.fill(nQ, nC)(0.0)
@@ -234,18 +291,11 @@ object SteeringLoop {
       q += 1
     }
 
-    val rng = new scala.util.Random(seed)
+    val topUpRng = topUpSeed.map(new scala.util.Random(_))
     var round = 1
     while (round <= rounds &&
       (0 until nQ).exists(r => (0 until nC).exists(c => !explored(r, c)))) {
-      val logM = DenseMatrix.tabulate(nQ, nC)((r, c) =>
-        if (mask(r)(c)) math.log1p(values(r)(c)) else 0.0)
-      val maskM = DenseMatrix.tabulate(nQ, nC)((r, c) => if (mask(r)(c)) 1.0 else 0.0)
-      // cutoffs live in the same log1p space the ALS solves in
-      val cutM = DenseMatrix.tabulate(nQ, nC)((r, c) =>
-        if (cutoffs(r)(c) > 0.0) math.log1p(cutoffs(r)(c)) else 0.0)
-      val als = new CensoredALS(rank, alsIters, lambda, rng.nextLong())
-      val completed = als.complete(logM, maskM, cutM)
+      val predicted = model.predictedSeconds(values, mask, cutoffs)
 
       val minObs = Array.tabulate(nQ)(r =>
         (0 until nC).filter(mask(r)).map(values(r)).minOption.getOrElse(Double.PositiveInfinity))
@@ -260,7 +310,7 @@ object SteeringLoop {
         // exploration FOREVER — fall back to a neutral just-under-best
         // prior: the cell ranks last (improvement ≈ 1%) but stays
         // probeable, and its probe is still tolerance-bounded by α·minObs.
-        pred0 = math.expm1(completed(r, c))
+        pred0 = predicted(r)(c)
         pred = (if (pred0 > 0.0) pred0 else 0.99 * minObs(r))
         if pred > 0.0 && !pred.isInfinity
         // α=∞ means "never censor on the best-observed bound" — keep that
@@ -270,10 +320,6 @@ object SteeringLoop {
         tol = math.min(alphaTerm, beta * pred) if pred < tol
       } yield (r, c, (minObs(r) - pred) / pred, tol)
       val picks = candidates.sortBy { case (r, c, imp, _) => (-imp, r, c) }.take(batch)
-      // no eligible cell (every unexplored prediction collapsed to ≤0 or
-      // past tolerance): further rounds would refit ALS without ever
-      // observing — stop
-      if (picks.isEmpty) round = rounds
 
       picks.foreach { case (r, c, _, tol) =>
         exec(r, c, tol) match {
@@ -285,6 +331,39 @@ object SteeringLoop {
               obs += Observation(r, c, cut, round, censored = true)
         }
       }
+
+      // LimeQO+ random top-up: fill the round's remaining batch slots with
+      // random unexplored cells under the α·minObserved tolerance
+      var topped = 0
+      topUpRng.foreach { rng =>
+        var filled = picks.length
+        var attempts = 0
+        while (filled < batch && attempts < 4 * nQ * nC) {
+          val r = rng.nextInt(nQ)
+          val c = rng.nextInt(nC)
+          if (!explored(r, c)) {
+            val mo = (0 until nC).filter(mask(r)).map(values(r))
+              .minOption.getOrElse(Double.PositiveInfinity)
+            val tol = if (alpha.isPosInfinity) Double.PositiveInfinity else alpha * mo
+            exec(r, c, tol) match {
+              case Completed(s) =>
+                values(r)(c) = s; mask(r)(c) = true
+                obs += Observation(r, c, s, round)
+              case Censored(cut) =>
+                if (recordCutoff(r, c, cut))
+                  obs += Observation(r, c, cut, round, censored = true)
+            }
+            filled += 1
+            topped += 1
+          }
+          attempts += 1
+        }
+      }
+
+      // no eligible cell anywhere (every unexplored prediction collapsed
+      // to ≤0 or past tolerance, and no top-up landed): further rounds
+      // would refit the model without ever observing — stop
+      if (picks.isEmpty && topped == 0) round = rounds
       round += 1
     }
 
