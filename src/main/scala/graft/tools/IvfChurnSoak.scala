@@ -39,9 +39,11 @@ object IvfChurnSoak {
   }
 
   def main(args: Array[String]): Unit = {
-    val nVecs = args.lift(0).map(_.toLong).getOrElse(100000L)
-    val batches = args.lift(1).map(_.toInt).getOrElse(5)
-    val batchSize = args.lift(2).map(_.toLong).getOrElse(10000L)
+    val streamMode = args.headOption.contains("stream")
+    // batch-mode args (ignored under stream mode, which shifts by one)
+    val nVecs = if (streamMode) 100000L else args.lift(0).map(_.toLong).getOrElse(100000L)
+    val batches = if (streamMode) 5 else args.lift(1).map(_.toInt).getOrElse(5)
+    val batchSize = if (streamMode) 10000L else args.lift(2).map(_.toLong).getOrElse(10000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,10 +54,15 @@ object IvfChurnSoak {
     import spark.implicits._
 
     val path = java.nio.file.Files.createTempDirectory("ivf_churn").toString + "/index"
-    val base = Soak.genEmbeddings(spark, nVecs)
-    val nList = ProductQuantization.adaptiveNList(base, targetCell = 500)
-    var cents = ProductQuantization.trainCoarse(base, nList)
-    EmbeddingMaintenance.writeCellLayout(base, cents, path)
+    // batch mode builds its layout here; stream mode builds its own
+    // sidecar-carrying layout inside the branch below
+    var cents: Array[Array[Float]] = null
+    if (!streamMode) {
+      val base = Soak.genEmbeddings(spark, nVecs)
+      val nList = ProductQuantization.adaptiveNList(base, targetCell = 500)
+      cents = ProductQuantization.trainCoarse(base, nList)
+      EmbeddingMaintenance.writeCellLayout(base, cents, path)
+    }
 
     // fixed probe panel: 48 on-manifold + 16 churn-region queries
     val panel: Seq[(Long, Array[Float])] =
@@ -93,16 +100,60 @@ object IvfChurnSoak {
       s
     }
 
-    val baseline = report("baseline", cents, None)
-    for (b <- 1 to batches) {
-      val churn = genChurn(spark, nVecs + (b - 1) * batchSize, batchSize)
-      EmbeddingMaintenance.upsertVecs(spark, path, cents, churn)
-      report(f"after churn batch $b", cents, Some(baseline))
+    if (args.headOption.contains("stream")) {
+      // STREAMING self-healing mode (round-11 verdict task 3's scale
+      // evidence): the same off-manifold battering delivered as a
+      // MemoryStream through CorpusStreams.selfHealingVectorSink — no
+      // manual recluster call anywhere; the mid-stream audit must fire
+      // and bound the probe cost on its own. Args shift by one:
+      //   graft.tools.IvfChurnSoak stream [nVecs] [batches] [batchSize] [auditEvery]
+      val sNVecs = args.lift(1).map(_.toLong).getOrElse(100000L)
+      val sBatches = args.lift(2).map(_.toInt).getOrElse(6)
+      val sBatchSize = args.lift(3).map(_.toLong).getOrElse(10000L)
+      val auditEvery = args.lift(4).map(_.toInt).getOrElse(2)
+      val sBase = Soak.genEmbeddings(spark, sNVecs).select("vec_id", "embedding")
+      val c0 = ProductQuantization.trainCoarse(sBase,
+        ProductQuantization.adaptiveNList(sBase, targetCell = 500))
+      EmbeddingMaintenance.writeCellLayoutPersistent(sBase, c0, path)
+
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        (Long, Array[Float])](spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("ivf_stream_ckpt").toString
+      val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch(graft.streaming.CorpusStreams
+          .selfHealingVectorSink(path, auditEvery = auditEvery, targetCell = 500))
+        .option("checkpointLocation", ckpt).start()
+
+      val baseline = report("baseline", c0, None)
+      var prev = c0
+      for (b <- 1 to sBatches) {
+        val churn = genChurn(spark, sNVecs + (b - 1) * sBatchSize, sBatchSize)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val t0 = System.nanoTime()
+        stream.addData(churn: _*)
+        q.processAllAvailable()
+        val ingestS = (System.nanoTime() - t0) / 1e9
+        val (cs, _) = EmbeddingMaintenance.loadQuantizer(spark, path).get
+        val healed = cs.length != prev.length || cs.flatten.toSeq != prev.flatten.toSeq
+        prev = cs
+        println(f"  batch $b ingest ${ingestS}%.1f s, nList=${cs.length}" +
+          (if (healed) " [self-healed this batch]" else ""))
+        report(f"after stream batch $b", cs, Some(baseline))
+      }
+      q.stop()
+    } else {
+      val baseline = report("baseline", cents, None)
+      for (b <- 1 to batches) {
+        val churn = genChurn(spark, nVecs + (b - 1) * batchSize, batchSize)
+        EmbeddingMaintenance.upsertVecs(spark, path, cents, churn)
+        report(f"after churn batch $b", cents, Some(baseline))
+      }
+      val t0 = System.nanoTime()
+      cents = EmbeddingMaintenance.recluster(spark, path, targetCell = 500)
+      println(f"recluster: ${(System.nanoTime() - t0) / 1e9}%.1f s, nList=${cents.length}")
+      report("after recluster", cents, Some(baseline))
     }
-    val t0 = System.nanoTime()
-    cents = EmbeddingMaintenance.recluster(spark, path, targetCell = 500)
-    println(f"recluster: ${(System.nanoTime() - t0) / 1e9}%.1f s, nList=${cents.length}")
-    report("after recluster", cents, Some(baseline))
     spark.stop()
   }
 }

@@ -134,6 +134,7 @@ object Soak {
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
     "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
     "q122_substr_removal", "q102_semantic_dedup", "q102_semantic_trained",
+    "q124_semdedup_xcell",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -176,7 +177,21 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions default to the core count but are
+      // independently overridable: the 8× chain showed the gram-keyed
+      // families going superlinear at 800k docs under 32 fixed
+      // partitions (per-partition hash state outgrows memory and
+      // spills) — the cluster answer is partitions ∝ data, which
+      // SPARK_GRAFT_SHUFFLE simulates
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // input-split sizing: a soak corpus is SMALL ON DISK but explodes
+      // 60-80× in the gram stage — at the default 128 MB split the 800k
+      // corpus (~320 MB) becomes 3 map tasks each sorting ~17M exploded
+      // shuffle rows (spill → superlinear). A real cluster sizes splits
+      // for the post-explode width; SPARK_GRAFT_MAXPART simulates it
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.catalyst.GraftExtensions)

@@ -67,6 +67,62 @@ class KnnGraphSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.55, f"recall $recall%.3f below floor")
   }
 
+  test("nn-descent: recall uplift over the base graph at bounded candidate cost, deterministic") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = vecs.size
+    def recallOf(edges: Map[Long, Set[Long]]): Double =
+      vecs.keys.toSeq.map { id =>
+        exact(id).count(edges.getOrElse(id, Set.empty).contains).toDouble / k
+      }.sum / n
+    def toSetMap(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+
+    // deliberately starved base graph: one probe only. A pure
+    // single-probe graph is CLOSED under 2-hop expansion (every neighbor
+    // shares the source's cell, so neighbors-of-neighbors do too) —
+    // descent WITHOUT a random seed must return it bit-for-bit. This is
+    // the Dong et al. rationale for random initialization, pinned.
+    val base1 = KnnGraph.knnEdges(emb, k, nList = 8, nProbe = 1)
+    val base1Set = toSetMap(base1.collect())
+    val rBase1 = recallOf(base1Set)
+    val unseeded = toSetMap(KnnGraph.nnDescent(emb, base1, k, rounds = 2).collect())
+    assert(unseeded == base1Set,
+      "descent over an intra-cell-only graph must be a fixed point")
+
+    // with the content-addressed random seed, descent escapes the cells
+    val refined = KnnGraph.nnDescent(emb, base1, k, rounds = 2, randomBuckets = 2)
+    val rRefined = recallOf(toSetMap(refined.collect()))
+    // the standard recall lever for comparison: double the probes instead
+    val rBase2 = recallOf(toSetMap(KnnGraph.knnEdges(emb, k, nList = 8, nProbe = 2).collect()))
+    info(f"recall@5: nProbe=1 $rBase1%.3f -> seeded 2-round descent $rRefined%.3f (nProbe=2: $rBase2%.3f)")
+    assert(rRefined > rBase1, f"descent must lift recall: $rBase1%.3f -> $rRefined%.3f")
+    assert(rRefined >= rBase2 - 1e-9,
+      f"seeded descent from nProbe=1 must reach at least the nProbe=2 recall ($rRefined%.3f vs $rBase2%.3f)")
+
+    // cost contract: the per-round candidate set is bounded by (2k)^2 * N
+    // (neighbors-of-neighbors over the undirected degree-<=2k graph) —
+    // independent of nList/|cell|, which is why a round beats doubling
+    // nProbe at the production targetCell=500 ((2k)^2=100 < nProbe*500)
+    val und = base1.select(col("src_id"), col("nbr_id"))
+      .union(base1.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+    val candCount = und.as("a").join(und.as("b"), col("a.nbr_id") === col("b.src_id"))
+      .filter(col("a.src_id") =!= col("b.nbr_id"))
+      .select(col("a.src_id"), col("b.nbr_id")).distinct().count()
+    assert(candCount <= 4L * k * k * n,
+      s"candidate set $candCount exceeded the (2k)^2*N = ${4L * k * k * n} bound")
+
+    // determinism and shape (seed buckets are content-addressed)
+    val again = KnnGraph.nnDescent(emb, base1, k, rounds = 2, randomBuckets = 2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(refined.collect().map(_.toSeq).sortBy(_.toString).toSeq == again)
+    again.map(r => (r(0).asInstanceOf[Long], r(3).asInstanceOf[Int]))
+      .groupBy(_._1).values.foreach { rks =>
+        assert(rks.map(_._2).sorted.toList == (1 to rks.length).toList)
+        assert(rks.length <= k)
+      }
+  }
+
   test("semantic clusters: two constructed blobs resolve to exactly two multi-vector components") {
     import spark.implicits._
     // two tight blobs (mutually cosine ~1 inside, ~0 across) + one isolate
