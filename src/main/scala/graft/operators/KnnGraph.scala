@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -126,9 +126,16 @@ object KnnGraph {
     * Deterministic: buckets are content-addressed, candidates dedup
     * through max(sim) (equal for equal pairs — cosine is symmetric), and
     * top-k ties break on nbr_id exactly like [[knnEdgesWithCents]].
+    *
+    * `seedKey(vec_id, j)` is the bucket hash — xxhash64 by default (the
+    * production kernel); the q125 gate passes [[mdSeedKey]] so the DuckDB
+    * oracle can replay the bucket assignment (same reason q102–q107 take
+    * their quantizer as an input: one operator body, two key sources).
     */
   def nnDescent(emb: DataFrame, edges: DataFrame, k: Int,
-                rounds: Int = 1, randomBuckets: Int = 0): DataFrame = {
+                rounds: Int = 1, randomBuckets: Int = 0,
+                seedKey: (Column, Column) => Column =
+                  (v, j) => xxhash64(v, j)): DataFrame = {
     def score(cand: DataFrame): DataFrame = cand
       .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("src_emb")),
         Seq("src_id"))
@@ -143,7 +150,7 @@ object KnnGraph {
       val member = emb.select(col("vec_id"),
           explode(sequence(lit(0), lit(randomBuckets - 1))).as("j"))
         .select(col("vec_id"), col("j"),
-          pmod(xxhash64(col("vec_id"), col("j")), lit(nBuckets)).as("bkt"))
+          pmod(seedKey(col("vec_id"), col("j")), lit(nBuckets)).as("bkt"))
       val seed = member.as("a")
         .join(member.as("b"), col("a.j") === col("b.j") &&
           col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
@@ -168,6 +175,35 @@ object KnnGraph {
     val w = Window.partitionBy("src_id").orderBy(desc("sim"), col("nbr_id"))
     cur.withColumn("rk", row_number().over(w))
       .select(col("src_id"), col("nbr_id"), col("sim"), col("rk"))
+  }
+
+  /** Content-addressed seed-bucket key in the engine's established
+    * md5₃₂ uniform construction (q106/q107/q50): the first 8 hex chars
+    * of md5("vec_id:j") as a non-negative long. Engine-portable — DuckDB
+    * replays it exactly — at the price of a string render per (vec, j);
+    * the xxhash64 default is the production kernel (same class split as
+    * q84/q92 vs their md5 gate twins). */
+  def mdSeedKey(v: Column, j: Column): Column =
+    conv(substring(md5(concat(v.cast("string"), lit(":"), j.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** q125: one NN-descent round over the q103 base graph, as a gate —
+    * deliberately starved base (nProbe=1, whose 2-hop closure is a fixed
+    * point) + the md5-seeded random buckets, so the DuckDB oracle replays
+    * the ENTIRE refinement: seed membership, intra-bucket pairs, 2-hop
+    * candidate expansion over the undirected edge list, cosine rescoring,
+    * max-merge, and the top-k window. Refinement dominance (the refined
+    * k-th sim ≥ the base k-th sim per source) is spec-pinned; the
+    * xxhash64-seeded production form keeps KnnGraphSpec's recall uplift
+    * and candidate-bound evidence. */
+  def q125NnDescent(k: Int = 5, nList: Int = -1,
+                    randomBuckets: Int = 2): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val base = knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl),
+      k, nProbe = 1)
+    nnDescent(emb, base, k, rounds = 1, randomBuckets = randomBuckets,
+      seedKey = mdSeedKey).orderBy("src_id", "rk")
   }
 
   /** Semantic clusters: connected components over the kNN graph's
@@ -309,14 +345,67 @@ object KnnGraph {
        |  FROM comp) x WHERE rk <= 3
        |ORDER BY component, rk""".stripMargin
 
+  /** q125 oracle: the full descent round in SQL — md5 seed buckets,
+    * intra-bucket pairs, the 2-hop expansion over the undirected edge
+    * list, rescoring, max-merge with the base, and the top-k window
+    * (twice: the round's own cut, then the output ranking — mirroring
+    * the operator exactly). */
+  private val q125Sql: String = {
+    val cosSe = cosSql("se.embedding", "ne.embedding")
+    s"""WITH ${knnCtes(nList = 16, nProbe = 1, k = 5)},
+       |member AS (
+       |  SELECT e.vec_id, j.j,
+       |    CAST(concat('0x', substr(md5(concat(CAST(e.vec_id AS VARCHAR), ':',
+       |        CAST(j.j AS VARCHAR))), 1, 8)) AS BIGINT)
+       |      % (SELECT GREATEST(1, COUNT(*) // 4) FROM embeddings) AS bkt
+       |  FROM embeddings e CROSS JOIN (SELECT UNNEST(range(0, 2)) AS j) j),
+       |seed AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+       |  FROM member a JOIN member b
+       |    ON a.j = b.j AND a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+       |seedsim AS (
+       |  SELECT s.src_id, s.nbr_id, ROUND($cosSe, 6) AS sim
+       |  FROM seed s JOIN embeddings se ON se.vec_id = s.src_id
+       |              JOIN embeddings ne ON ne.vec_id = s.nbr_id),
+       |cur0 AS (SELECT src_id, nbr_id, sim FROM edges_k
+       |         UNION ALL SELECT src_id, nbr_id, sim FROM seedsim),
+       |und AS (SELECT src_id, nbr_id FROM cur0
+       |        UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id FROM cur0),
+       |cand2 AS (
+       |  SELECT DISTINCT a.src_id, b.nbr_id
+       |  FROM und a JOIN und b ON a.nbr_id = b.src_id
+       |  WHERE a.src_id <> b.nbr_id),
+       |cand2s AS (
+       |  SELECT c.src_id, c.nbr_id, ROUND($cosSe, 6) AS sim
+       |  FROM cand2 c JOIN embeddings se ON se.vec_id = c.src_id
+       |               JOIN embeddings ne ON ne.vec_id = c.nbr_id),
+       |merged AS (
+       |  SELECT src_id, nbr_id, MAX(sim) AS sim FROM (
+       |    SELECT src_id, nbr_id, sim FROM cur0
+       |    UNION ALL SELECT src_id, nbr_id, sim FROM cand2s) u
+       |  GROUP BY src_id, nbr_id),
+       |r1 AS (
+       |  SELECT src_id, nbr_id, sim FROM (
+       |    SELECT src_id, nbr_id, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rk
+       |    FROM merged) x WHERE rk <= 5)
+       |SELECT src_id, nbr_id, sim, rk FROM (
+       |  SELECT src_id, nbr_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM r1) y
+       |ORDER BY src_id, rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_knn_graph" -> q103KnnGraph(),
     "q105_semantic_clusters" -> q105SemanticClusters(),
     "q107_diversity_sample" -> q107DiversitySample(),
+    "q125_nn_descent" -> q125NnDescent(),
   )
   val oracle: Map[String, String] = Map(
     "q103_knn_graph" -> q103Sql,
     "q105_semantic_clusters" -> q105Sql,
     "q107_diversity_sample" -> q107Sql,
+    "q125_nn_descent" -> q125Sql,
   )
 }

@@ -123,6 +123,40 @@ class KnnGraphSpec extends AnyFunSuite with SharedSpark {
       }
   }
 
+  test("q125 gate form: refinement dominance over its base graph, well-formed, deterministic") {
+    // the md5-seeded gate form (the DuckDB oracle's twin). Dominance:
+    // descent's candidate set is a superset of the base edges, so for
+    // every source the refined i-th sim must be >= the base i-th sim.
+    val q125 = KnnGraph.q125NnDescent()(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val nl = ProductQuantization.adaptiveNList(emb)
+    val base = KnnGraph.knnEdgesWithCents(emb,
+        SemanticDedup.refinedCentroids(emb, nl), k, nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    val baseSims = base.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val refSims = q125.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(_._3).toSeq).toMap
+    assert(refSims.keySet == vecs.keySet)
+    refSims.foreach { case (src, sims) =>
+      val bs = baseSims.getOrElse(src, Seq.empty)
+      bs.zip(sims).foreach { case (b, r) =>
+        assert(r >= b - 1e-9, s"vec $src: refined sim $r < base $b")
+      }
+      assert(sims.length >= bs.length)
+    }
+    // shape + determinism
+    q125.foreach { case (s, n, _, _) => assert(s != n) }
+    q125.groupBy(_._1).values.foreach { es =>
+      assert(es.map(_._4).sorted.toList == (1 to es.length).toList)
+      assert(es.length <= k)
+    }
+    val again = KnnGraph.q125NnDescent()(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(q125.toSeq == again)
+  }
+
   test("semantic clusters: two constructed blobs resolve to exactly two multi-vector components") {
     import spark.implicits._
     // two tight blobs (mutually cosine ~1 inside, ~0 across) + one isolate
