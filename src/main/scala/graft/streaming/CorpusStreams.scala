@@ -278,6 +278,71 @@ object CorpusStreams {
       .filter(col("sim") >= tau)
       .select(col("vec_id"), col("idx_vec"), col("sim"))
 
+  /** The q123 signature kernel (bitmap render → aHash + dHash) exploded
+    * into its 8×8-bit pigeonhole bands — one long-form row per
+    * (doc, hash kind, band). Shared by [[perceptualIndex]] and
+    * [[perceptualProbeAgainstIndex]] so both sides of the stream-static
+    * join hash identically. The render is the q123 once-per-doc kernel;
+    * everything after it is 16 rows of 8-byte keys per document —
+    * payload bytes never reach an exchange. */
+  private def perceptualBands(docs: DataFrame): DataFrame = {
+    val bmU = udf { (ts: Seq[String]) => graft.operators.MultimodalOps.bitmap32(ts) }
+    val aU = udf { (p: Array[Byte]) => graft.operators.MultimodalOps.aHash64(p) }
+    val dU = udf { (p: Array[Byte]) => graft.operators.MultimodalOps.dHash64(p) }
+    docs.withColumn("pl", bmU(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), aU(col("pl")).as("ah"), dU(col("pl")).as("dh"))
+      .selectExpr("doc_id", "stack(2, 'ahash', ah, 'dhash', dh) AS (kind, sig)")
+      .select(col("doc_id"), col("kind"), col("sig"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      // arithmetic >> then & 255 == logical band extract (mask drops the
+      // sign extension), so band 7 of a negative signature is still exact
+      .withColumn("band_key", expr("CAST((sig >> (band * 8)) & 255 AS INT)"))
+  }
+
+  /** Build the static perceptual-signature index a streaming near-dup
+    * probe hits — the ingest-time counterpart of q123's corpus audit and
+    * the pixel-space sibling of [[signatureIndex]] (MinHash) and
+    * [[semanticIndex]] (embeddings). Rows are (idx_doc, idx_sig, kind,
+    * band, band_key); `bucketCap` bounds any one band bucket exactly like
+    * the MinHash index — a viral template's distance-0 mass otherwise
+    * hot-keys its 8 buckets (the batch audit collapses that mass to
+    * distinct signatures; an admission index must keep doc identity, so
+    * it caps instead — candidates lost to the cap are by construction
+    * duplicates OF A KEPT CANDIDATE, so admission verdicts stand). */
+  def perceptualIndex(corpus: DataFrame,
+                      bucketCap: Int = graft.operators.DedupOps.DefaultCandidateCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kind", "band", "band_key").orderBy("doc_id")
+    perceptualBands(corpus)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= bucketCap)
+      .select(col("doc_id").as("idx_doc"), col("sig").as("idx_sig"),
+        col("kind"), col("band"), col("band_key"))
+  }
+
+  /** Streaming perceptual near-dup probe — the ingest-time form of q123
+    * and the pixel-space twin of [[dedupProbeAgainstIndex]]: each
+    * arriving document's 16 (kind, band, key) rows stream-static join
+    * the corpus's [[perceptualIndex]]; colliding candidates are rescored
+    * with the EXACT Hamming distance (codegen'd `bit_count(sig ^
+    * idx_sig)` — never a UDF on the join output) and kept at ≤ maxDist.
+    * The 8-band pigeonhole makes recall exact at maxDist ≤ 7: a pair
+    * differing in ≤7 bits cannot differ in all 8 disjoint bands, so at
+    * least one band key collides. STATELESS on the stream side (the
+    * index is the state, maintained by the batch pipeline), so restarts
+    * and replays route identically; per-batch cost is the once-per-doc
+    * render plus 16 indexed probes — never a corpus re-hash. Emits one
+    * row per colliding band (like [[dedupProbeAgainstIndex]]) so the
+    * plan stays append-only stateless; the sink dedupes per micro-batch
+    * if it needs pair-level verdicts. */
+  def perceptualProbeAgainstIndex(docs: DataFrame, index: DataFrame,
+                                  maxDist: Int = 7): DataFrame =
+    perceptualBands(docs)
+      .join(index, Seq("kind", "band", "band_key"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .withColumn("hamming", expr("CAST(bit_count(sig ^ idx_sig) AS INT)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_id"), col("idx_doc"), col("kind"), col("band"), col("hamming"))
+
   /** Build the fixed-size DSIR bucket→llr model from the accumulated
     * corpus — ≤[[graft.operators.QualityModels.DsirBuckets]] entries by
     * construction, so the collect is bounded regardless of corpus size

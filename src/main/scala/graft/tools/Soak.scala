@@ -159,6 +159,7 @@ object Soak {
     "q81_pq_ann", "q83_ivfpq_ann", "q97_crossmodal_purity", "q103_knn_graph",
     "q103_knn_trained", "q105_semantic_clusters", "q105_clusters_trained",
     "q107_diversity_sample", "q114_filtered_ann",
+    "q125_nn_descent", "q125_descent_trained",
     "q115_maxsim", "q116_truncation_audit", "q117_hybrid_rrf",
     "q119_semantic_decontam",
     // sequence assembly + pipeline
@@ -236,6 +237,16 @@ object Soak {
             val emb = graft.Tables.embeddings(s, d)
             graft.operators.KnnGraph.semanticClusters(emb, 5,
               graft.operators.ProductQuantization.adaptiveNList(emb), 2, 0.40)
+          }),
+          // production NN-descent: xxhash64 seed buckets over the trained
+          // nProbe=4 base (the q125 gate runs md5 seeds over a starved
+          // nProbe=1 base so DuckDB can replay it — time both)
+          "q125_descent_trained" -> ((s, d) => {
+            val emb = graft.Tables.embeddings(s, d)
+            graft.operators.KnnGraph.nnDescent(emb,
+              graft.operators.KnnGraph.knnEdges(emb, 5,
+                graft.operators.ProductQuantization.adaptiveNList(emb), 4),
+              5, rounds = 1, randomBuckets = 2)
           }),
           "q26_minhash_fast" -> ((s, d) => graft.operators.DedupOps
             .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)),

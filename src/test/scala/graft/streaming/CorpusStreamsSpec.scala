@@ -359,6 +359,56 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.contains((9002L, 3L, 1.0)))
   }
 
+  test("streaming perceptual probe: exact + near dup land within ≤7 bits, far doc silent, output == batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    // corpus: three perceptually distant docs (PerceptualHashSpec's
+    // planted-triple construction); arrivals: an exact pixel copy of
+    // corpus doc 1, a 2-token near-dup of it, and an unrelated doc
+    def toks(seed: String, n: Int) = (0 until n).map(i => s"$seed${i}w${(i * 7) % 13}")
+    val base = toks("t", 100)
+    val near = base.updated(50, "ZZZZZZZZZZ").updated(51, "QQQQQQQQ")
+    val corpus = Seq((1L, base.mkString(" ")), (2L, toks("other", 100).mkString(" ")),
+      (3L, toks("third", 100).mkString(" "))).toDF("doc_id", "text")
+    val index = CorpusStreams.perceptualIndex(corpus).cache()
+
+    val arrivals = Seq(SourcedDoc(100, "web", base.mkString(" ")),
+      SourcedDoc(101, "web", near.mkString(" ")),
+      SourcedDoc(102, "web", toks("novel", 100).mkString(" ")))
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.perceptualProbeAgainstIndex(
+        stream.toDF().select(col("doc_id"), col("text")), index)
+      .writeStream.format("memory").queryName("pxprobe").outputMode("append").start()
+    stream.addData(arrivals.head)
+    q.processAllAvailable()
+    stream.addData(arrivals.tail: _*) // second micro-batch: same stateless route
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("pxprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+
+    // pair-level verdicts (band-deduped): the exact copy collides at 0 on
+    // BOTH hash kinds; the near-dup within the ≤7 window on both; the
+    // novel doc and the far corpus docs never appear
+    val pairs = streamed.map { case (d, i, k, _, h) => (d, i, k) -> h }.toMap
+    assert(pairs((100L, 1L, "ahash")) == 0)
+    assert(pairs((100L, 1L, "dhash")) == 0)
+    assert(pairs.contains((101L, 1L, "ahash")) && pairs((101L, 1L, "ahash")) >= 1
+      && pairs((101L, 1L, "ahash")) <= 7)
+    assert(pairs.keySet.map(_._1) == Set(100L, 101L))
+    assert(pairs.keySet.map(_._2) == Set(1L))
+    // exact copy collides on all 8 bands of both kinds (distance 0)
+    assert(streamed.count { case (d, _, _, _, _) => d == 100L } == 16)
+
+    // the batch twin on the same arrival frame must produce the same set
+    val batch = CorpusStreams.perceptualProbeAgainstIndex(
+        arrivals.toDF().select(col("doc_id"), col("text")), index)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(streamed == batch, s"stream/batch diverged:\n$streamed\nvs\n$batch")
+  }
+
   test("checkpoint restart: budget admission and content dedup resume exactly") {
     val sp = spark
     import sp.implicits._
