@@ -459,7 +459,7 @@ object ProductQuantization {
     PQCodebook(m, k, subDim, Array.tabulate(m, k, subDim)(
       (s, c, i) => ((s * 53 + c * 37 + i * 11) % 17 - 8) / 4.0f))
 
-  private def gatePanel(emb: DataFrame): Seq[Long] =
+  private[graft] def gatePanel(emb: DataFrame): Seq[Long] =
     emb.select(col("vec_id"))
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(8).collect().map(_.getLong(0)).toSeq

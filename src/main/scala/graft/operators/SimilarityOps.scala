@@ -853,6 +853,107 @@ object SimilarityOps {
        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
        |${adcTail(m = 16, k = 5, refine = 4, sd = 4)}""".stripMargin
 
+  /** q126: IVF recall audit — the index-health metric a production
+    * deployment schedules alongside [[graft.operators.EmbeddingMaintenance]]'s
+    * drift audit: for a content-addressed query panel, compare the IVF
+    * multi-probe top-k against the exact top-k and report per-query
+    * hits/recall@k. Drift audit asks "does the quantizer still fit the
+    * data?"; this asks the question users feel — "does the index still
+    * RETURN the right neighbors?".
+    *
+    * Scale shape: the exact leg is ONE linear codegen'd cosine pass
+    * (panel broadcasts — the q119/q33 shape, never a pair explosion);
+    * the IVF leg probes nProbe cells per panel query (the q103 join
+    * shape with a driver-side panel); the audit joins two ≤8k-row
+    * top-k lists. Sampling the panel content-addressed keeps the audit
+    * O(corpus) regardless of how often it runs. Gate runs under the
+    * SQL-expressible [[SemanticDedup.refinedCentroids]] quantizer
+    * (hash-exact); production audits pass trained centroids through the
+    * same body. */
+  def q126IvfRecallAudit(k: Int = 5, nList: Int = -1, nProbe: Int = 4): Q = (s, d) => {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val cents = SemanticDedup.refinedCentroids(emb, nl)
+    val qids = ProductQuantization.gatePanel(emb)
+    val panel = broadcast(emb.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    def topK(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id").as("target_id"))
+    }
+    val exact = topK(emb.join(panel, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
+    val probes = broadcast(panel.select(col("query_id"), col("qv"),
+      explode(ProductQuantization.probeExpr(s, cents, nProbe)(col("qv"))).as("cell")))
+    val ivf = topK(emb
+      .withColumn("cell", ProductQuantization.cellExpr(s, cents)(col("embedding")))
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
+    val hits = exact.join(ivf, Seq("query_id", "target_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    panel.select("query_id").join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("recall", round(col("hits") / lit(k.toDouble), 6))
+      .select("query_id", "hits", "recall")
+      .orderBy("query_id")
+  }
+
+  private def q126CosSql(a: String, b: String) =
+    s"""(list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+
+  private val q126Sql: String = {
+    val cosQe = q126CosSql("qe.embedding", "e.embedding")
+    s"""WITH ${SemanticDedup.refinedCentsSql(16)},
+       |qids AS (SELECT vec_id FROM embeddings
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+       |cdist AS (
+       |  SELECT e.vec_id, c.c,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |crank AS (
+       |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM cdist),
+       |assigned AS (SELECT vec_id, c AS cell FROM crank WHERE rn = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, r.c AS cell
+       |  FROM qids q JOIN crank r ON r.vec_id = q.vec_id AND r.rn <= 4),
+       |exact AS (
+       |  SELECT query_id, target_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS target_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND($cosQe, 6) DESC, e.vec_id) AS rk
+       |    FROM qids q JOIN embeddings qe ON qe.vec_id = q.vec_id
+       |    CROSS JOIN embeddings e
+       |    WHERE e.vec_id <> q.vec_id) x WHERE rk <= 5),
+       |ivf AS (
+       |  SELECT query_id, target_id FROM (
+       |    SELECT p.query_id, a.vec_id AS target_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY ROUND($cosQe, 6) DESC, a.vec_id) AS rk
+       |    FROM probes p
+       |    JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |    JOIN embeddings qe ON qe.vec_id = p.query_id
+       |    JOIN embeddings e ON e.vec_id = a.vec_id) x WHERE rk <= 5),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS hits
+       |  FROM exact e JOIN ivf i
+       |    ON i.query_id = e.query_id AND i.target_id = e.target_id
+       |  GROUP BY 1)
+       |SELECT q.vec_id AS query_id, COALESCE(h.hits, 0) AS hits,
+       |  ROUND(COALESCE(h.hits, 0) / 5.0, 6) AS recall
+       |FROM qids q LEFT JOIN hits h ON h.query_id = q.vec_id
+       |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
@@ -867,8 +968,10 @@ object SimilarityOps {
     "q115_maxsim" -> q115MaxSim,
     "q116_truncation_audit" -> q116TruncationAudit,
     "q119_semantic_decontam" -> q119SemanticDecontam,
+    "q126_ivf_recall_audit" -> q126IvfRecallAudit(),
   )
   val oracle: Map[String, String] = Map(
+    "q126_ivf_recall_audit" -> q126Sql,
     "q81_pq_ann" -> q81Sql,
     "q83_ivfpq_ann" -> q83Sql,
     "q29_ann_bruteforce" -> q29Sql,

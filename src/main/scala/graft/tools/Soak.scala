@@ -259,15 +259,29 @@ object Soak {
           // query, stale families list) records as that one query's
           // failure instead of aborting the whole soak mid-run
           val fn = graft.SparkEntry.queries.get(name).orElse(soakOnly.get(name))
-          val t0 = System.nanoTime()
-          val outcome = fn match {
-            case None => "FAIL unresolved: not in SparkEntry.queries or soakOnly"
-            case Some(f) =>
-              try { f(spark, dir).write.format("noop").mode("overwrite").save(); "ok" }
-              catch { case e: Throwable => s"FAIL ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}" }
+          // SPARK_GRAFT_REPEAT=N runs each query N times in the same JVM
+          // and reports the MINIMUM: this VM's host occasionally steals
+          // CPU in multi-minute waves (round-12 windows saw the same
+          // query swing 10× between runs with an idle guest), and a
+          // min-of-N warm measurement is robust to additive noise where
+          // a single cold run is not. Cold-start cost is a separate,
+          // per-JVM number — quote it from REPEAT=1 windows only.
+          val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+          val trials = (1 to repeat).map { _ =>
+            val t0 = System.nanoTime()
+            val outcome = fn match {
+              case None => "FAIL unresolved: not in SparkEntry.queries or soakOnly"
+              case Some(f) =>
+                try { f(spark, dir).write.format("noop").mode("overwrite").save(); "ok" }
+                catch { case e: Throwable => s"FAIL ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}" }
+            }
+            ((System.nanoTime() - t0) / 1e9, outcome)
           }
-          val secs = (System.nanoTime() - t0) / 1e9
-          println(f"$name%-28s $secs%8.2f s  $outcome")
+          val secs = trials.map(_._1).min
+          val outcome = trials.map(_._2).find(_ != "ok").getOrElse("ok")
+          val all = if (repeat > 1)
+            trials.map(t => f"${t._1}%.2f").mkString(" (", "/", ")") else ""
+          println(f"$name%-28s $secs%8.2f s  $outcome$all")
           (name, secs, outcome)
         }
         val total = rows.map(_._2).sum
