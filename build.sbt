@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON. Two sbt behaviors
+// break that: the logger prefixes forked output with "[info] " and appends
+// a "[success] Total time: ..." line after the run (the round-12
+// "parsed": null failure). Route forked output straight through and drop
+// the success banner so graft.Bench's compact JSON line is genuinely last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

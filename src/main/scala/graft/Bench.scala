@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   *    measured pass; reported numbers are steady-state.
   */
 object Bench {
+  /** JSON-bound number formatting MUST be locale-independent: `f"$v%.2f"`
+    * uses the default locale, and a comma-decimal locale would emit
+    * `1,42` and corrupt the machine-parsed line. */
+  private def fmt(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,10 +78,17 @@ object Bench {
     // 2-decimal values — ~1.7 KB at 123 queries, inside the window. Full
     // names + 3-decimal values live in the committed bench/ file below
     // and on stderr.
+    // Short keys must stay unique: two SparkEntry names sharing a qNN
+    // prefix would silently collapse to one JSON key (last wins). Fail
+    // loudly instead — the fix is renaming the offending query.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == results.size,
+      "duplicate qNN prefixes in SparkEntry.queries: " +
+        shortKeys.diff(shortKeys.distinct).distinct.mkString(","))
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     System.err.println("[bench] full-name map: " + results.map {
       case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
     // Durable copy of the FULL per-query map: the driver's BENCH_r*.json
@@ -93,12 +106,12 @@ object Bench {
       val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString + suffix
       val pretty = new StringBuilder()
       pretty.append("{\n  \"metric\": \"total\",\n")
-      pretty.append(f"""  "value": $total%.3f,""" + "\n")
+      pretty.append(s"""  "value": ${fmt(total, 3)},""" + "\n")
       pretty.append("  \"unit\": \"sec\",\n")
       pretty.append(s"""  "sf": "$sfDir",\n""")
       pretty.append("  \"queries\": {\n")
       pretty.append(results.map { case (k, v) =>
-        f"""    "$k": $v%.3f"""
+        s"""    "$k": ${fmt(v, 3)}"""
       }.mkString(",\n"))
       pretty.append("\n  }\n}\n")
       java.nio.file.Files.writeString(
@@ -107,8 +120,9 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] durable artifact write failed: $e")
     }
-    // the driver contract: the compact JSON line is the LAST stdout line
-    println(line)
+    // the driver contract: the compact JSON line is the LAST stdout line —
+    // stop Spark FIRST so no shutdown chatter can land after it
     spark.stop()
+    println(line)
   }
 }

@@ -123,8 +123,16 @@ object ExperimentRunner {
       // run is marked done, so a rerun with a larger budget must rerun,
       // not skip.
       val params = Seq(batch, plusBatch, rank, alpha, beta, budget,
-        limeqoBudget, opts.getOrElse("mask", "")).mkString("|")
+        limeqoBudget).mkString("|")
       md.update(params.getBytes("UTF-8"))
+      // The mask must be fingerprinted by FILE BYTES like the matrix: an
+      // in-place edit of the mask file leaves its path unchanged, and a
+      // path-only hash would still skip a stale "done" snapshot — the
+      // exact failure this guard exists to prevent. No-mask runs hash a
+      // distinct marker so they never collide with an empty mask file.
+      md.update(opts.get("mask")
+        .map(p => Files.readAllBytes(Paths.get(p)))
+        .getOrElse("<no-mask>".getBytes("UTF-8")))
       md.digest().map("%02x".format(_)).mkString
     }
 

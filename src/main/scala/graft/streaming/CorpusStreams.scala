@@ -303,21 +303,26 @@ object CorpusStreams {
     * probe hits — the ingest-time counterpart of q123's corpus audit and
     * the pixel-space sibling of [[signatureIndex]] (MinHash) and
     * [[semanticIndex]] (embeddings). Rows are (idx_doc, idx_sig, kind,
-    * band, band_key); `bucketCap` bounds any one band bucket exactly like
-    * the MinHash index — a viral template's distance-0 mass otherwise
-    * hot-keys its 8 buckets (the batch audit collapses that mass to
-    * distinct signatures; an admission index must keep doc identity, so
-    * it caps instead — candidates lost to the cap are by construction
-    * duplicates OF A KEPT CANDIDATE, so admission verdicts stand). */
-  def perceptualIndex(corpus: DataFrame,
-                      bucketCap: Int = graft.operators.DedupOps.DefaultCandidateCap): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("kind", "band", "band_key").orderBy("doc_id")
+    * band, band_key), collapsed to ONE representative doc (min doc_id)
+    * per DISTINCT signature in each band bucket - the same collapse the
+    * q123 batch audit uses. This is the only sound way to bound a
+    * perceptual band bucket: Hamming distance depends on the signature
+    * alone, so identical-signature docs are interchangeable as probe
+    * targets, while a raw per-bucket doc cap is NOT sound - band_key has
+    * only 256 values, buckets hold ~N/256 docs for any real corpus, and a
+    * capped-out doc (which merely shares one 8-bit band byte with the
+    * kept rows - nothing near-duplication implies) would be evicted from
+    * all 16 of its buckets, silently admitting its streaming near-dups
+    * and breaking the documented maxDist <= 7 exact-recall guarantee.
+    * Viral distance-0 mass still collapses (identical docs => identical
+    * signatures => one row per band); index size is
+    * O(16 x distinct signatures), independent of duplication factor. */
+  def perceptualIndex(corpus: DataFrame): DataFrame =
     perceptualBands(corpus)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= bucketCap)
-      .select(col("doc_id").as("idx_doc"), col("sig").as("idx_sig"),
-        col("kind"), col("band"), col("band_key"))
-  }
+      .groupBy(col("kind"), col("band"), col("band_key"), col("sig"))
+      .agg(min(col("doc_id")).as("idx_doc"))
+      .select(col("idx_doc"), col("sig").as("idx_sig"), col("kind"),
+        col("band"), col("band_key"))
 
   /** Streaming perceptual near-dup probe — the ingest-time form of q123
     * and the pixel-space twin of [[dedupProbeAgainstIndex]]: each

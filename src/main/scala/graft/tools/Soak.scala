@@ -277,7 +277,12 @@ object Soak {
             }
             ((System.nanoTime() - t0) / 1e9, outcome)
           }
-          val secs = trials.map(_._1).min
+          // min over SUCCESSFUL trials only: a fast-failing trial (e.g.
+          // immediate exception) would otherwise record a misleadingly
+          // small wall time next to a FAIL outcome, and the chain
+          // analysis downstream consumes these numbers as real work.
+          val secs = trials.filter(_._2 == "ok").map(_._1)
+            .minOption.getOrElse(trials.map(_._1).min)
           val outcome = trials.map(_._2).find(_ != "ok").getOrElse("ok")
           val all = if (repeat > 1)
             trials.map(t => f"${t._1}%.2f").mkString(" (", "/", ")") else ""

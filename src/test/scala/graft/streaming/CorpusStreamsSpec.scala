@@ -409,6 +409,58 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(streamed == batch, s"stream/batch diverged:\n$streamed\nvs\n$batch")
   }
 
+  test("perceptual index: band bucket with far more than 32 distinct-sig docs still flags a near-dup of the LATEST doc") {
+    val sp = spark
+    import sp.implicits._
+    // Regression pin for the round-12 advice: the index used to cap each
+    // (kind, band, band_key) bucket at 32 docs by doc_id. band_key has
+    // only 256 values, so real buckets hold ~N/256 docs; a late doc
+    // sharing a band byte with 32 earlier docs (which implies NOTHING
+    // about near-duplication) was evicted and its streaming near-dups
+    // silently admitted. The fix collapses buckets to one representative
+    // per DISTINCT signature — sound because Hamming distance is a
+    // function of the signature alone. This spec brute-forces >40 docs
+    // with DISTINCT ahash signatures that all share one band-0 byte, puts
+    // the target doc LAST by doc_id, and asserts (a) every distinct
+    // signature survives in the index bucket and (b) an exact copy of the
+    // late doc is still flagged at distance 0.
+    def toks(i: Int) = (0 until 30).map(j => s"v${i}_${j}q${(i * 31 + j * 7) % 97}")
+    val cands = (0 until 12000).iterator.map { i =>
+      val tk = toks(i)
+      val sig = graft.operators.MultimodalOps.aHash64(
+        graft.operators.MultimodalOps.bitmap32(tk))
+      (i, tk.mkString(" "), sig, (sig & 255L).toInt)
+    }.toSeq
+    val (bandKey, hits) = cands.groupBy(_._4).maxBy(_._2.size)
+    // distinct full signatures only — identical-sig docs are MEANT to collapse
+    val distinctSig = hits.groupBy(_._3).map(_._2.head).toSeq.sortBy(_._1).take(41)
+    assert(distinctSig.size > 32, s"brute force found only ${distinctSig.size} distinct-sig collisions")
+    val corpus = distinctSig.zipWithIndex
+      .map { case ((_, text, _, _), k) => (k.toLong, text) }
+      .toDF("doc_id", "text")
+    val target = distinctSig.last
+    val targetId = distinctSig.size - 1L
+
+    val index = CorpusStreams.perceptualIndex(corpus).cache()
+    // (a) the hot bucket retains EVERY distinct signature, incl. the target's
+    val bucketSigs = index
+      .filter(col("kind") === "ahash" && col("band") === 0 && col("band_key") === bandKey)
+      .select("idx_sig").collect().map(_.getLong(0)).toSet
+    assert(bucketSigs.size == distinctSig.size,
+      s"bucket collapsed to ${bucketSigs.size} of ${distinctSig.size} distinct sigs")
+    assert(bucketSigs.contains(target._3), "latest doc's signature evicted from its band bucket")
+
+    // (b) an exact copy of the late doc must be flagged at distance 0
+    // (batch form of the probe — stream==batch parity is pinned above)
+    val probe = Seq((9000L, target._2)).toDF("doc_id", "text")
+    val flagged = CorpusStreams.perceptualProbeAgainstIndex(probe, index)
+      .filter(col("hamming") === 0 && col("kind") === "ahash").collect()
+    assert(flagged.nonEmpty, "near-dup of the late doc was silently admitted")
+    assert(flagged.map(_.getLong(1)).toSet == Set(targetId),
+      "distance-0 match must resolve to the late doc's signature representative")
+    index.unpersist()
+  }
+
   test("checkpoint restart: budget admission and content dedup resume exactly") {
     val sp = spark
     import sp.implicits._
