@@ -837,6 +837,76 @@ object DedupOps {
        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** q127: Bloom-prefiltered benchmark decontamination — the shape
+    * [[decontaminate]]'s set-probe grows into when the eval suite's
+    * distinct shingles no longer fit a driver-side exact Set but are
+    * still tiny next to the corpus. A Bloom filter at fixed fpp is
+    * ~10 bits/element vs ~50+ bytes for an exact String set entry —
+    * 40×+ smaller, so a bench set whose exact-set broadcast would blow
+    * the driver ships as a few-hundred-MB bitmap at billions of
+    * shingles (GPT-3-style 13-gram decontamination runs exactly this
+    * way).
+    *
+    * Three stages, the FINAL OUTPUT EXACT regardless of fpp:
+    *  1. build: one pass over the bench partition's distinct shingles
+    *     into a broadcast [[org.apache.spark.util.sketch.BloomFilter]]
+    *     (bit-OR merge is order- and partitioning-independent, so the
+    *     filter is deterministic);
+    *  2. prefilter: one NARROW pass over the train docs' shingle arrays
+    *     — a doc survives iff some shingle might be in the filter. No
+    *     false negatives ⇒ every truly contaminated doc survives; the
+    *     fpp only admits extra candidates;
+    *  3. exact verify: ONLY the candidates (a vanishing corpus fraction
+    *     at production contamination rates) explode and broadcast-join
+    *     the real bench shingles; false positives count 0 hits and the
+    *     inner join drops them.
+    * So at 100 TB the full-corpus cost is stage 2's scan; shuffle is
+    * proportional to the CONTAMINATED mass, not the corpus. The oracle
+    * replays the exact semantics (flagged docs + exact hit counts) with
+    * no Bloom at all — which is the point: the sketch is invisible in
+    * the output.
+    *
+    * Bench stand-in: `doc_id % 89 == 0` (distinct from q49's % 97 so the
+    * two gates don't collapse to the same answer). */
+  def bloomDecontaminate(docs: DataFrame, isBench: Column => Column,
+                         fpp: Double = 0.03): DataFrame = {
+    val s = docs.sparkSession
+    val withShs = docShinglesOf(docs, withSource = false)
+    val benchSh = withShs.filter(isBench(col("doc_id")))
+      .select(explode(col("shs")).as("sh")).distinct()
+    val train = withShs.filter(!isBench(col("doc_id")))
+
+    val bloom = benchSh.stat.bloomFilter("sh",
+      math.max(benchSh.count(), 1L), fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightHit = udf { shs: Seq[String] =>
+      shs.exists(sh => bc.value.mightContainString(sh)) }
+    val cands = train.filter(mightHit(col("shs")))
+
+    val hits = cands.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    cands.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("n_hits"))
+  }
+
+  val q127BloomDecontam: Q = (s, d) =>
+    bloomDecontaminate(documents(s, d), _ % 89 === 0).orderBy("doc_id")
+  val q127Sql: String =
+    s"""WITH $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
+       |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 89 = 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh
+       |          WHERE doc_id % 89 <> 0 GROUP BY doc_id),
+       |hits AS (
+       |  SELECT d.doc_id, COUNT(*) AS n_hits
+       |  FROM dsh d JOIN bench b ON d.sh = b.sh
+       |  WHERE d.doc_id % 89 <> 0 GROUP BY d.doc_id)
+       |SELECT s.doc_id, s.n_sh, h.n_hits
+       |FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** q59: cross-source contamination matrix — for every source pair, the
     * number of distinct shingles they share. The planning signal behind
     * "which corpora overlap enough to need joint dedup".
@@ -914,6 +984,7 @@ object DedupOps {
     "q64_hamming_profile" -> q64HammingProfile,
     "q42_dedup_clusters" -> q42DedupClusters,
     "q49_decontaminate" -> q49Decontaminate,
+    "q127_bloom_decontam" -> q127BloomDecontam,
     "q59_source_overlap" -> q59SourceOverlap,
     "q60_chunk_dedup" -> q60ChunkDedup,
     "q84_lsh_fast" -> q84LshPairsFast,
@@ -929,6 +1000,7 @@ object DedupOps {
     "q64_hamming_profile" -> q64Sql,
     "q42_dedup_clusters" -> q42Sql,
     "q49_decontaminate" -> q49Sql,
+    "q127_bloom_decontam" -> q127Sql,
     "q59_source_overlap" -> q59Sql,
     "q60_chunk_dedup" -> q60Sql,
     "q95_dedup_against_index" -> q95Sql,

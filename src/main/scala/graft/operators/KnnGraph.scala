@@ -396,16 +396,112 @@ object KnnGraph {
        |ORDER BY src_id, rk""".stripMargin
   }
 
+  /** Semi-supervised label propagation over the kNN graph (Zhu &
+    * Ghahramani 2002, the standard way to stretch a small labeled set
+    * over a big corpus — e.g. a few thousand human toxicity/quality
+    * labels scored across billions of documents via embedding
+    * similarity). One-vs-rest scalar form: seeds carry 1.0 (positive
+    * class) or 0.0, everyone else starts at 0.0; each round an unlabeled
+    * vertex takes the similarity-weighted mean of its UNDIRECTED
+    * neighbors' scores while seeds stay CLAMPED (the Zhu–Ghahramani
+    * clamp is what makes the fixed point the harmonic solution rather
+    * than uniform mush). Multi-class runs this once per class.
+    *
+    * Scale shape: each round is one join of the edge list (≤ 2kN rows
+    * after the undirected max-merge) against the score frame on nbr_id +
+    * one groupBy on src_id — both shuffles keyed on vec_id, so a
+    * pre-partitioned graph reuses its partitioning across rounds; no
+    * driver state, no N² anything. Numerics follow the engine's
+    * cross-engine contract: 6dp inputs, exact DECIMAL sums, one double
+    * division, 6dp output — so DuckDB replays every round bit-for-bit.
+    */
+  def labelPropagate(emb: DataFrame, edges: DataFrame,
+                     isSeed: Column => Column, isPos: Column => Column,
+                     iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
+    val und = fwd
+      .union(fwd.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"), col("sim")))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
+    val base = emb.select(col("vec_id"), isSeed(col("vec_id")).as("labeled"),
+      when(isSeed(col("vec_id")) && isPos(col("label")), 1.0)
+        .otherwise(0.0).as("seed"))
+    var scores = base.withColumn("score", col("seed"))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(scores.select(col("vec_id").as("nbr_id"), col("score")), Seq("nbr_id"))
+        .groupBy("src_id")
+        .agg(
+          sum(col("w").cast(DecimalType(18, 6)) * col("score").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("num"),
+          sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType).as("den"))
+      scores = base
+        .join(contrib.withColumnRenamed("src_id", "vec_id"), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("labeled"), col("seed"),
+          when(col("labeled"), col("seed"))
+            .otherwise(coalesce(round(col("num") / col("den"), 6), lit(0.0)))
+            .as("score"))
+    }
+    scores.select(col("vec_id"), col("labeled"), col("score"),
+      (col("score") >= 0.5).as("predicted_pos"))
+  }
+
+  /** q129: label propagation gate — seeds are `vec_id % 5 == 0` (a 20 %
+    * labeled stand-in), positive class `label == 0`, two clamped rounds
+    * over the q105-config kNN graph (SQL-expressible grid centroids,
+    * nProbe=2, k=5) so the oracle replays the graph AND both rounds. */
+  def q129LabelProp(k: Int = 5, nList: Int = -1, nProbe: Int = 2): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val edges = knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl), k, nProbe)
+    labelPropagate(emb, edges, _ % 5 === 0, _ === 0).orderBy("vec_id")
+  }
+
+  /** q129 oracle: one propagation round as a CTE template — LEFT JOIN the
+    * undirected edges, DECIMAL(18,6) products summed exactly, one double
+    * division, 6dp round, seeds clamped — applied twice. */
+  private val q129Sql: String = {
+    def roundCte(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT v.vec_id, v.labeled, v.seed,
+         |    CASE WHEN v.labeled THEN v.seed
+         |         ELSE COALESCE(ROUND(
+         |           CAST(SUM(CAST(u.w AS DECIMAL(18,6)) * CAST(n.score AS DECIMAL(18,6))) AS DOUBLE)
+         |           / CAST(SUM(CAST(u.w AS DECIMAL(18,6))) AS DOUBLE), 6), 0.0) END AS score
+         |  FROM s0 v
+         |  LEFT JOIN und u ON u.src_id = v.vec_id
+         |  LEFT JOIN $prev n ON n.vec_id = u.nbr_id
+         |  GROUP BY v.vec_id, v.labeled, v.seed)"""
+    s"""WITH ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+       |und AS (
+       |  SELECT src_id, nbr_id, MAX(sim) AS w FROM (
+       |    SELECT src_id, nbr_id, sim FROM edges_k
+       |    UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id, sim FROM edges_k) u
+       |  GROUP BY src_id, nbr_id),
+       |s0 AS (
+       |  SELECT vec_id, (vec_id % 5 = 0) AS labeled,
+       |    CAST(CASE WHEN vec_id % 5 = 0 AND label = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seed,
+       |    CAST(CASE WHEN vec_id % 5 = 0 AND label = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS score
+       |  FROM embeddings),
+       |${roundCte("s0", "s1")},
+       |${roundCte("s1", "s2")}
+       |SELECT vec_id, labeled, score, score >= 0.5 AS predicted_pos
+       |FROM s2 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_knn_graph" -> q103KnnGraph(),
     "q105_semantic_clusters" -> q105SemanticClusters(),
     "q107_diversity_sample" -> q107DiversitySample(),
     "q125_nn_descent" -> q125NnDescent(),
+    "q129_label_prop" -> q129LabelProp(),
   )
   val oracle: Map[String, String] = Map(
     "q103_knn_graph" -> q103Sql,
     "q105_semantic_clusters" -> q105Sql,
     "q107_diversity_sample" -> q107Sql,
     "q125_nn_descent" -> q125Sql,
+    "q129_label_prop" -> q129Sql,
   )
 }

@@ -481,6 +481,72 @@ object TextOps {
       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs_involved
       |FROM groups GROUP BY 1 ORDER BY split_pair""".stripMargin
 
+  /** q128: exact corpus heavy hitters WITHOUT a full-vocab shuffle — the
+    * scale-out form of q39's vocabulary count. q39's groupBy shuffles one
+    * row per (task, distinct token); fine for word vocabularies, but a
+    * production pipeline runs this over n-grams/BPE-pieces where the
+    * vocabulary is billions of keys and the shuffle dwarfs the answer.
+    * Heavy hitters bound the state instead:
+    *  1. per-partition Misra-Gries summaries (`mgK` counters of FIXED
+    *     size per task, amortized O(1)/token — the decrement pass is
+    *     paid for by prior increments): every token with global count
+    *     > N/(mgK+1) is guaranteed to survive in at least one
+    *     partition's summary, because Σf_p = f > Σ n_p/(mgK+1) forces
+    *     some partition over its local bar;
+    *  2. the candidate union (≤ mgK × tasks rows — never the vocabulary)
+    *     is dedup'd and BROADCAST back, never collected to the driver;
+    *  3. one exact recount restricted to candidates — the groupBy now
+    *     shuffles only candidate tokens — then the `threshold` cut.
+    * With threshold = ceil(N·rel) and rel > 1/(mgK+1), step 1's guarantee
+    * makes the output EXACTLY the tokens with count ≥ threshold — the
+    * sketch can only add candidates, and the recount is exact — so the
+    * oracle is a plain GROUP BY ... HAVING with no sketch at all.
+    * Candidate-set CONTENTS depend on partitioning; the output does not. */
+  def heavyHitters(docs: DataFrame, rel: Double = 0.001,
+                   mgK: Int = 2000): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(rel * (mgK + 1) > 1.0,
+      s"rel=$rel too small for mgK=$mgK: completeness needs rel > 1/(mgK+1)")
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val threshold = math.ceil(n * rel).toLong
+    val cands = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < mgK => counters.update(t, 1L)
+          case None =>
+            val ks = counters.keys.toArray
+            var i = 0
+            while (i < ks.length) {
+              val vv = counters(ks(i)) - 1
+              if (vv == 0L) counters.remove(ks(i))
+              else counters.update(ks(i), vv)
+              i += 1
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= threshold)
+      .orderBy(desc("tf"), col("token"))
+  }
+
+  val q128HeavyHitters: Q = (s, d) => heavyHitters(documents(s, d))
+  val q128Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS token
+      |  FROM documents),
+      |th AS (SELECT CEIL(COUNT(*) * 0.001) AS t FROM toks)
+      |SELECT token, COUNT(*) AS tf
+      |FROM toks GROUP BY token
+      |HAVING COUNT(*) >= (SELECT t FROM th)
+      |ORDER BY tf DESC, token""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
@@ -492,6 +558,7 @@ object TextOps {
     "q100_repetition" -> q100Repetition,
     "q112_filter_funnel" -> q112FilterFunnel,
     "q121_split_leakage" -> q121SplitLeakage,
+    "q128_heavy_hitters" -> q128HeavyHitters,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
@@ -504,5 +571,6 @@ object TextOps {
     "q100_repetition" -> q100Sql,
     "q112_filter_funnel" -> q112Sql,
     "q121_split_leakage" -> q121Sql,
+    "q128_heavy_hitters" -> q128Sql,
   )
 }
