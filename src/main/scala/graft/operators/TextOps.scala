@@ -541,7 +541,13 @@ object TextOps {
     """WITH toks AS (
       |  SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS token
       |  FROM documents),
-      |th AS (SELECT CEIL(COUNT(*) * 0.001) AS t FROM toks)
+      |-- CAST matters: DuckDB parses a bare 0.001 as DECIMAL(4,3) and the
+      |-- product stays exact, while the Spark side computes the threshold
+      |-- in IEEE double (math.ceil(n * rel)); at an exact-boundary corpus
+      |-- size (n*rel representable only as x.000...004) the two ceils
+      |-- would differ by 1. Forcing DOUBLE makes both engines run the
+      |-- identical FP multiply.
+      |th AS (SELECT CEIL(COUNT(*) * CAST(0.001 AS DOUBLE)) AS t FROM toks)
       |SELECT token, COUNT(*) AS tf
       |FROM toks GROUP BY token
       |HAVING COUNT(*) >= (SELECT t FROM th)

@@ -203,4 +203,33 @@ class ExperimentRunnerSpec extends AnyFunSuite with SharedSpark {
     val rounds = graft.report.Report.loadTraces(spark, trace.toString).count()
     assert(rounds > 0)
   }
+
+  test("--resume fingerprints the mask BYTES: an in-place mask edit invalidates the snapshot") {
+    // Round-12 advice: the fingerprint hashed the matrix bytes but only
+    // the mask's PATH string, so editing the mask file in place left the
+    // fingerprint unchanged and a stale done snapshot was still skipped
+    // — the exact failure the guard exists to prevent.
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = Files.createTempDirectory("graft_mask_guard").toString
+    val mask = java.nio.file.Paths.get(out, "mask.npy")
+    Files.copy(java.nio.file.Paths.get("/root/reference/dataset/init_job_mask.npy"), mask)
+    val base = Array(
+      "/root/reference/dataset/job-matrix.csv", out,
+      "--mask", mask.toString, "--seeds", "1", "--budget", "300",
+      "--skip", "qo_advisor,random,greedy,limeqo,limeqo_plus,report",
+      "--resume", "true")
+    ExperimentRunner.main(base)
+    val snap = graft.strategy.RunSnapshot.pathFor(
+      java.nio.file.Paths.get(s"$out/oracle.json"))
+    assert(Files.exists(snap))
+    val t1 = Files.getLastModifiedTime(snap)
+
+    // flip one data byte of the mask IN PLACE: same path, different bytes
+    val bytes = Files.readAllBytes(mask)
+    bytes(bytes.length - 1) = (if (bytes.last == 0) 1 else 0).toByte
+    Files.write(mask, bytes)
+    ExperimentRunner.main(base)
+    assert(Files.getLastModifiedTime(snap) != t1,
+      "in-place mask edit must invalidate the config fingerprint and rerun fresh")
+  }
 }
