@@ -161,8 +161,12 @@ object DedupOps {
     * on the spam shard, against 10 s → 7 s for this shape — identical
     * output, measured row-for-row). O(B·cap) by construction, one
     * exchange + sort on the block key, no join machinery. */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double,
-                   blockCap: Int = DefaultCandidateCap): DataFrame = {
+  /** The shared window-pair kernel: per-(source, shingle) lead() window →
+    * (doc_a, doc_b, n_common) intersection counts, plus the per-doc
+    * distinct-shingle sizes — the inputs every set-overlap measure
+    * (Jaccard, containment) normalizes from. */
+  private def blockedPairCounts(docs: DataFrame,
+                                blockCap: Int): (DataFrame, DataFrame) = {
     requireCap(blockCap)
     val w = Window.partitionBy("source", "sh").orderBy("doc_id")
     val sh = shinglesOf(docs, withSource = true)
@@ -174,9 +178,18 @@ object DedupOps {
       .filter(col("doc_b").isNotNull)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
+    (pairs, sizes)
+  }
+
+  private def withSizes(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+
+  def jaccardPairs(docs: DataFrame, minJaccard: Double,
+                   blockCap: Int = DefaultCandidateCap): DataFrame = {
+    val (pairs, sizes) = blockedPairCounts(docs, blockCap)
+    withSizes(pairs, sizes)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         round(col("n_common").cast("double")
           / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
@@ -203,6 +216,51 @@ object DedupOps {
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** ASYMMETRIC set overlap: containment |A∩B|/|A| per direction — the
+    * quote/subset detector symmetric Jaccard is structurally blind to.
+    * A 50-shingle quote inside a 5000-shingle page has J ≈ 0.01 (q25
+    * never fires) but containment(quote→page) = 1.0; deduplication
+    * literature treats the two as separate signals for exactly this
+    * reason (Broder's resemblance vs containment), and a curation
+    * pipeline uses the DIRECTION: drop or down-weight the contained
+    * side, keep the container. Same blocked window kernel as q25
+    * (O(blocks·cap) candidates, never a quadratic self-join); a pair
+    * survives when EITHER direction clears `minContainment`. */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+                       blockCap: Int = DefaultCandidateCap): DataFrame = {
+    val (pairs, sizes) = blockedPairCounts(docs, blockCap)
+    withSizes(pairs, sizes)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_a"), 6).as("cont_a"),
+        round(col("n_common").cast("double") / col("n_b"), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
+  val q133Containment: Q = (s, d) =>
+    containmentPairs(documents(s, d), minContainment = 0.8)
+      .orderBy("doc_a", "doc_b")
+  val q133Sql: String =
+    s"""WITH $duckShinglesWithSource,
+       |dsh AS (SELECT DISTINCT doc_id, source, sh FROM shing),
+       |rsh AS (SELECT doc_id, source, sh,
+       |        ROW_NUMBER() OVER (PARTITION BY source, sh ORDER BY doc_id) AS rn FROM dsh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM rsh a JOIN rsh b
+       |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |       AND b.rn <= a.rn + $DefaultCandidateCap
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+       |  ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS cont_b
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE GREATEST(ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6),
+       |               ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6)) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q26: MinHash signatures — 16 hash functions h_s(x) = md5(s || ':' || x),
@@ -978,6 +1036,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q24_dedup_exact" -> q24DedupExact,
     "q25_ngram_jaccard" -> q25NgramJaccard,
+    "q133_containment" -> q133Containment,
     "q26_minhash_signatures" -> q26MinhashSignatures,
     "q27_lsh_pairs" -> q27LshPairs,
     "q28_simhash" -> q28Simhash,
@@ -994,6 +1053,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
+    "q133_containment" -> q133Sql,
     "q26_minhash_signatures" -> q26Sql,
     "q27_lsh_pairs" -> q27Sql,
     "q28_simhash" -> q28Sql,

@@ -185,6 +185,62 @@ object EmbeddingMaintenance {
     out.toSeq
   }
 
+  /** Recall audit over the at-rest layout — the question q126 asks,
+    * asked of a LIVE index: for a content-addressed panel of stored
+    * vectors, what fraction of each query's exact cosine top-k does the
+    * nProbe multi-probe search return? [[driftReasons]] watches the
+    * quantizer's FIT (skew/error/cell growth — proxies); this watches
+    * the metric a deployment actually pages on. The two can disagree:
+    * a modest tight cluster arriving BETWEEN two frozen centroids moves
+    * none of the fit proxies past their factors (its mass is small, it
+    * splits evenly across the boundary cells), yet its members' true
+    * neighbors now straddle cells the probe never visits together —
+    * recall degrades silently. SelfHealingIngestSpec plants exactly
+    * that arrival and pins that the recall trigger catches it.
+    *
+    * Scale shape: the panel is `panelN` rows collected by the engine's
+    * content-addressed ordering (xxhash64 of vec_id — stable under
+    * reruns and corpus growth, never a sample of the driver's choosing);
+    * the exact leg is ONE broadcast-panel linear cosine pass; the IVF
+    * leg probes nProbe stored cell directories per panel query (the
+    * layout already carries the cell column — partition pruning does
+    * the reading). O(panelN · N) total, independent of audit cadence. */
+  def recallAudit(spark: SparkSession, path: String,
+                  cents: Array[Array[Float]],
+                  k: Int = 5, nProbe: Int = 1, panelN: Int = 16): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val layout = spark.read.parquet(path).select("vec_id", "embedding", "cell")
+    val queryVecs = layout.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(panelN)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    if (queryVecs.size < 2) return 1.0
+    import spark.implicits._
+    val panel = broadcast(queryVecs.toDF("query_id", "qv"))
+    def topK(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id").as("target_id"))
+    }
+    val exact = topK(layout.join(panel, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
+    val probed = broadcast(
+      ProductQuantization.probeCells(queryVecs, cents, nProbe).toDF("query_id", "cell")
+        .join(panel, Seq("query_id")))
+    val ivf = topK(layout.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
+    val exactCounts = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(ivf, Seq("query_id", "target_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val per = exactCounts.join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select((col("hits") / col("n_exact")).as("recall"))
+      .agg(avg("recall")).first()
+    if (per.isNullAt(0)) 1.0 else per.getDouble(0)
+  }
+
   /** Retrain the coarse quantizer from the CURRENT stored vectors and
     * rewrite the whole layout under the fresh centroids — the rebuild a
     * deployment schedules when [[driftReasons]] fires. nList is re-sized
@@ -293,13 +349,25 @@ object EmbeddingMaintenance {
     * the same batch is idempotent (same ids, same vectors, same cells),
     * so foreachBatch's at-least-once delivery is safe. */
   def maintainPersistent(spark: SparkSession, path: String, changed: DataFrame,
-                         audit: Boolean, targetCell: Int = 500): Seq[String] = {
+                         audit: Boolean, targetCell: Int = 500,
+                         recallFloor: Double = 0.0, recallK: Int = 5,
+                         recallNProbe: Int = 1, recallPanelN: Int = 16): Seq[String] = {
     val (cents, baseline) = loadQuantizer(spark, path).getOrElse(sys.error(
       s"no quantizer sidecar at $path — create the layout with writeCellLayoutPersistent"))
     upsertVecs(spark, path, cents, changed)
     if (!audit) Seq.empty
     else {
-      val reasons = driftReasons(baseline, layoutStats(spark, path, cents))
+      // recall trigger (round-12 verdict task 3): the drift proxies can
+      // stay silent while recall degrades — audit the metric itself when
+      // the caller set a floor. Recall is checked even when drift already
+      // fired only in the sense that drift firing short-circuits it (one
+      // rebuild either way).
+      var reasons = driftReasons(baseline, layoutStats(spark, path, cents))
+      if (reasons.isEmpty && recallFloor > 0.0) {
+        val r = recallAudit(spark, path, cents, recallK, recallNProbe, recallPanelN)
+        if (r < recallFloor)
+          reasons = Seq(f"recall@$recallK%d $r%.4f below floor $recallFloor%.4f at nProbe=$recallNProbe%d")
+      }
       if (reasons.nonEmpty) {
         val fresh = recluster(spark, path, targetCell)
         saveQuantizer(spark, path, fresh, layoutStats(spark, path, fresh))

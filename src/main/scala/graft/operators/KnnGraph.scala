@@ -177,6 +177,81 @@ object KnnGraph {
       .select(col("src_id"), col("nbr_id"), col("sim"), col("rk"))
   }
 
+  /** Production graph build with the descent option (round-12 verdict
+    * task 5): the base IVF multi-probe graph, optionally refined by
+    * `descentRounds` NN-descent rounds instead of buying recall with
+    * more probes. The trade, measured by KnnGraphSpec at the production
+    * |cell| = 500 shape:
+    *  - COST (universal): one extra probe rescores |cell| · N
+    *    candidates; a descent round costs ≤ (2k′)² · N, independent of
+    *    |cell| — measured ~13× cheaper per round at |cell| = 500 (~5× for
+    *    the seed round), and recall-per-rescored-candidate comes out
+    *    ~10× higher than extra probes even from a rich nProbe=4 base;
+    *  - RECALL (data-dependent): on real embedding manifolds a seeded
+    *    round from a starved base dominates probe-DOUBLING outright
+    *    (spec'd on sf0.001; the q125 gate); on adversarial isotropic
+    *    overlapping Gaussians — weak neighbor-of-neighbor transitivity —
+    *    each round lifts only a little and extra probes own the recall
+    *    ceiling. Choose descent when the rescore budget binds or the
+    *    corpus is manifold-shaped (real embeddings are); choose probes
+    *    to push the last points of recall on cell-aligned data.
+    * `descentRounds = 0` is exactly [[knnEdgesWithCents]]. */
+  def knnEdgesRefined(emb: DataFrame, cents: Array[Array[Float]],
+                      k: Int, nProbe: Int,
+                      descentRounds: Int, randomBuckets: Int = 2): DataFrame = {
+    val base = knnEdgesWithCents(emb, cents, k, nProbe)
+    if (descentRounds <= 0) base
+    else nnDescent(emb, base, k, descentRounds, randomBuckets)
+  }
+
+  /** Candidate-set size of the IVF probe join at this configuration —
+    * the rescore count an extra probe buys, for pricing probes against
+    * descent rounds (the [[knnEdgesRefined]] trade). Same join as
+    * [[knnEdgesWithCents]] with the scoring projected away. */
+  def probeCandidateCount(emb: DataFrame, cents: Array[Array[Float]],
+                          nProbe: Int): Long = {
+    val spark = emb.sparkSession
+    val index = emb.select(col("vec_id"),
+      ProductQuantization.cellExpr(spark, cents)(col("embedding")).as("cell"))
+    val probes = emb.select(col("vec_id").as("src_id"),
+      explode(ProductQuantization.probeExpr(spark, cents, nProbe)(col("embedding")))
+        .as("cell"))
+    probes.join(index, Seq("cell")).filter(col("src_id") =!= col("vec_id")).count()
+  }
+
+  /** Candidate-set size of ONE NN-descent round over `edges` (seed
+    * intra-bucket pairs ∪ the 2-hop expansion, distinct) — the other side
+    * of the probes-vs-descent price. Mirrors [[nnDescent]]'s candidate
+    * construction exactly, without the rescoring. */
+  def descentCandidateCount(emb: DataFrame, edges: DataFrame,
+                            randomBuckets: Int = 2,
+                            seedKey: (Column, Column) => Column =
+                              (v, j) => xxhash64(v, j)): Long = {
+    var cur = edges.select(col("src_id"), col("nbr_id"))
+    var seedCount = 0L
+    if (randomBuckets > 0) {
+      val nBuckets = math.max(1L, emb.count() / 4L)
+      val member = emb.select(col("vec_id"),
+          explode(sequence(lit(0), lit(randomBuckets - 1))).as("j"))
+        .select(col("vec_id"), col("j"),
+          pmod(seedKey(col("vec_id"), col("j")), lit(nBuckets)).as("bkt"))
+      val seed = member.as("a")
+        .join(member.as("b"), col("a.j") === col("b.j") &&
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("nbr_id"))
+        .distinct()
+      seedCount = seed.count()
+      cur = cur.union(seed)
+    }
+    val und = cur.union(cur.select(col("nbr_id").as("src_id"),
+      col("src_id").as("nbr_id")))
+    seedCount + und.as("a")
+      .join(und.as("b"), col("a.nbr_id") === col("b.src_id"))
+      .select(col("a.src_id").as("src_id"), col("b.nbr_id").as("cand_id"))
+      .filter(col("src_id") =!= col("cand_id"))
+      .distinct().count()
+  }
+
   /** Content-addressed seed-bucket key in the engine's established
     * md5₃₂ uniform construction (q106/q107/q50): the first 8 hex chars
     * of md5("vec_id:j") as a non-negative long. Engine-portable — DuckDB
@@ -216,15 +291,22 @@ object KnnGraph {
     * (≤ k·N rows) filtered by similarity — never a pair enumeration.
     * Labels are the component's minimum vec_id (deterministic). */
   def semanticClusters(emb: DataFrame, k: Int, nList: Int, nProbe: Int,
-                       tau: Double): DataFrame =
+                       tau: Double, descentRounds: Int = 0,
+                       randomBuckets: Int = 2): DataFrame =
     semanticClustersWithCents(emb,
-      ProductQuantization.trainCoarse(emb, nList), k, nProbe, tau)
+      ProductQuantization.trainCoarse(emb, nList), k, nProbe, tau,
+      descentRounds, randomBuckets)
 
   /** [[semanticClusters]] under externally supplied centroids (see
-    * [[knnEdgesWithCents]]). */
+    * [[knnEdgesWithCents]]). `descentRounds > 0` builds the underlying
+    * graph through [[knnEdgesRefined]] — the cheap-recall option for
+    * cluster edges that straddle cell boundaries (defaults keep the gate
+    * form byte-identical). */
   def semanticClustersWithCents(emb: DataFrame, cents: Array[Array[Float]],
-                                k: Int, nProbe: Int, tau: Double): DataFrame = {
-    val edges = knnEdgesWithCents(emb, cents, k, nProbe)
+                                k: Int, nProbe: Int, tau: Double,
+                                descentRounds: Int = 0,
+                                randomBuckets: Int = 2): DataFrame = {
+    val edges = knnEdgesRefined(emb, cents, k, nProbe, descentRounds, randomBuckets)
       .filter(col("sim") >= tau)
       .select(col("src_id").as("doc_a"), col("nbr_id").as("doc_b"))
     DedupOps.connectedComponents(emb.select(col("vec_id").as("doc_id")), edges)
@@ -490,12 +572,116 @@ object KnnGraph {
        |FROM s2 ORDER BY vec_id""".stripMargin
   }
 
+  /** Centrality over the kNN graph: PageRank with the damping walk run on
+    * the similarity-weighted UNDIRECTED edge list — the standard
+    * representativeness signal for graph-based data curation (a
+    * high-PageRank document sits in a dense well-connected semantic
+    * neighborhood; a low one is peripheral/outlier mass — the
+    * graph-global complement of q61's local outlier score).
+    *
+    * Scale shape: identical to [[labelPropagate]] — per iteration ONE
+    * join of the ≤2kN undirected edge list against the score frame plus
+    * one groupBy, both keyed on vec_id (a pre-partitioned graph reuses
+    * its partitioning across rounds); out-strength is computed once. No
+    * driver state, nothing N².
+    *
+    * Numerics (the engine's cross-engine contract): the transition
+    * SHARES w(u,v)/Σ_v w(u,v) are computed ONCE and rounded 6dp; each
+    * iteration sums share×score in DECIMAL(18,6), applies the damping
+    * blend in double, rounds 6dp — so DuckDB replays every iteration
+    * bit-for-bit. No dangling mass: every vertex of a kNN graph has ≥ k
+    * undirected out-edges by construction. */
+  def pageRank(emb: DataFrame, edges: DataFrame, iters: Int = 2,
+               damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
+    val und = fwd
+      .union(fwd.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"), col("sim")))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
+    val strength = und.groupBy("src_id")
+      .agg(sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType).as("s"))
+    val share = und.join(strength, Seq("src_id"))
+      .select(col("src_id"), col("nbr_id"),
+        round(col("w") / col("s"), 6).as("share"))
+    val n = emb.count()
+    val teleport = (1.0 - damping) / n
+    var scores = emb.select(col("vec_id"),
+      round(lit(1.0) / n, 6).as("score"))
+    for (_ <- 1 to iters) {
+      val contrib = share
+        .join(scores.select(col("vec_id").as("src_id"), col("score")), Seq("src_id"))
+        .groupBy(col("nbr_id").as("vec_id"))
+        .agg(sum(col("share").cast(DecimalType(18, 6)) * col("score").cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("inflow"))
+      scores = emb.select(col("vec_id"))
+        .join(contrib, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          round(lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
+            .as("score"))
+    }
+    scores
+  }
+
+  /** q130: PageRank gate — two damped iterations over the q105-config
+    * kNN graph (SQL-expressible grid centroids, nProbe=2, k=5), so the
+    * DuckDB oracle replays the graph, the share table, and both
+    * iterations term for term. */
+  def q130PageRank(k: Int = 5, nList: Int = -1, nProbe: Int = 2): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val edges = knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl), k, nProbe)
+    pageRank(emb, edges).orderBy("vec_id")
+  }
+
+  /** q130 oracle: share table once, one CTE per iteration — the q129
+    * replay pattern with the damping blend in double. */
+  private val q130Sql: String = {
+    // CASTs matter (the q128 lesson): bare 0.15/0.85/1.0 parse as DECIMAL
+    // in DuckDB and divide/multiply exactly, while Spark runs IEEE double.
+    // The teleport numerator is (1.0 - 0.85) IN DOUBLE on both sides —
+    // the JVM's 1.0-0.85 is 0.15000000000000002, one ulp off the 0.15
+    // literal, enough to flip a 6dp round at a boundary.
+    def iterCte(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT v.vec_id,
+         |    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |        / (SELECT COUNT(*) FROM embeddings)
+         |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
+         |          CAST(sh.share AS DECIMAL(18,6)) * CAST(p.score AS DECIMAL(18,6))), 0)
+         |        AS DOUBLE), 6) AS score
+         |  FROM embeddings v
+         |  LEFT JOIN share sh ON sh.nbr_id = v.vec_id
+         |  LEFT JOIN $prev p ON p.vec_id = sh.src_id
+         |  GROUP BY v.vec_id)"""
+    s"""WITH ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+       |und AS (
+       |  SELECT src_id, nbr_id, MAX(sim) AS w FROM (
+       |    SELECT src_id, nbr_id, sim FROM edges_k
+       |    UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id, sim FROM edges_k) u
+       |  GROUP BY src_id, nbr_id),
+       |strength AS (
+       |  SELECT src_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS s
+       |  FROM und GROUP BY src_id),
+       |share AS (
+       |  SELECT u.src_id, u.nbr_id, ROUND(u.w / st.s, 6) AS share
+       |  FROM und u JOIN strength st ON st.src_id = u.src_id),
+       |p0 AS (
+       |  SELECT vec_id,
+       |    ROUND(CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM embeddings), 6) AS score
+       |  FROM embeddings),
+       |${iterCte("p0", "p1")},
+       |${iterCte("p1", "p2")}
+       |SELECT vec_id, score FROM p2 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_knn_graph" -> q103KnnGraph(),
     "q105_semantic_clusters" -> q105SemanticClusters(),
     "q107_diversity_sample" -> q107DiversitySample(),
     "q125_nn_descent" -> q125NnDescent(),
     "q129_label_prop" -> q129LabelProp(),
+    "q130_pagerank" -> q130PageRank(),
   )
   val oracle: Map[String, String] = Map(
     "q103_knn_graph" -> q103Sql,
@@ -503,5 +689,6 @@ object KnnGraph {
     "q107_diversity_sample" -> q107Sql,
     "q125_nn_descent" -> q125Sql,
     "q129_label_prop" -> q129Sql,
+    "q130_pagerank" -> q130Sql,
   )
 }

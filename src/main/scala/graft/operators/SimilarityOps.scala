@@ -591,6 +591,45 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Fraction of corpus rows satisfying `pred` — one narrow aggregate
+    * (a boolean average; nulls count as non-matching, mirroring the
+    * filter they'd fail). This is the cheap estimator
+    * [[ivfTopKFilteredAdaptive]] widens its probe count by; a 100 TB
+    * deployment substitutes cached column statistics or a sketch for
+    * the scan, the widening rule is the same. */
+  def predicateSelectivity(emb: DataFrame, pred: Column): Double = {
+    val r = emb.agg(avg(when(pred, 1.0).otherwise(0.0))).first()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The probe count that restores an UNFILTERED search's expected
+    * candidate mass under a predicate of the given selectivity: a probed
+    * cell surfaces ≈ |cell| · selectivity matching candidates, so seeing
+    * the baseline's nProbe · |cell| candidates takes ≈ nProbe/selectivity
+    * cells — clamped to nList (exhaustive), the correct degenerate answer
+    * for very selective predicates (at that point filtered search IS a
+    * scan of the survivors, and exhaustive probing loses nothing because
+    * the predicate already pruned the read). The FAISS/Milvus guidance
+    * ("raise nprobe for filtered queries"), made automatic. */
+  def adaptiveProbeWidth(nProbe: Int, nList: Int, selectivity: Double): Int =
+    if (selectivity <= 0.0) nList
+    else math.max(nProbe, math.min(nList.toLong,
+      math.ceil(nProbe / selectivity).toLong).toInt)
+
+  /** [[ivfTopKFiltered]] with the probe count widened automatically by
+    * measured predicate selectivity (round-12 verdict task 4): the manual
+    * form documents the recall caveat — a selective predicate empties the
+    * probed cells — and leaves nProbe to the caller; this form pays one
+    * cheap selectivity estimate and widens nProbe/selectivity-fold, so a
+    * ~1 %-selective predicate probes (effectively) exhaustively and holds
+    * recall without hand-tuning, while an unselective one keeps the cheap
+    * narrow probe. SimilaritySpec pins both ends. */
+  def ivfTopKFilteredAdaptive(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                              nList: Int, nProbe: Int,
+                              pred: Column): DataFrame =
+    ivfTopKFiltered(emb, queryIds, k, nList,
+      adaptiveProbeWidth(nProbe, nList, predicateSelectivity(emb, pred)), pred)
+
   /** q115: late-interaction (ColBERT-style MaxSim) retrieval — documents
     * are MULTI-vector (here: consecutive vec_ids grouped 8 per document),
     * and a document's score against the query is Σ over query vectors of
@@ -902,6 +941,112 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** q132: IVF ranking-quality audit — nDCG@k of the multi-probe list
+    * against the exact top-k, per panel query. q126's recall@k counts
+    * set overlap; nDCG weights it by POSITION (a neighbor surfaced at
+    * rank 1 vs rank 5 is a different user experience), which is the
+    * metric retrieval deployments actually report. Binary relevance
+    * (membership in the exact top-k), the standard log2 discount:
+    * DCG = Σ over IVF hits of 1/log2(rank+1), IDCG = the same sum over
+    * the exact list itself, nDCG = DCG/IDCG.
+    *
+    * Scale shape: identical to q126 (one linear exact pass + nProbe cell
+    * probes per panel query); the nDCG arithmetic joins two ≤ panel·k
+    * row lists. Numerics: discounts rounded 6dp (the transcendental
+    * contract — both engines compute 1/log2 in double), DECIMAL-exact
+    * sums, one double division, 6dp out. */
+  def q132NdcgAudit(k: Int = 5, nList: Int = -1, nProbe: Int = 4): Q = (s, d) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val cents = SemanticDedup.refinedCentroids(emb, nl)
+    val qids = ProductQuantization.gatePanel(emb)
+    val panel = broadcast(emb.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    def topK(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id").as("target_id"), col("rk"))
+    }
+    val exact = topK(emb.join(panel, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
+    val probes = broadcast(panel.select(col("query_id"), col("qv"),
+      explode(ProductQuantization.probeExpr(s, cents, nProbe)(col("qv"))).as("cell")))
+    val ivf = topK(emb
+      .withColumn("cell", ProductQuantization.cellExpr(s, cents)(col("embedding")))
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
+    val disc = round(lit(1.0) / log2(col("rk") + 1), 6).cast(DecimalType(18, 6))
+    val idcg = exact.groupBy("query_id")
+      .agg(sum(disc).cast(DoubleType).as("idcg"))
+    val dcg = ivf.join(exact.select("query_id", "target_id"), Seq("query_id", "target_id"))
+      .groupBy("query_id").agg(sum(disc).cast(DoubleType).as("dcg"))
+    panel.select("query_id").join(idcg, Seq("query_id"))
+      .join(dcg, Seq("query_id"), "left")
+      .na.fill(0.0, Seq("dcg"))
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  private val q132Sql: String = {
+    val cosQe = q126CosSql("qe.embedding", "e.embedding")
+    s"""WITH ${SemanticDedup.refinedCentsSql(16)},
+       |qids AS (SELECT vec_id FROM embeddings
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+       |cdist AS (
+       |  SELECT e.vec_id, c.c,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |crank AS (
+       |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM cdist),
+       |assigned AS (SELECT vec_id, c AS cell FROM crank WHERE rn = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, r.c AS cell
+       |  FROM qids q JOIN crank r ON r.vec_id = q.vec_id AND r.rn <= 4),
+       |exact AS (
+       |  SELECT query_id, target_id, rk FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS target_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND($cosQe, 6) DESC, e.vec_id) AS rk
+       |    FROM qids q JOIN embeddings qe ON qe.vec_id = q.vec_id
+       |    CROSS JOIN embeddings e
+       |    WHERE e.vec_id <> q.vec_id) x WHERE rk <= 5),
+       |ivf AS (
+       |  SELECT query_id, target_id, rk FROM (
+       |    SELECT p.query_id, a.vec_id AS target_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY ROUND($cosQe, 6) DESC, a.vec_id) AS rk
+       |    FROM probes p
+       |    JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |    JOIN embeddings qe ON qe.vec_id = p.query_id
+       |    JOIN embeddings e ON e.vec_id = a.vec_id) x WHERE rk <= 5),
+       |idcg AS (
+       |  SELECT query_id, CAST(SUM(CAST(
+       |      ROUND(CAST(1.0 AS DOUBLE) / LOG2(rk + 1), 6) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS idcg
+       |  FROM exact GROUP BY query_id),
+       |dcg AS (
+       |  SELECT i.query_id, CAST(SUM(CAST(
+       |      ROUND(CAST(1.0 AS DOUBLE) / LOG2(i.rk + 1), 6) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS dcg
+       |  FROM ivf i JOIN exact x
+       |    ON x.query_id = i.query_id AND x.target_id = i.target_id
+       |  GROUP BY i.query_id)
+       |SELECT q.vec_id AS query_id, COALESCE(d.dcg, 0.0) AS dcg, c.idcg,
+       |  ROUND(COALESCE(d.dcg, 0.0) / c.idcg, 6) AS ndcg
+       |FROM qids q
+       |JOIN idcg c ON c.query_id = q.vec_id
+       |LEFT JOIN dcg d ON d.query_id = q.vec_id
+       |ORDER BY query_id""".stripMargin
+  }
+
   private def q126CosSql(a: String, b: String) =
     s"""(list_sum(list_transform(range(1, len($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -969,9 +1114,11 @@ object SimilarityOps {
     "q116_truncation_audit" -> q116TruncationAudit,
     "q119_semantic_decontam" -> q119SemanticDecontam,
     "q126_ivf_recall_audit" -> q126IvfRecallAudit(),
+    "q132_ndcg_audit" -> q132NdcgAudit(),
   )
   val oracle: Map[String, String] = Map(
     "q126_ivf_recall_audit" -> q126Sql,
+    "q132_ndcg_audit" -> q132Sql,
     "q81_pq_ann" -> q81Sql,
     "q83_ivfpq_ann" -> q83Sql,
     "q29_ann_bruteforce" -> q29Sql,

@@ -553,6 +553,52 @@ object TextOps {
       |HAVING COUNT(*) >= (SELECT t FROM th)
       |ORDER BY tf DESC, token""".stripMargin
 
+  /** q131: per-document mean token log-probability under the corpus's
+    * own unigram LM — the classic cheap perplexity proxy for quality
+    * scoring/curation (a document of rare/garbled tokens scores far
+    * below fluent text; the Gopher/FineWeb filter families all carry a
+    * variant). Two stages, both plain relational:
+    *  1. the LM: token → ln(tf/T), one groupBy over the token stream
+    *     (shuffle ∝ distinct tokens; a production run over n-grams
+    *     bounds this with the q128 heavy-hitter vocabulary + an OOV
+    *     bucket, or broadcasts the vocab when it fits);
+    *  2. the score: tokens ⋈ LM on token (shuffle ∝ token mass, the
+    *     same join shape as q52), then one per-doc aggregate.
+    * Numerics: ln at 6dp (the transcendental contract), DECIMAL-exact
+    * per-doc sums, one double division, 6dp out — DuckDB replays both
+    * stages exactly. */
+  val q131UnigramLogprob: Q = (s, d) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val lm = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .select(col("token"),
+        round(log(col("tf") / lit(total.toDouble)), 6).as("lp"))
+    toks.join(lm, Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(col("lp").cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+  val q131Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS token
+      |  FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+      |lm AS (
+      |  SELECT token, ROUND(LN(COUNT(*) / (SELECT t FROM tot)), 6) AS lp
+      |  FROM toks GROUP BY token)
+      |SELECT k.doc_id,
+      |  ROUND(CAST(SUM(CAST(lm.lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_logprob,
+      |  COUNT(*) AS n_tokens
+      |FROM toks k JOIN lm ON lm.token = k.token
+      |GROUP BY k.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
@@ -565,6 +611,7 @@ object TextOps {
     "q112_filter_funnel" -> q112FilterFunnel,
     "q121_split_leakage" -> q121SplitLeakage,
     "q128_heavy_hitters" -> q128HeavyHitters,
+    "q131_unigram_logprob" -> q131UnigramLogprob,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
@@ -578,5 +625,6 @@ object TextOps {
     "q112_filter_funnel" -> q112Sql,
     "q121_split_leakage" -> q121Sql,
     "q128_heavy_hitters" -> q128Sql,
+    "q131_unigram_logprob" -> q131Sql,
   )
 }

@@ -248,13 +248,24 @@ object CorpusStreams {
     * keys off the checkpointed batchId, so it is stable across restarts
     * too. Create the layout with
     * [[graft.operators.EmbeddingMaintenance.writeCellLayoutPersistent]]
-    * before starting the stream. */
+    * before starting the stream.
+    *
+    * `recallFloor > 0` arms the RECALL trigger (round-12 verdict task
+    * 3): each audit batch also runs
+    * [[graft.operators.EmbeddingMaintenance.recallAudit]] (recall@`recallK`
+    * of the `recallNProbe`-probe search vs exact, over a content-addressed
+    * panel) and reclusters when it sinks below the floor — catching the
+    * boundary-straddling arrivals the drift proxies are blind to. */
   def selfHealingVectorSink(path: String, auditEvery: Int = 4,
-                            targetCell: Int = 500): (DataFrame, Long) => Unit =
+                            targetCell: Int = 500,
+                            recallFloor: Double = 0.0, recallK: Int = 5,
+                            recallNProbe: Int = 1,
+                            recallPanelN: Int = 16): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       graft.operators.EmbeddingMaintenance.maintainPersistent(
         batch.sparkSession, path, batch.select("vec_id", "embedding"),
-        audit = (batchId + 1) % auditEvery == 0, targetCell)
+        audit = (batchId + 1) % auditEvery == 0, targetCell,
+        recallFloor, recallK, recallNProbe, recallPanelN)
 
   /** Streaming semantic near-dup probe — the ingest-time form of q102
     * (SemDeDup) and the embedding twin of [[dedupProbeAgainstIndex]]:

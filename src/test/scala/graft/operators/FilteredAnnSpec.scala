@@ -69,6 +69,55 @@ class FilteredAnnSpec extends AnyFunSuite with SharedSpark {
       s"label predicate must reach the scan:\n${plan.take(2000)}")
   }
 
+  test("adaptive probe width: the widening rule and its edge cases") {
+    import SimilarityOps.adaptiveProbeWidth
+    // unselective predicate keeps the caller's narrow probe
+    assert(adaptiveProbeWidth(nProbe = 2, nList = 8, selectivity = 1.0) == 2)
+    // 50% selectivity doubles it
+    assert(adaptiveProbeWidth(nProbe = 2, nList = 8, selectivity = 0.5) == 4)
+    // very selective predicates clamp to exhaustive — never past nList
+    assert(adaptiveProbeWidth(nProbe = 2, nList = 8, selectivity = 0.01) == 8)
+    assert(adaptiveProbeWidth(nProbe = 4, nList = 1024, selectivity = 1e-9) == 1024)
+    // empty predicate (nothing matches): exhaustive is the safe degenerate
+    assert(adaptiveProbeWidth(nProbe = 2, nList = 8, selectivity = 0.0) == 8)
+    // widening rounds up (ceil) and never narrows below the caller's nProbe
+    assert(adaptiveProbeWidth(nProbe = 6, nList = 8, selectivity = 0.9) == 7)
+    assert(adaptiveProbeWidth(nProbe = 6, nList = 8, selectivity = 1.0) == 6)
+  }
+
+  test("adaptive filtered ANN: a ~1%-selective predicate holds exhaustive recall without hand-tuning") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L)
+    val nList = 8
+    // ~1% of vec_ids — exactly the predicate class the manual form's
+    // recall caveat documents (probed cells emptied by the filter)
+    val rare = col("vec_id") % 100 === 7
+    val sel = SimilarityOps.predicateSelectivity(emb, rare)
+    assert(sel > 0.0 && sel < 0.05, f"predicate not rare enough: $sel%.4f")
+    // without adaptation, nProbe=1 visibly under-recalls on this corpus
+    // (not asserted as an exact value — it's the motivating contrast)
+    val fixed = SimilarityOps
+      .ivfTopKFiltered(emb, qids, k = 5, nList = nList, nProbe = 1, rare)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the adaptive form widens 1/sel-fold, clamping to exhaustive here,
+    // so it must EQUAL the exhaustive-probe (exact) filtered search
+    val adaptive = SimilarityOps
+      .ivfTopKFilteredAdaptive(emb, qids, k = 5, nList = nList, nProbe = 1, rare)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val exact = SimilarityOps
+      .ivfTopKFiltered(emb, qids, k = 5, nList = nList, nProbe = nList, rare)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(adaptive.toSeq == exact.toSeq,
+      "a ~1%-selective predicate must drive the probe width to exhaustive recall")
+    info(s"fixed nProbe=1 returned ${fixed.size} hits; adaptive matched exhaustive (${exact.length})")
+    // mid-selectivity stays SUB-exhaustive: the estimator only pays for
+    // the recall the predicate actually endangers
+    val half = col("label") < 5
+    val selHalf = SimilarityOps.predicateSelectivity(emb, half)
+    val width = SimilarityOps.adaptiveProbeWidth(2, nList, selHalf)
+    assert(width < nList, s"a ${selHalf} selectivity must not force exhaustive probing (got $width)")
+  }
+
   test("ivfTopK is the pred=true special case (delegation is lossless)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val a = SimilarityOps.ivfTopK(emb, Seq(0L, 1L), k = 4, nList = 8, nProbe = 3)

@@ -133,4 +133,158 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
       .filter(!col("labeled") && col("score") > 0).count()
     assert(unlabeledNonzero > 0, "no label mass propagated to any unlabeled vertex")
   }
+
+  // ---------------------------------------------------------------- q130
+
+  test("q130: one hand-computed damped iteration on a weighted path graph") {
+    val sp = spark
+    import sp.implicits._
+    // path 0—1—2, weights 0.5 and 1.0. Shares: 0→1: 1.0; 1→0: 0.333333;
+    // 1→2: 0.666667; 2→1: 1.0. p0 = round6(1/3) = 0.333333 each.
+    // score(v) = round6(0.15/3 + 0.85·Σ share·p0):
+    //   0: 0.05 + 0.85·(0.333333·0.333333)             = 0.144444
+    //   1: 0.05 + 0.85·(1.0·0.333333 + 1.0·0.333333)   = 0.616666
+    //   2: 0.05 + 0.85·(0.666667·0.333333)             = 0.238889
+    val emb = Seq((0L, Array(1f)), (1L, Array(1f)), (2L, Array(1f)))
+      .toDF("vec_id", "embedding")
+    val edges = Seq((0L, 1L, 0.5, 1), (1L, 2L, 1.0, 1))
+      .toDF("src_id", "nbr_id", "sim", "rk")
+    val out = KnnGraph.pageRank(emb, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) == 0.144444, s"got ${out(0L)}")
+    assert(out(1L) == 0.616666, s"got ${out(1L)}")
+    assert(out(2L) == 0.238889, s"got ${out(2L)}")
+  }
+
+  test("q130: deterministic, positive, and mass-conserving within rounding on real embeddings") {
+    val a = KnnGraph.q130PageRank()(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = KnnGraph.q130PageRank()(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "two runs diverged")
+    assert(a.forall(_._2 > 0.0), "teleport mass makes every score positive")
+    // no dangling vertices and shares summing to ~1 per source conserve
+    // total mass at ~1 (up to the 6dp share/score rounding drift)
+    val total = a.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"PageRank mass drifted: $total")
+    // the walk must actually differentiate vertices
+    assert(a.map(_._2).distinct.size > 1)
+  }
+
+  // ---------------------------------------------------------------- q131
+
+  test("q131: hand-computed unigram log-probs on a two-doc corpus") {
+    val sp = spark
+    import sp.implicits._
+    // tokens: a a b | b c — T=5; lp(a)=lp(b)=round6(ln(2/5))=-0.916291,
+    // lp(c)=round6(ln(1/5))=-1.609438.
+    // d0 = (3·-0.916291)/3 = -0.916291
+    // d1 = (-0.916291 + -1.609438)/2 = -1.2628645 → HALF_UP → -1.262865
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    // run the operator body via the query on a registered-table-free path:
+    // build the same frame the query builds
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val total = toks.count()
+    val lm = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .select(col("token"), round(log(col("tf") / lit(total.toDouble)), 6).as("lp"))
+    val out = toks.join(lm, Seq("token"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("lp").cast(DecimalType(18, 6))).cast(DoubleType)
+        / count(lit(1)), 6).as("mean_logprob"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) == -0.916291, s"got ${out(0L)}")
+    assert(out(1L) == -1.262865, s"got ${out(1L)}")
+  }
+
+  test("q131: deterministic; rare-token docs score strictly below common-token docs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (Seq.fill(9)("the cat sat") :+ "zyzzyva qwyjibo xylotomy")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("dummy") // not used by the op; keep sf path
+    val run = () => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val total = toks.count()
+      val lm = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .select(col("token"), round(log(col("tf") / lit(total.toDouble)), 6).as("lp"))
+      toks.join(lm, Seq("token")).groupBy("doc_id")
+        .agg(round(sum(col("lp").cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_logprob"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val m = run()
+    assert(m == run(), "two runs diverged")
+    assert(m(9L) < m(0L), "the all-rare-token doc must score below the common one")
+    // and the real-table query runs end to end, deterministically
+    val g = () => TextOps.q131UnigramLogprob(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(g() == g())
+  }
+
+  // ---------------------------------------------------------------- q132
+
+  test("q132: exhaustive probing pins nDCG to 1.0; partial probing keeps dcg <= idcg") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val nl = ProductQuantization.adaptiveNList(emb)
+    val full = SimilarityOps.q132NdcgAudit(nProbe = nl)(spark, sf).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Double]("ndcg") == 1.0,
+        s"exhaustive probe must return the exact ranking: $r")
+      assert(r.getAs[Double]("dcg") == r.getAs[Double]("idcg"))
+    }
+    val partial = SimilarityOps.q132NdcgAudit(nProbe = 1)(spark, sf).collect()
+    partial.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+        r.getAs[Double]("ndcg"))
+      assert(dcg <= idcg + 1e-9 && ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"$r")
+    }
+    // the audit is deterministic
+    val again = SimilarityOps.q132NdcgAudit(nProbe = 1)(spark, sf).collect()
+    assert(partial.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  // ---------------------------------------------------------------- q133
+
+  test("q133: containment catches a short quote inside a long page that Jaccard misses") {
+    val sp = spark
+    import sp.implicits._
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ") // 8 shingles
+    val filler = (1 to 62).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", quote), // the contained quote
+      (2L, "web", s"$quote $filler"), // the container page
+      (3L, "web", (1 to 12).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "source", "text")
+    // symmetric Jaccard at the q25 threshold is blind to the pair:
+    // J = 8 / (8 + 70 - 8) = 0.114 < 0.2
+    val j = DedupOps.jaccardPairs(docs, minJaccard = 0.2).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "Jaccard at 0.2 should NOT pair the quote with its container")
+    // containment sees it from the quote's side: |A∩B|/|A| = 1.0
+    val c = DedupOps.containmentPairs(docs, minContainment = 0.8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")))).toMap
+    assert(c.contains((1L, 2L)), s"containment must pair quote and container, got ${c.keys}")
+    assert(c((1L, 2L))._1 == 1.0, "the quote is fully contained")
+    assert(c((1L, 2L))._2 < 0.2, "the container is NOT contained in the quote")
+    assert(!c.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "the unrelated doc must not pair with anything")
+  }
+
+  test("q133: direction and bounds are well-formed on the real corpus") {
+    val rows = DedupOps.q133Containment(spark, sf).collect()
+    rows.foreach { r =>
+      val (ca, cb) = (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= 0.8, s"pair below threshold leaked: $r")
+      assert(r.getLong(0) < r.getLong(1), "pairs are doc_a < doc_b by the window order")
+    }
+    val again = DedupOps.q133Containment(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

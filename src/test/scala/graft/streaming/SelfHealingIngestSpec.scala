@@ -111,4 +111,117 @@ class SelfHealingIngestSpec extends AnyFunSuite with SharedSpark {
     assert(after.contains(500L), "restarted stream must keep upserting")
     assert(after.size == all.size + 1, "restart must not lose or duplicate vectors")
   }
+
+  test("recall trigger: boundary-straddling arrivals degrade recall@5 silently; the recall audit heals it, across restart") {
+    // Round-12 verdict task 3. Geometry engineered so the DRIFT proxies
+    // stay under their factors while recall@5 collapses for the arrivals:
+    // 16 well-separated 30-vector blobs on axes 0–15 of a 20-dim space
+    // (noise amplitude 0.35 on every dim — baseline meanSqErr ≈ 0.8, a
+    // denominator the planted mass can't move 1.5×; 16 blobs because
+    // adaptiveNList's floor IS 16 cells, so both quantizers get a
+    // natural cluster per cell), then SIXTY arrivals as 30 TWIN PAIRS at
+    // the blob0/blob1 Voronoi midpoint (1,1,0,…): the twins of a pair
+    // differ ONLY by a ±0.02 tie-breaker on dims 0/1 that sends them to
+    // OPPOSITE frozen cells, and each pair carries a distinct 0.05·p
+    // offset on dim 16 — a dimension no blob axis uses, so it separates
+    // the pairs from each other without ever flipping a cell assignment.
+    // Each straddler's exact top-1 is therefore its twin (cos ≈ 1,
+    // structurally in the other cell) and its top-5 mixes both cells, so
+    // a 1-probe search loses ~half of it; the blobs' own recall stays
+    // 1.0; skew grows to ~1.8 (< 2×), mean cell 1.13×, error ≈ 1.3× —
+    // every drift proxy silent.
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    sp.sparkContext.setLogLevel("ERROR")
+    val dim = 20
+    def blob(axis: Int, seed: Int): Seq[Array[Float]] = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(30) {
+        val v = Array.tabulate(dim)(_ => (rnd.nextDouble() * 0.7 - 0.35).toFloat)
+        v(axis) = 2f + v(axis)
+        v
+      }
+    }
+    val baseVecs: Seq[(Long, Array[Float])] = (0 until 16).flatMap { j =>
+      blob(j, seed = 7 + j).zipWithIndex.map { case (v, i) =>
+        ((j * 100 + i + 1).toLong, v)
+      }
+    }
+    val planted = (1 to 60).map { i =>
+      val pair = (i + 1) / 2
+      val v = Array.fill(dim)(0f)
+      val d = if (i % 2 == 0) 0.02f else -0.02f
+      v(0) = 1f + d; v(1) = 1f - d; v(16) = 0.05f * pair
+      ((5000 + i).toLong, v)
+    }
+
+    val root = Files.createTempDirectory("graft-recall-heal")
+    val path = s"$root/index"
+    val corpus = baseVecs.toDF("vec_id", "embedding")
+    val cents0 = ProductQuantization.trainCoarse(corpus, nList = 16)
+    EmbeddingMaintenance.writeCellLayoutPersistent(corpus, cents0, path)
+    val (c0, base0) = EmbeddingMaintenance.loadQuantizer(sp, path).get
+
+    // phase 1: after the arrivals, every drift proxy is silent but the
+    // recall audit sees the degradation
+    EmbeddingMaintenance.upsertVecs(sp, path, c0, planted.toDF("vec_id", "embedding"))
+    val silent = EmbeddingMaintenance.driftReasons(base0,
+      EmbeddingMaintenance.layoutStats(sp, path, c0))
+    assert(silent.isEmpty,
+      s"the scenario requires drift-silence, got: ${silent.mkString("; ")}")
+    val rPre = EmbeddingMaintenance.recallAudit(sp, path, c0,
+      k = 5, nProbe = 1, panelN = 600)
+    assert(rPre < 0.96, f"planted straddlers must degrade recall: $rPre%.4f")
+
+    // phase 2: the maintenance cycle with the floor armed fires the
+    // RECALL reason (proving drift stayed silent at fire time) and heals
+    val reasons = EmbeddingMaintenance.maintainPersistent(sp, path,
+      planted.toDF("vec_id", "embedding"), audit = true, targetCell = 34,
+      recallFloor = 0.96, recallNProbe = 1, recallPanelN = 600)
+    assert(reasons.nonEmpty && reasons.forall(_.contains("recall@5")),
+      s"expected only the recall trigger, got: ${reasons.mkString("; ")}")
+    val (c1, b1q) = EmbeddingMaintenance.loadQuantizer(sp, path).get
+    assert(c1.flatten.toSeq != c0.flatten.toSeq,
+      "the recall trigger must retrain the quantizer")
+    val rPost = EmbeddingMaintenance.recallAudit(sp, path, c1,
+      k = 5, nProbe = 1, panelN = 600)
+    assert(rPost >= 0.96, f"recluster must restore recall: $rPre%.4f -> $rPost%.4f")
+    assert(EmbeddingMaintenance.driftReasons(b1q,
+      EmbeddingMaintenance.layoutStats(sp, path, c1)).isEmpty)
+
+    // phase 3: the STREAMING sink drives the same trigger end-to-end,
+    // and a checkpoint-restarted stream resumes under the healed sidecar
+    val path2 = s"$root/index2"
+    val ckpt2 = s"$root/ckpt2"
+    EmbeddingMaintenance.writeCellLayoutPersistent(corpus, cents0, path2)
+    def startStream(s: MemoryStream[(Long, Array[Float])]) =
+      s.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch(CorpusStreams.selfHealingVectorSink(path2, auditEvery = 1,
+          targetCell = 34, recallFloor = 0.96, recallNProbe = 1, recallPanelN = 600))
+        .option("checkpointLocation", ckpt2)
+        .start()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = startStream(stream)
+    stream.addData(planted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val (cS, _) = EmbeddingMaintenance.loadQuantizer(sp, path2).get
+    assert(cS.flatten.toSeq != cents0.flatten.toSeq,
+      "the streaming audit batch must fire the recall trigger and heal in-stream")
+    assert(EmbeddingMaintenance.recallAudit(sp, path2, cS,
+      k = 5, nProbe = 1, panelN = 600) >= 0.96)
+    // restart: one on-manifold arrival — the healed quantizer must hold
+    // (recall stays above the floor, so no spurious retrain) and the
+    // upsert cycle must continue from the sidecar alone
+    stream.addData((200L, baseVecs.head._2.clone()))
+    val q2 = startStream(stream)
+    q2.processAllAvailable()
+    q2.stop()
+    val (cS2, _) = EmbeddingMaintenance.loadQuantizer(sp, path2).get
+    assert(cS2.flatten.toSeq == cS.flatten.toSeq,
+      "a healthy post-heal batch must not retrain the healed quantizer")
+    val ids = sp.read.parquet(path2).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(200L) && ids.size == baseVecs.size + planted.size + 1)
+  }
 }
