@@ -134,7 +134,7 @@ object Soak {
     "q49_decontaminate", "q59_source_overlap", "q60_chunk_dedup",
     "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
     "q122_substr_removal", "q102_semantic_dedup", "q102_semantic_trained",
-    "q124_semdedup_xcell",
+    "q124_semdedup_xcell", "q127_bloom_decontam", "q133_containment",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -144,7 +144,7 @@ object Soak {
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
     "q106_priority_sample",
     "q99_bpe_encode", "q100_repetition", "q101_source_divergence",
-    "q104_zipf_slope",
+    "q104_zipf_slope", "q128_heavy_hitters", "q131_unigram_logprob",
     // learned selection (round 9)
     "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
     "q118_curation_pipeline",
@@ -161,7 +161,8 @@ object Soak {
     "q107_diversity_sample", "q114_filtered_ann",
     "q125_nn_descent", "q125_descent_trained",
     "q115_maxsim", "q116_truncation_audit", "q117_hybrid_rrf",
-    "q119_semantic_decontam",
+    "q119_semantic_decontam", "q126_ivf_recall_audit", "q132_ndcg_audit",
+    "q129_label_prop", "q130_pagerank", "q130_pagerank_trained",
     // sequence assembly + pipeline
     "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
     "q79_lang_drift", "q82_e2e_pipeline", "q120_export_order",
@@ -247,6 +248,15 @@ object Soak {
               graft.operators.KnnGraph.knnEdges(emb, 5,
                 graft.operators.ProductQuantization.adaptiveNList(emb), 4),
               5, rounds = 1, randomBuckets = 2)
+          }),
+          // trained-quantizer PageRank: the production centrality path
+          // (graph under trainCoarse centroids instead of the gate's
+          // SQL-expressible grid)
+          "q130_pagerank_trained" -> ((s, d) => {
+            val emb = graft.Tables.embeddings(s, d)
+            graft.operators.KnnGraph.pageRank(emb,
+              graft.operators.KnnGraph.knnEdges(emb, 5,
+                graft.operators.ProductQuantization.adaptiveNList(emb), 2))
           }),
           "q26_minhash_fast" -> ((s, d) => graft.operators.DedupOps
             .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)),
