@@ -161,15 +161,15 @@ object DedupOps {
     * on the spam shard, against 10 s → 7 s for this shape — identical
     * output, measured row-for-row). O(B·cap) by construction, one
     * exchange + sort on the block key, no join machinery. */
-  /** The shared window-pair kernel: per-(source, shingle) lead() window →
-    * (doc_a, doc_b, n_common) intersection counts, plus the per-doc
-    * distinct-shingle sizes — the inputs every set-overlap measure
-    * (Jaccard, containment) normalizes from. */
-  private def blockedPairCounts(docs: DataFrame,
-                                blockCap: Int): (DataFrame, DataFrame) = {
+  /** The shared window-pair kernel over ANY (doc_id, source, sh) key
+    * frame: per-(source, sh) lead() window → (doc_a, doc_b, n_common)
+    * intersection counts, plus the per-doc key-set sizes — the inputs
+    * every set-overlap measure (Jaccard, containment, winnowed match)
+    * normalizes from. */
+  private def windowPairCounts(sh: DataFrame,
+                               blockCap: Int): (DataFrame, DataFrame) = {
     requireCap(blockCap)
     val w = Window.partitionBy("source", "sh").orderBy("doc_id")
-    val sh = shinglesOf(docs, withSource = true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh
       .withColumn("nbrs", array((1 to blockCap).map(j =>
@@ -180,6 +180,10 @@ object DedupOps {
       .agg(count(lit(1)).as("n_common"))
     (pairs, sizes)
   }
+
+  private def blockedPairCounts(docs: DataFrame,
+                                blockCap: Int): (DataFrame, DataFrame) =
+    windowPairCounts(shinglesOf(docs, withSource = true), blockCap)
 
   private def withSizes(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
@@ -261,6 +265,88 @@ object DedupOps {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE GREATEST(ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6),
        |               ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * kernel): hash every k-token gram, slide a w-window over the gram
+    * hashes, keep each window's MINIMUM — the canonical sparse
+    * fingerprint set with the guarantee the full gram set pays 1/density
+    * more to get: any shared token run of length ≥ w + k − 1 produces at
+    * least one shared fingerprint, at an expected 2/(w+1) of the gram
+    * mass. This is the third point on the dedup sparsity spectrum the
+    * engine now covers — all grams (q25/q98, exhaustive), winnowed
+    * (guaranteed-recall sparse), MinHash (statistical sparse, q26/q27).
+    *
+    * Shape: ENTIRELY array-local per document (two nested transform()s
+    * over the token array — no explode, no shuffle; the q100 fold
+    * lesson), so fingerprinting 100 TB is one narrow codegen'd pass.
+    * md5₃₂ gram hashes keep it engine-portable (DuckDB replays both
+    * transforms); a production variant would swap xxhash64 exactly like
+    * q84/q92. Docs shorter than w + k − 1 tokens have no window and drop. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val l = split(trim(col("text")), "\\s+")
+    val grams = transform(sequence(lit(1), size(l) - (k - 1)),
+      i => conv(substring(md5(concat_ws(" ", slice(l, i, lit(k)))), 1, 8), 16, 10)
+        .cast("long"))
+    docs.filter(size(l) >= k + w - 1)
+      .select(col("doc_id"), col("source"), grams.as("g"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(sequence(lit(1), size(col("g")) - (w - 1)),
+          j => array_min(slice(col("g"), j, lit(w))))).as("fps"))
+  }
+
+  /** q134: winnowed fingerprint match pairs — near-dup candidates from
+    * the SPARSE fingerprint sets ([[winnowFingerprints]]), scored by the
+    * winnowed-set Jaccard. Same blocked window kernel as q25/q133 but
+    * over ~2/(w+1) of the key mass, which is the operational point of
+    * winnowing: the pair stage's shuffle and block sizes shrink ~2.5×
+    * while the ≥(w+k−1)-token-overlap guarantee keeps recall exact for
+    * long shared runs. `minCommon = 2` suppresses single-collision
+    * noise pairs (an integer cut — no float threshold in the filter). */
+  def winnowPairs(docs: DataFrame, minCommon: Int = 2,
+                  blockCap: Int = DefaultCandidateCap): DataFrame = {
+    val sh = winnowFingerprints(docs)
+      .select(col("doc_id"), col("source"), explode(col("fps")).as("sh"))
+    val (pairs, sizes) = windowPairCounts(sh, blockCap)
+    withSizes(pairs, sizes)
+      .filter(col("n_common") >= minCommon)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6).as("wjaccard"))
+  }
+
+  val q134Winnowing: Q = (s, d) =>
+    winnowPairs(documents(s, d)).orderBy("doc_a", "doc_b")
+  val q134Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split_regex(TRIM(text), '\\s+') AS l
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, source,
+       |    list_transform(range(1, len(l) - 1),
+       |      i -> CAST(concat('0x', substr(md5(array_to_string(l[i:i+2], ' ')), 1, 8)) AS BIGINT)) AS g
+       |  FROM t WHERE len(l) >= 6),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(range(1, len(g) - 2),
+       |      j -> list_min(g[j:j+3]))) AS fps
+       |  FROM gr),
+       |sh AS (SELECT doc_id, source, unnest(fps) AS sh FROM f),
+       |rsh AS (SELECT doc_id, source, sh,
+       |        ROW_NUMBER() OVER (PARTITION BY source, sh ORDER BY doc_id) AS rn FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM rsh a JOIN rsh b
+       |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |       AND b.rn <= a.rn + $DefaultCandidateCap
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS wjaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE n_common >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q26: MinHash signatures — 16 hash functions h_s(x) = md5(s || ':' || x),
@@ -1037,6 +1123,7 @@ object DedupOps {
     "q24_dedup_exact" -> q24DedupExact,
     "q25_ngram_jaccard" -> q25NgramJaccard,
     "q133_containment" -> q133Containment,
+    "q134_winnowing" -> q134Winnowing,
     "q26_minhash_signatures" -> q26MinhashSignatures,
     "q27_lsh_pairs" -> q27LshPairs,
     "q28_simhash" -> q28Simhash,
@@ -1054,6 +1141,7 @@ object DedupOps {
     "q24_dedup_exact" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q133_containment" -> q133Sql,
+    "q134_winnowing" -> q134Sql,
     "q26_minhash_signatures" -> q26Sql,
     "q27_lsh_pairs" -> q27Sql,
     "q28_simhash" -> q28Sql,

@@ -276,6 +276,61 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
       "the unrelated doc must not pair with anything")
   }
 
+  // ---------------------------------------------------------------- q134
+
+  test("q134: the winnowing guarantee — a shared run of >= w+k-1 tokens shares a fingerprint") {
+    val sp = spark
+    import sp.implicits._
+    // two docs sharing an 8-token run (> w+k-1 = 6) inside entirely
+    // different surroundings: MOSS's guarantee says the winnowed sets
+    // MUST intersect, however the windows land
+    val run = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", s"alpha beta gamma $run delta epsilon zeta"),
+      (2L, "web", s"one two three four $run five six seven eight"),
+      (3L, "web", (1 to 15).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val fps = DedupOps.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "a shared 8-token run must produce at least one shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no token in common => no fingerprint in common")
+    // density: the fingerprint set is a sparse subset of the gram set
+    val counts = docs.collect().map { r =>
+      r.getLong(0) -> (r.getString(2).split("\\s+").length - 2)
+    }.toMap
+    fps.foreach { case (id, f) =>
+      assert(f.nonEmpty && f.size <= counts(id),
+        s"doc $id: ${f.size} fps vs ${counts(id)} grams")
+    }
+  }
+
+  test("q134: exact copies pair at wjaccard 1.0; sparsity vs the full gram set is real") {
+    val sp = spark
+    import sp.implicits._
+    val body = (1 to 40).map(i => s"tok${i % 17} w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", body), (2L, "web", body), // exact copies
+      (3L, "web", (1 to 80).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = DedupOps.winnowPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("wjaccard"))).toMap
+    assert(out.get((1L, 2L)).contains(1.0),
+      s"identical docs must pair at winnowed Jaccard 1.0, got $out")
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // sparsity: winnowed sets are measurably smaller than gram sets
+    val nFps = DedupOps.winnowFingerprints(docs)
+      .select(explode(col("fps"))).count()
+    val nGrams = docs.collect().map(_.getString(2).split("\\s+").length - 2).sum
+    info(s"fingerprints $nFps vs grams $nGrams")
+    assert(nFps < nGrams / 2, "winnowing must thin the key mass (expected ~2/(w+1))")
+    // deterministic
+    val again = DedupOps.winnowPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("wjaccard"))).toMap
+    assert(out == again)
+  }
+
   test("q133: direction and bounds are well-formed on the real corpus") {
     val rows = DedupOps.q133Containment(spark, sf).collect()
     rows.foreach { r =>
