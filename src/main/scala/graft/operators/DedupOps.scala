@@ -487,6 +487,74 @@ object DedupOps {
        |     AND y.rn <= x.rn + $DefaultCandidateCap
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q135: MinHash calibration audit — per candidate pair, the
+    * signature-ESTIMATED Jaccard (matching seeds / 16) against the EXACT
+    * distinct-shingle Jaccard, with the absolute error. The sketch-side
+    * member of the engine's audit family (q126 audits IVF recall, q132
+    * its ranking, this audits the dedup sketch): MinHash's collision
+    * probability equals J only in expectation, and a deployment sizing
+    * nSeeds (or debugging a threshold) wants the realized error ON ITS
+    * OWN CORPUS, not the textbook variance. Scale shape: the exact side
+    * is the capped q25 kernel (never a pair explosion); the estimate
+    * joins each capped pair against two 16-row signature slices keyed on
+    * doc id — shuffle ∝ 16·pairs. */
+  def sketchCalibration(docs: DataFrame, minJaccard: Double = 0.1,
+                        nSeeds: Int = 16,
+                        blockCap: Int = DefaultCandidateCap): DataFrame = {
+    val exactPairs = jaccardPairs(docs, minJaccard, blockCap)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("exact_j"))
+    val sig = minhashSignatures(docs, nSeeds, useFastKernel = false)
+    val a = sig.select(col("doc_id").as("doc_a"), col("seed"),
+      col("minhash").as("mh_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("seed"),
+      col("minhash").as("mh_b"))
+    exactPairs.join(a, Seq("doc_a")).join(b, Seq("doc_b", "seed"))
+      .groupBy("doc_a", "doc_b", "exact_j")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("doc_a"), col("doc_b"), col("exact_j"), col("n_match"),
+        round(col("n_match") / lit(nSeeds.toDouble), 6).as("est_j"),
+        round(abs(col("n_match") / lit(nSeeds.toDouble) - col("exact_j")), 6)
+          .as("abs_err"))
+  }
+
+  val q135SketchCalibration: Q = (s, d) =>
+    sketchCalibration(documents(s, d)).orderBy("doc_a", "doc_b")
+  val q135Sql: String =
+    s"""WITH $duckShinglesWithSource,
+       |dsh AS (SELECT DISTINCT doc_id, source, sh FROM shing),
+       |rsh AS (SELECT doc_id, source, sh,
+       |        ROW_NUMBER() OVER (PARTITION BY source, sh ORDER BY doc_id) AS rn FROM dsh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM rsh a JOIN rsh b
+       |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |       AND b.rn <= a.rn + $DefaultCandidateCap
+       |  GROUP BY 1, 2),
+       |ep AS (
+       |  SELECT doc_a, doc_b,
+       |    ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS exact_j
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1),
+       |sig AS (
+       |  SELECT doc_id, CAST(seed AS INT) AS seed,
+       |    MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       |  FROM (SELECT DISTINCT doc_id, sh FROM shing) d2, range(0, 16) r(seed)
+       |  GROUP BY doc_id, seed),
+       |m AS (
+       |  SELECT e.doc_a, e.doc_b, e.exact_j,
+       |    CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM ep e
+       |  JOIN sig a ON a.doc_id = e.doc_a
+       |  JOIN sig b ON b.doc_id = e.doc_b AND b.seed = a.seed
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, exact_j, n_match,
+       |  ROUND(n_match / CAST(16.0 AS DOUBLE), 6) AS est_j,
+       |  ROUND(ABS(n_match / CAST(16.0 AS DOUBLE) - exact_j), 6) AS abs_err
+       |FROM m ORDER BY doc_a, doc_b""".stripMargin
+
   /** q28: SimHash — full 64-bit signature from the doc's distinct tokens:
     * bit b (0..63) reads hex digit (b mod 32) of md5(token) and votes
     * +1/−1 by bit (b div 32) of that digit's VALUE; bit set iff the vote
@@ -1124,6 +1192,7 @@ object DedupOps {
     "q25_ngram_jaccard" -> q25NgramJaccard,
     "q133_containment" -> q133Containment,
     "q134_winnowing" -> q134Winnowing,
+    "q135_sketch_calibration" -> q135SketchCalibration,
     "q26_minhash_signatures" -> q26MinhashSignatures,
     "q27_lsh_pairs" -> q27LshPairs,
     "q28_simhash" -> q28Simhash,
@@ -1142,6 +1211,7 @@ object DedupOps {
     "q25_ngram_jaccard" -> q25Sql,
     "q133_containment" -> q133Sql,
     "q134_winnowing" -> q134Sql,
+    "q135_sketch_calibration" -> q135Sql,
     "q26_minhash_signatures" -> q26Sql,
     "q27_lsh_pairs" -> q27Sql,
     "q28_simhash" -> q28Sql,

@@ -135,7 +135,7 @@ object Soak {
     "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
     "q122_substr_removal", "q102_semantic_dedup", "q102_semantic_trained",
     "q124_semdedup_xcell", "q127_bloom_decontam", "q133_containment",
-    "q134_winnowing",
+    "q134_winnowing", "q135_sketch_calibration",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",

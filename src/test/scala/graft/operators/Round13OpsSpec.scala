@@ -331,6 +331,45 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     assert(out == again)
   }
 
+  // ---------------------------------------------------------------- q135
+
+  test("q135: identical docs calibrate at est=exact=1.0; shared-nothing pairs never appear") {
+    val sp = spark
+    import sp.implicits._
+    val body = (1 to 30).map(i => s"c${i % 11} v$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", body), (2L, "web", body),
+      (3L, "web", (1 to 40).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val rows = DedupOps.sketchCalibration(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Double]("exact_j"), r.getLong(3), r.getAs[Double]("est_j"),
+          r.getAs[Double]("abs_err")))).toMap
+    assert(rows.get((1L, 2L)).contains((1.0, 16L, 1.0, 0.0)),
+      s"identical docs must calibrate exactly, got ${rows.get((1L, 2L))}")
+    assert(!rows.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("q135: sketch error on the real corpus is bounded and the audit is deterministic") {
+    val run = () => DedupOps.q135SketchCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("exact_j"),
+        r.getLong(3), r.getAs[Double]("est_j"), r.getAs[Double]("abs_err")))
+    val rows = run()
+    assert(rows.nonEmpty, "the sf0.001 corpus has near-dup pairs above J=0.1")
+    rows.foreach { case (_, _, ex, nm, est, err) =>
+      assert(nm >= 0 && nm <= 16)
+      assert(est >= 0.0 && est <= 1.0 && ex >= 0.1)
+      assert(math.abs(err - math.abs(est - ex)) < 2e-6, "err must be |est - exact|")
+    }
+    // the statistical content: with 16 seeds the MEAN absolute error
+    // must sit well under the sketch's single-pair standard deviation
+    // bound (sqrt(J(1-J)/16) <= 0.125)
+    val mean = rows.map(_._6).sum / rows.size
+    info(f"pairs ${rows.size}, mean |est-exact| = $mean%.4f")
+    assert(mean < 0.15, f"sketch calibration off: mean abs err $mean%.4f")
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q133: direction and bounds are well-formed on the real corpus") {
     val rows = DedupOps.q133Containment(spark, sf).collect()
     rows.foreach { r =>
