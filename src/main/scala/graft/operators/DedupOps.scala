@@ -282,8 +282,15 @@ object DedupOps {
     * lesson), so fingerprinting 100 TB is one narrow codegen'd pass.
     * md5₃₂ gram hashes keep it engine-portable (DuckDB replays both
     * transforms); a production variant would swap xxhash64 exactly like
-    * q84/q92. Docs shorter than w + k − 1 tokens have no window and drop. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    * q84/q92. Docs shorter than w + k − 1 tokens have no window and drop.
+    *
+    * This HOF form is kept as the PARITY REFERENCE for the fused native
+    * kernel ([[winnowFingerprints]] / [[graft.functions.WinnowMd5Expr]]),
+    * which WinnowExprSpec pins array-for-array against it; the gate path
+    * runs the fused form (the HOF lambdas evaluate interpreted and build
+    * a shingle string + 32-char hex string per gram — 7.6 s of the sf0.1
+    * gate before the fusion). */
+  def winnowFingerprintsHof(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val l = split(trim(col("text")), "\\s+")
     val grams = transform(sequence(lit(1), size(l) - (k - 1)),
       i => conv(substring(md5(concat_ws(" ", slice(l, i, lit(k)))), 1, 8), 16, 10)
@@ -302,6 +309,19 @@ object DedupOps {
         j => array_min(slice(gv, j, lit(w)))))))
     docs.filter(size(l) >= k + w - 1)
       .select(col("doc_id"), col("source"), fps.as("fps"))
+  }
+
+  /** Winnowing fingerprints, fused-kernel form: one native codegen'd
+    * expression ([[graft.functions.WinnowMd5Expr]]) computes the whole
+    * gram-md5 → window-min → distinct chain from the token array —
+    * bit-identical to [[winnowFingerprintsHof]] (same md5₃₂ gram hashes,
+    * same first-occurrence distinct order), so q134's DuckDB oracle is
+    * unchanged and still replays it exactly. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val l = split(trim(col("text")), "\\s+")
+    docs.filter(size(l) >= k + w - 1)
+      .select(col("doc_id"), col("source"),
+        graft.functions.WinnowMd5Expr(l, k, w).as("fps"))
   }
 
   /** q134: winnowed fingerprint match pairs — near-dup candidates from
