@@ -1216,6 +1216,152 @@ object DedupOps {
       |FROM chunks c JOIN freq f ON c.h = f.h
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** q137: content-defined chunking dedup (the Rabin/FastCDC family that
+    * storage dedup and long-document near-dup pipelines use): a chunk
+    * boundary falls AFTER token i whenever md5₃₂(token_i) % 16 == 0
+    * (expected chunk ≈ 16 tokens), so chunk boundaries are a function of
+    * CONTENT, not position — an insertion near a document's head shifts
+    * every q60 fixed-stride chunk but re-synchronizes CDC chunks at the
+    * next boundary token, which is the property that finds shared spans
+    * between shifted copies. Chunks repeating corpus-wide (n_occ ≥ 2) are
+    * reported with their document reach. (Production notes: the gate form
+    * has no min/max chunk clamp — FastCDC's normalization — and would
+    * swap the md5 boundary/key hashes for xxhash64 exactly like q84/q92.)
+    *
+    * Shape: chunking is ENTIRELY array-local (nested let-bound lambdas —
+    * the q134 CollapseProject lesson: `array(x)`-wrapping binds each
+    * intermediate once per doc instead of re-evaluating it per element);
+    * the only shuffle is the chunk-key aggregate, keyed on a 64-bit-hex
+    * key ∝ chunk count. The report is a distributed top-k
+    * (TakeOrderedAndProject), never a global sort. */
+  def cdcChunks(docs: DataFrame, modulus: Int = 16): DataFrame = {
+    val l = split(trim(col("text")), "\\s+")
+    val chunks = flatten(transform(array(l), lv => {
+      val bidx = filter(sequence(lit(1), size(lv)), i =>
+        conv(substring(md5(element_at(lv, i)), 1, 8), 16, 10).cast("long")
+          % modulus === 0)
+      flatten(transform(array(bidx), bv => {
+        val sts = concat(array(lit(1)), transform(bv, x => x + 1))
+        val ens = concat(bv, array(size(lv)))
+        // the trailing chunk is empty iff the last token is a boundary
+        // (st = n+1 > en = n): drop it, both engines identically
+        filter(zip_with(sts, ens, (st, en) =>
+          when(st <= en, struct(
+            substring(md5(concat_ws(" ", slice(lv, st, en - st + 1))), 1, 16)
+              .as("h"),
+            (en - st + 1).as("clen")))),
+          c => c.isNotNull)
+      }))
+    }))
+    docs.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.h").as("chunk_hash"),
+        col("c.clen").as("chunk_len"))
+  }
+
+  val q137CdcChunks: Q = (s, d) =>
+    cdcChunks(documents(s, d))
+      .groupBy("chunk_hash", "chunk_len")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occ"), col("chunk_hash"))
+      .limit(200)
+  val q137Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |b AS (
+      |  SELECT doc_id, l,
+      |    list_filter(range(1, len(l) + 1),
+      |      i -> CAST(concat('0x', substr(md5(l[i]), 1, 8)) AS BIGINT) % 16 = 0)
+      |      AS bidx
+      |  FROM t),
+      |se AS (
+      |  SELECT doc_id, l,
+      |    list_concat([CAST(1 AS BIGINT)], list_transform(bidx, x -> x + 1)) AS sts,
+      |    list_concat(bidx, [CAST(len(l) AS BIGINT)]) AS ens
+      |  FROM b),
+      |sp AS (
+      |  SELECT doc_id, l,
+      |    unnest(list_filter(list_transform(range(1, len(sts) + 1),
+      |      j -> struct_pack(st := sts[j], en := ens[j])), c -> c.st <= c.en)) AS c
+      |  FROM se),
+      |ch AS (
+      |  SELECT doc_id,
+      |    substr(md5(array_to_string(l[c.st : c.en], ' ')), 1, 16) AS chunk_hash,
+      |    c.en - c.st + 1 AS chunk_len
+      |  FROM sp)
+      |SELECT chunk_hash, chunk_len, n_docs, n_occ FROM (
+      |  SELECT chunk_hash, chunk_len,
+      |    COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+      |  FROM ch GROUP BY 1, 2)
+      |WHERE n_occ >= 2
+      |ORDER BY n_docs DESC, n_occ DESC, chunk_hash LIMIT 200""".stripMargin
+
+  /** q138: edit-distance verification of the LSH candidate pairs — the
+    * expensive-verify half of the candidate-gen → verify pipeline every
+    * fuzzy-dedup deployment runs (MinHash proposes, Levenshtein decides).
+    * Each q27 candidate pair is scored with character-level edit distance
+    * over the 64-char document prefix and the normalized similarity
+    * 1 − dist/max(|a|,|b|). Token-set measures (Jaccard, containment)
+    * are blind to sub-token edits (typos, OCR noise, byte corruption);
+    * this is the character-level point on that spectrum.
+    *
+    * Shape: the O(len²) dynamic program runs ONLY on LSH-proposed pairs —
+    * cost ∝ candidates × 64², never corpus². The two prefix joins key on
+    * high-cardinality doc ids (AQE-skew-safe); nothing here is pair-mass
+    * beyond what q27 already bounded via bucket caps. Determinism: edit
+    * distance is an integer; the one division rounds to 6dp. */
+  def editVerify(docs: DataFrame): DataFrame = {
+    val pref = docs.select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+    val cands = lshCandidatePairs(docs)
+    val dist = levenshtein(col("pa"), col("pb"))
+    val mx = greatest(length(col("pa")), length(col("pb")))
+    cands
+      .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        dist.as("edit_dist"),
+        when(mx === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - dist.cast("double") / mx, 6))
+          .as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q138EditVerify: Q = (s, d) => editVerify(documents(s, d))
+  val q138Sql: String =
+    s"""WITH $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
+       |sig AS (
+       |  SELECT doc_id, CAST(seed AS INT) AS seed,
+       |    MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       |  FROM dsh, range(0, 16) r(seed) GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+       |        ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS band_key
+       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+       |rbands AS (
+       |  SELECT doc_id, band, band_key,
+       |    ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+       |  FROM bands),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       |  FROM rbands x JOIN rbands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |       AND y.rn <= x.rn + $DefaultCandidateCap
+       |  GROUP BY 1, 2),
+       |pref AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+       |SELECT doc_a, doc_b, n_shared_bands,
+       |  levenshtein(pa.p, pb.p) AS edit_dist,
+       |  CASE WHEN GREATEST(length(pa.p), length(pb.p)) = 0 THEN 1.0
+       |       ELSE ROUND(1.0 - CAST(levenshtein(pa.p, pb.p) AS DOUBLE)
+       |                  / GREATEST(length(pa.p), length(pb.p)), 6)
+       |  END AS edit_sim
+       |FROM cand
+       |JOIN pref pa ON pa.doc_id = doc_a
+       |JOIN pref pb ON pb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q24_dedup_exact" -> q24DedupExact,
     "q25_ngram_jaccard" -> q25NgramJaccard,
@@ -1231,6 +1377,8 @@ object DedupOps {
     "q127_bloom_decontam" -> q127BloomDecontam,
     "q59_source_overlap" -> q59SourceOverlap,
     "q60_chunk_dedup" -> q60ChunkDedup,
+    "q137_cdc_chunks" -> q137CdcChunks,
+    "q138_edit_verify" -> q138EditVerify,
     "q84_lsh_fast" -> q84LshPairsFast,
     "q92_dedup_clusters_fast" -> q92DedupClustersFast,
     "q95_dedup_against_index" -> q95DedupAgainstIndex,
@@ -1250,6 +1398,8 @@ object DedupOps {
     "q127_bloom_decontam" -> q127Sql,
     "q59_source_overlap" -> q59Sql,
     "q60_chunk_dedup" -> q60Sql,
+    "q137_cdc_chunks" -> q137Sql,
+    "q138_edit_verify" -> q138Sql,
     "q95_dedup_against_index" -> q95Sql,
   )
 }

@@ -120,6 +120,90 @@ object HybridRetrieval {
       |  FROM fused) WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
-  val queries: Map[String, Q] = Map("q117_hybrid_rrf" -> q117HybridRrf)
-  val oracle: Map[String, String] = Map("q117_hybrid_rrf" -> q117Sql)
+  /** q136: BM25 ranking (Robertson–Spärck Jones, the Okapi weighting every
+    * lexical retrieval stack ships) against a corpus-derived term panel —
+    * the top-8 document-frequency tokens (a worst-case panel by design:
+    * the hottest posting lists). score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) with the standard k1 = 1.2, b = 0.75
+    * and the Lucene-style non-negative idf ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape: tf/df/dl are the q62 partial-agg tables (map-side
+    * collapse before any shuffle); the term PANEL (8 rows), N, and avgdl
+    * are broadcast, so scoring is one broadcast-hash-join pass over the
+    * tf table — no shuffle keyed on the hot tokens themselves; the only
+    * corpus-sized shuffle is the per-doc score sum on high-cardinality
+    * doc_id. Determinism is the q62/q63 policy: per-term contribution
+    * rounded to 6dp, order-free DECIMAL(38,6) summation, final ranking on
+    * the rounded score tie-broken by doc_id. avgdl is exact-by-integer
+    * arithmetic (Σdl and N are exact longs) so the double division is
+    * bit-stable across engines. */
+  def bm25(docs: DataFrame, panelSize: Int = 8, topK: Int = 20): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val panel = broadcast(
+      dfreq.orderBy(desc("df"), col("token")).limit(panelSize))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    // float-parity care: every constant is a LITERAL both engines parse
+    // identically (k1 + 1 computed in Scala could round differently from
+    // a parsed "2.2"), and the multiplication tree is parenthesized the
+    // same way in the oracle SQL — double mult is not associative
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val wTf = col("tf") * lit(2.2) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val contrib = tf.join(panel, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("doc_id"), round(idf * wTf, 6).as("c"))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // no global sort); the rank window then runs over 20 rows, not the
+    // corpus — a global row_number BEFORE the cut would funnel every
+    // scored doc through one WindowExec task
+    val w = Window.orderBy(desc("bm25"), col("doc_id"))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("bm25"))
+      .orderBy("rank")
+  }
+
+  val q136Bm25: Q = (s, d) => bm25(documents(s, d))
+
+  val q136Sql: String =
+    """WITH l AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |tok AS (SELECT doc_id, unnest(l) AS token FROM l),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(l) AS dl FROM l),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |panel AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 8),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS c
+      |  FROM tf JOIN panel USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_terms_hit,
+      |    ROUND(CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE), 6) AS bm25
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT rank, doc_id, n_terms_hit, bm25 FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      |  FROM scored) WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q117_hybrid_rrf" -> q117HybridRrf,
+    "q136_bm25" -> q136Bm25)
+  val oracle: Map[String, String] = Map(
+    "q117_hybrid_rrf" -> q117Sql,
+    "q136_bm25" -> q136Sql)
 }

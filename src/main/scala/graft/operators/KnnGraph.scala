@@ -675,7 +675,75 @@ object KnnGraph {
        |SELECT vec_id, score FROM p2 ORDER BY vec_id""".stripMargin
   }
 
+  /** q140: centroid-silhouette audit of the coarse clustering every ANN /
+    * semantic-dedup operator here stands on (q30/q102/q103/q105/q114…):
+    * per vector, a = distance to its own (nearest) refined centroid and
+    * b = distance to the runner-up; sil = (b − a)/b ∈ [0, 1] (the
+    * simplified/centroid silhouette — max(a,b) = b by construction since
+    * a is the minimum). Per-cell mean/min silhouette is the metric that
+    * tells a deployment WHICH cells have collapsed (mean_sil → 0: the
+    * cell boundary cuts a natural cluster, so same-cluster neighbors
+    * leak into the runner-up cell and single-probe recall dies there) —
+    * the diagnostic behind q126's recall audit and the maintenance
+    * recluster trigger.
+    *
+    * Shape: one broadcast-centroid UDF pass (struct of nearest-2 in a
+    * single scan, [[ProductQuantization.nearest2Expr]]) + a cell-keyed
+    * aggregate — no joins, no pair mass. Determinism: the q62/q63
+    * policy (6dp per-vector sil, order-free DECIMAL mean; distance
+    * arithmetic is the q102/q105 oracle chain's, tie-broken to the
+    * lower cell id). */
+  def silhouetteWithCents(emb: DataFrame,
+                          cents: Array[Array[Float]]): DataFrame = {
+    val nn2 = ProductQuantization.nearest2Expr(emb.sparkSession, cents)
+    val sil = when(col("b") === 0.0, lit(0.0))
+      .otherwise(round((col("b") - col("a")) / col("b"), 6))
+    emb.select(col("vec_id"), nn2(col("embedding")).as("nn"))
+      .select(col("nn._1").as("cell"),
+        sqrt(col("nn._2")).as("a"), sqrt(col("nn._3")).as("b"))
+      .select(col("cell"), sil.as("sil"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sil").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double") / count(lit(1)), 6).as("mean_sil"),
+        min(col("sil")).as("min_sil"))
+      .orderBy("cell")
+  }
+
+  def q140Silhouette(nList: Int = -1): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    silhouetteWithCents(emb, SemanticDedup.refinedCentroids(emb, nl))
+  }
+  val q140Sql: String =
+    s"""WITH ${SemanticDedup.refinedCentsSql(16)},
+       |dd AS (
+       |  SELECT e.vec_id, c.c,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d2
+       |  FROM embeddings e CROSS JOIN cents c),
+       |rk AS (
+       |  SELECT vec_id, c, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |  FROM dd),
+       |ab AS (
+       |  SELECT x.vec_id, CAST(x.c AS INT) AS cell,
+       |         SQRT(x.d2) AS a, SQRT(y.d2) AS b
+       |  FROM rk x JOIN rk y ON x.vec_id = y.vec_id AND x.rn = 1 AND y.rn = 2),
+       |sil AS (
+       |  SELECT cell,
+       |    CASE WHEN b = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE ROUND((b - a) / b, 6) END AS sil
+       |  FROM ab)
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  ROUND(CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_sil,
+       |  MIN(sil) AS min_sil
+       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q140_silhouette" -> q140Silhouette(),
     "q103_knn_graph" -> q103KnnGraph(),
     "q105_semantic_clusters" -> q105SemanticClusters(),
     "q107_diversity_sample" -> q107DiversitySample(),
@@ -684,6 +752,7 @@ object KnnGraph {
     "q130_pagerank" -> q130PageRank(),
   )
   val oracle: Map[String, String] = Map(
+    "q140_silhouette" -> q140Sql,
     "q103_knn_graph" -> q103Sql,
     "q105_semantic_clusters" -> q105Sql,
     "q107_diversity_sample" -> q107Sql,

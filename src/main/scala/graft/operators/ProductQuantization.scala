@@ -235,6 +235,32 @@ object ProductQuantization {
     }
   }
 
+  /** Nearest and second-nearest coarse cell with their squared distances,
+    * in one pass — the kernel the q140 silhouette audit needs (a = own-
+    * centroid distance, b = runner-up). Tie rule matches [[cellExpr]] and
+    * the oracle's `ORDER BY d, c`: equal distances break to the lower
+    * cell id. Same accumulation arithmetic as [[sqdist]], so it is
+    * bit-compatible with the q102/q105 oracle distance chain. */
+  def nearest2Expr(spark: org.apache.spark.sql.SparkSession,
+                   cents: Array[Array[Float]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(cents.length >= 2, s"nearest2 needs >= 2 centroids, got ${cents.length}")
+    val bc = spark.sparkContext.broadcast(cents)
+    udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val arr = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var secD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = sqdist(arr, 0, cs(c))
+        if (d < bestD) { secD = bestD; bestD = d; best = c }
+        else if (d < secD) secD = d
+        c += 1
+      }
+      (best, bestD, secD)
+    }
+  }
+
   /** The `nProbe` nearest coarse cells as a reusable function over an
     * embedding column — the PER-ROW form of [[probeCells]], for callers
     * whose "query set" is the whole corpus (e.g. the q103 kNN graph)

@@ -1099,7 +1099,81 @@ object SimilarityOps {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** q139: Johnson–Lindenstrauss projection distortion audit — project
+    * every embedding to m = 8 dimensions with an Achlioptas ±1 sign matrix
+    * and measure, on a deterministic vector sample's pairs, the ratio of
+    * projected to original squared distance ((Σ_j (ya_j−yb_j)²)/m ÷
+    * ‖a−b‖²). This is the go/no-go audit run before swapping a pipeline's
+    * distance kernel to a sketched one (dedup thresholds, ANN recall, and
+    * cluster geometry all survive exactly to the extent this ratio
+    * concentrates around 1).
+    *
+    * The sign matrix s(j,i) = ±1 by md5₃₂("j:i") parity is data-independent
+    * and engine-replayable: Spark embeds it as a LITERAL computed once
+    * driver-side (8×64 md5s, zero per-row hashing), DuckDB re-derives it
+    * from the same md5 rule — same bits either way. Projection is one
+    * array-local pass (zip_with/aggregate folds, sequential like every
+    * other float kernel here); pair distortion runs only on the sampled
+    * ids (vec_id % 13, all-pairs over a FIXED-SIZE panel — never
+    * corpus²). */
+  val q139JlAudit: Q = (s, d) => {
+    val m = 8; val dims = 64
+    val signs: Seq[Seq[Double]] = (0 until m).map { j =>
+      (1 to dims).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+        // md5_32 parity = low bit of the 4th digest byte
+        if ((h(3) & 1) == 0) 1.0 else -1.0
+      }
+    }
+    val yCol = transform(typedLit(signs), sr =>
+      aggregate(zip_with(col("embedding"), sr,
+        (x, sg) => x.cast("double") * sg), lit(0.0d), (acc, v) => acc + v))
+    val p = embeddings(s, d).filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id"), col("embedding"), yCol.as("y"))
+    val a = p.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("y").as("ya"))
+    val b = p.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("y").as("yb"))
+    val d2o = aggregate(zip_with(col("ea"), col("eb"),
+      (x, yv) => (x.cast("double") - yv.cast("double"))
+        * (x.cast("double") - yv.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+    val d2p = aggregate(zip_with(col("ya"), col("yb"),
+      (x, yv) => (x - yv) * (x - yv)), lit(0.0d), (acc, v) => acc + v)
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(d2o, 6).as("d2_orig"),
+        round(d2p, 6).as("d2_proj"),
+        when(d2o === 0.0, lit(1.0))
+          .otherwise(round(d2p / lit(8.0) / d2o, 6)).as("ratio"))
+      .orderBy("vec_a", "vec_b")
+  }
+  val q139Sql: String =
+    """WITH p AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(range(0, 8), j ->
+      |      list_sum(list_transform(range(1, 65), i ->
+      |        CAST(embedding[i] AS DOUBLE) *
+      |        (CASE WHEN CAST(concat('0x', substr(md5(concat(j, ':', i)), 1, 8))
+      |                    AS BIGINT) % 2 = 0
+      |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))) AS y
+      |  FROM embeddings WHERE vec_id % 13 = 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+      |      * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))
+      |      AS d2o,
+      |    list_sum(list_transform(range(1, 9), j ->
+      |      (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) AS d2p
+      |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, ROUND(d2o, 6) AS d2_orig, ROUND(d2p, 6) AS d2_proj,
+      |  CASE WHEN d2o = 0 THEN 1.0 ELSE ROUND(d2p / 8.0 / d2o, 6) END AS ratio
+      |FROM pairs ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q139_jl_audit" -> q139JlAudit,
     "q29_ann_bruteforce" -> q29BruteForceTopK,
     "q30_ann_lsh_bucketed" -> q30IvfTopK,
     "q32_embedding_neardup" -> q32EmbeddingNearDup,
@@ -1117,6 +1191,7 @@ object SimilarityOps {
     "q132_ndcg_audit" -> q132NdcgAudit(),
   )
   val oracle: Map[String, String] = Map(
+    "q139_jl_audit" -> q139Sql,
     "q126_ivf_recall_audit" -> q126Sql,
     "q132_ndcg_audit" -> q132Sql,
     "q81_pq_ann" -> q81Sql,
