@@ -1113,9 +1113,12 @@ object SimilarityOps {
     * driver-side (8×64 md5s, zero per-row hashing), DuckDB re-derives it
     * from the same md5 rule — same bits either way. Projection is one
     * array-local pass (zip_with/aggregate folds, sequential like every
-    * other float kernel here); pair distortion runs only on the sampled
-    * ids (vec_id % 13, all-pairs over a FIXED-SIZE panel — never
-    * corpus²). */
+    * other float kernel here); pair distortion runs over a FIXED-SIZE
+    * content-addressed panel (md5-ordered top-40, the refinedCentroids
+    * seed construction) — 780 pairs at ANY corpus size. A %-of-corpus
+    * sample would be a fixed FRACTION, whose all-pairs mass grows
+    * quadratically with the corpus; a fixed panel is the audit's scale
+    * contract, and the panel selection itself is a distributed top-k. */
   val q139JlAudit: Q = (s, d) => {
     val m = 8; val dims = 64
     val signs: Seq[Seq[Double]] = (0 until m).map { j =>
@@ -1129,7 +1132,8 @@ object SimilarityOps {
     val yCol = transform(typedLit(signs), sr =>
       aggregate(zip_with(col("embedding"), sr,
         (x, sg) => x.cast("double") * sg), lit(0.0d), (acc, v) => acc + v))
-    val p = embeddings(s, d).filter(col("vec_id") % 13 === 0)
+    val p = embeddings(s, d)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(40)
       .select(col("vec_id"), col("embedding"), yCol.as("y"))
     val a = p.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("y").as("ya"))
@@ -1158,7 +1162,8 @@ object SimilarityOps {
       |        (CASE WHEN CAST(concat('0x', substr(md5(concat(j, ':', i)), 1, 8))
       |                    AS BIGINT) % 2 = 0
       |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))) AS y
-      |  FROM embeddings WHERE vec_id % 13 = 0),
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40) sd),
       |pairs AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    list_sum(list_transform(range(1, 65), i ->

@@ -136,6 +136,7 @@ object Soak {
     "q122_substr_removal", "q102_semantic_dedup", "q102_semantic_trained",
     "q124_semdedup_xcell", "q127_bloom_decontam", "q133_containment",
     "q134_winnowing", "q135_sketch_calibration",
+    "q137_cdc_chunks", "q138_edit_verify",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -162,6 +163,7 @@ object Soak {
     "q107_diversity_sample", "q114_filtered_ann",
     "q125_nn_descent", "q125_descent_trained",
     "q115_maxsim", "q116_truncation_audit", "q117_hybrid_rrf",
+    "q136_bm25", "q139_jl_audit", "q140_silhouette",
     "q119_semantic_decontam", "q126_ivf_recall_audit", "q132_ndcg_audit",
     "q129_label_prop", "q130_pagerank", "q130_pagerank_trained",
     // sequence assembly + pipeline
