@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // JoinOrderSteeringRule for why it must not live in the fixpoint batch
     ext.injectPreCBORule(_ => JoinOrderSteeringRule)
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    GraftExtensions.hashKernelDescriptors.foreach(ext.injectFunction)
   }
 }
 
@@ -47,6 +48,50 @@ object GraftExtensions {
       require(children.length == 2, "cosine_similarity(a, b) takes exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
     })
+
+  /** The shape/seed parameters of the hash kernels are COMPILE-TIME ints
+    * on the expression (they size generated arrays), so the SQL surface
+    * requires them as integer literals. */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  }
+
+  /** The native hash-kernel family as SQL functions — every codegen'd
+    * expression the Column API exposes is also callable from
+    * `spark.sql(...)`: minhash_fast(shingles, nSeeds),
+    * minhash_tokens(tokens, nSeeds), band_keys_fast(sig, nBands,
+    * rowsPerBand), winnow_md5(tokens, k, w). */
+  val hashKernelDescriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_fast"),
+      new ExpressionInfo(classOf[graft.functions.MinHashFastExpr].getName, "minhash_fast"),
+      (c: Seq[Expression]) => {
+        require(c.length == 2, "minhash_fast(shingles, nSeeds) takes exactly 2 arguments")
+        graft.functions.MinHashFastExpr(c.head, intLit(c(1), "minhash_fast", "nSeeds"))
+      }),
+    (FunctionIdentifier("minhash_tokens"),
+      new ExpressionInfo(classOf[graft.functions.MinHashTokensExpr].getName, "minhash_tokens"),
+      (c: Seq[Expression]) => {
+        require(c.length == 2, "minhash_tokens(tokens, nSeeds) takes exactly 2 arguments")
+        graft.functions.MinHashTokensExpr(c.head, intLit(c(1), "minhash_tokens", "nSeeds"))
+      }),
+    (FunctionIdentifier("band_keys_fast"),
+      new ExpressionInfo(classOf[graft.functions.BandKeysFastExpr].getName, "band_keys_fast"),
+      (c: Seq[Expression]) => {
+        require(c.length == 3, "band_keys_fast(sig, nBands, rowsPerBand) takes exactly 3 arguments")
+        graft.functions.BandKeysFastExpr(c.head,
+          intLit(c(1), "band_keys_fast", "nBands"),
+          intLit(c(2), "band_keys_fast", "rowsPerBand"))
+      }),
+    (FunctionIdentifier("winnow_md5"),
+      new ExpressionInfo(classOf[graft.functions.WinnowMd5Expr].getName, "winnow_md5"),
+      (c: Seq[Expression]) => {
+        require(c.length == 3, "winnow_md5(tokens, k, w) takes exactly 3 arguments")
+        graft.functions.WinnowMd5Expr(c.head,
+          intLit(c(1), "winnow_md5", "k"),
+          intLit(c(2), "winnow_md5", "w"))
+      }))
 }
 
 /** Applies the session's steering choice (`spark.graft.steering.strategy`)

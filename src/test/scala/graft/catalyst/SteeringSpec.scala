@@ -27,6 +27,39 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("extension registers the hash-kernel family as SQL functions") {
+    // each SQL call must agree with its Column-API expression
+    val sqlMh = spark.sql(
+      "SELECT minhash_fast(array('a b c'), 4) AS s").head().getSeq[Long](0)
+    val colMh = spark.range(1)
+      .select(graft.functions.MinHashFastExpr(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("a b c")), 4).as("s"))
+      .head().getSeq[Long](0)
+    assert(sqlMh == colMh && sqlMh.length == 4)
+
+    val sqlWin = spark.sql(
+      "SELECT winnow_md5(split('a b c d e f g h', ' '), 3, 4) AS f")
+      .head().getSeq[Long](0)
+    val colWin = spark.range(1)
+      .select(graft.functions.WinnowMd5Expr(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lit("a b c d e f g h"), " "), 3, 4).as("f"))
+      .head().getSeq[Long](0)
+    assert(sqlWin == colWin && sqlWin.nonEmpty)
+
+    val sqlBands = spark.sql(
+      "SELECT band_keys_fast(minhash_tokens(split('a b c d e', ' '), 16), 4, 4) AS b")
+      .head().getSeq[Long](0)
+    assert(sqlBands.length == 4)
+
+    // shape params must be literals — a column reference is a user error
+    val err = intercept[Exception](
+      spark.sql("SELECT winnow_md5(split('a b', ' '), id + 1, 4) FROM range(1)").collect())
+    assert(err.getMessage.contains("integer literal")
+      || Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("steering strategy 'merge' forces sort-merge join") {
     spark.conf.set(HintSteeringRule.ConfKey, "merge")
     try assert(physical(joinDF).contains("SortMergeJoin"))
