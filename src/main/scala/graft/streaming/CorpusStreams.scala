@@ -503,6 +503,60 @@ object CorpusStreams {
       .join(index, Seq("gram"))
       .select(col("doc_id"), col("pos"))
 
+  /** Build the static CDC chunk index a streaming chunk-dedup probe
+    * hits — the accumulated corpus's DISTINCT content-defined chunk keys
+    * under the production kernel
+    * ([[graft.operators.DedupOps.cdcChunksFast]], xxhash64 boundaries and
+    * keys). Membership is all the probe needs, so no doc ids and no
+    * bucket cap: one row per distinct (chunk_hash, chunk_len), ≤ token
+    * mass / E[chunk] and collapsing further under duplication. In a
+    * deployment this is a parquet table bucketed by chunk_hash, appended
+    * by the batch pipeline after each rebuild — the CDC twin of
+    * [[gramIndex]]. Unlike the k-gram index, CDC keys survive INSERTIONS
+    * in the arriving copy: boundaries re-synchronize at the next
+    * content-defined cut, so a shifted re-crawl still collides. */
+  def chunkIndex(corpus: DataFrame, modulus: Int = 16): DataFrame =
+    graft.operators.DedupOps.cdcChunksFast(corpus, modulus)
+      .select(col("chunk_hash"), col("chunk_len")).distinct()
+
+  /** Streaming CDC chunk probe — the ingest-time form of q137's
+    * detection half: each arriving document is chunked by the SAME
+    * content-defined rule and its chunk keys stream-static join the
+    * corpus [[chunkIndex]]; a collision row (doc_id, chunk_hash,
+    * chunk_len) marks a chunk the corpus already holds. STATELESS on the
+    * stream side (the index is the state, maintained by the batch
+    * pipeline), so restarts and replays route identically. */
+  def chunkProbeAgainstIndex(docs: DataFrame, index: DataFrame,
+                             modulus: Int = 16): DataFrame =
+    graft.operators.DedupOps.cdcChunksFast(docs, modulus)
+      .join(index, Seq("chunk_hash", "chunk_len"))
+      .select(col("doc_id"), col("chunk_hash"), col("chunk_len"))
+
+  /** The ADMISSION half of ingest-time chunk dedup, for `foreachBatch`
+    * (it aggregates per document): score each arriving doc by the
+    * token-weighted fraction of its chunks the corpus already holds, and
+    * admit below `maxDupFrac`. A doc that is a shifted copy of a corpus
+    * doc scores near 1 (CDC re-sync) and is rejected; a doc quoting one
+    * boilerplate paragraph scores ≈ paragraph/doc mass and passes — the
+    * chunk-granular middle ground between q95's whole-doc MinHash
+    * admission and q122's span-level rewrite. */
+  def chunkDupAdmission(docs: DataFrame, index: DataFrame,
+                        maxDupFrac: Double = 0.5,
+                        modulus: Int = 16): DataFrame = {
+    val ch = graft.operators.DedupOps.cdcChunksFast(docs, modulus)
+      .join(index.select(col("chunk_hash"), lit(true).as("dup")),
+        Seq("chunk_hash"), "left")
+    ch.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("dup"), 1)).as("n_dup"),
+        sum(col("chunk_len")).as("n_tokens"),
+        coalesce(sum(when(col("dup"), col("chunk_len"))), lit(0L))
+          .as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("admitted", col("dup_frac") <= maxDupFrac)
+  }
+
   /** The REWRITE half of ingest-time substring removal, for
     * `foreachBatch` (it aggregates per document, so it runs on each
     * micro-batch's DataFrame, not on the unbounded stream): drop every

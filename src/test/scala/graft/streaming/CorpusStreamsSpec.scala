@@ -679,4 +679,65 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     val cleaned = got.find(_._1 == 100L).get
     assert(!cleaned._2.contains("s1 s2") && cleaned._4 == cleaned._3 - 14)
   }
+
+  test("streaming CDC chunk probe flags a shifted re-crawl; admission rejects it") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val body = (1 to 150).map(i => s"c${i * 13 % 101}v$i").mkString(" ")
+    val corpus = Seq((1L, "web", body)).toDF("doc_id", "source", "text")
+    val index = CorpusStreams.chunkIndex(corpus).cache()
+    assert(index.count() > 2, "the corpus doc must produce several CDC chunks")
+
+    // stream side: a shifted copy (head insertion) and a novel doc
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.chunkProbeAgainstIndex(
+        stream.toDF().select(col("doc_id"), col("text")), index)
+      .writeStream.format("memory").queryName("chunkprobe").outputMode("append").start()
+    stream.addData(SourcedDoc(100, "web", s"INSERTED $body"))
+    q.processAllAvailable()
+    stream.addData(SourcedDoc(101, "web", (1 to 150).map(i => s"n$i").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    val hits = sp.table("chunkprobe").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(100L),
+      s"the shifted copy must collide (CDC re-sync), the novel doc must not: $hits")
+    val nHits = sp.table("chunkprobe").count()
+    assert(nHits >= index.count() - 1,
+      s"all but the head chunk re-sync: $nHits of ${index.count()}")
+
+    // foreachBatch admission: shifted copy rejected, novel admitted, and a
+    // doc quoting ONE corpus chunk scores its token share, not 0 or 1
+    val batch = Seq(
+      (100L, "web", s"INSERTED $body"),
+      (101L, "web", (1 to 150).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val adm = CorpusStreams.chunkDupAdmission(batch, index).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("dup_frac"), r.getAs[Boolean]("admitted"))).toMap
+    assert(adm(100L)._1 > 0.8 && !adm(100L)._2,
+      s"shifted copy must be token-dominated by known chunks: ${adm(100L)}")
+    assert(adm(101L)._1 == 0.0 && adm(101L)._2, s"novel doc admits: ${adm(101L)}")
+  }
+
+  test("CDC production kernel: lossless partition, re-sync, determinism") {
+    val sp = spark
+    import sp.implicits._
+    val body = (1 to 120).map(i => s"p${i * 29 % 89}q$i").mkString(" ")
+    val docs = Seq((1L, "web", body), (2L, "web", s"HEAD $body"))
+      .toDF("doc_id", "source", "text")
+    val ch = graft.operators.DedupOps.cdcChunksFast(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // lossless: chunk lengths sum to the token count per doc
+    val sums = ch.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(sums == Map(1L -> 120, 2L -> 121), sums.toString)
+    // re-sync: the shifted copy shares all but its head chunk
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    assert((h1 & h2).size >= h1.size - 1, s"${(h1 & h2).size} of ${h1.size}")
+    // deterministic
+    val again = graft.operators.DedupOps.cdcChunksFast(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ch.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
