@@ -367,7 +367,73 @@ object PackingOps {
       |       AS BIGINT) AS position
       |FROM k ORDER BY shard, position""".stripMargin
 
+  /** q141: packing-efficiency audit — for each candidate context length
+    * L, the number the training-compute plan actually needs: how many
+    * L-token sequences the corpus fills under (a) per-document padding
+    * (each doc chunked to ⌈dl/L⌉ sequences, the last one padded — the
+    * naive loader) vs (b) concatenate-then-chunk packing (q76's
+    * strategy: ⌈Σdl/L⌉ sequences, waste only in the final sequence), and
+    * the padding-waste fraction each burns. The (a)−(b) gap IS the GPU
+    * time packing buys; it shrinks as L approaches the mean doc length
+    * from below and explodes past it — which is why this audit runs per
+    * candidate L before anyone fixes the context length.
+    *
+    * Shape: ONE aggregate over the token counts (Σdl exact, Σ⌈dl/L⌉ per
+    * L via integer arithmetic in the same pass — the per-L "explode" is
+    * over a 3-element literal, not the corpus), so the whole audit is a
+    * map-side-collapsing scan. All outputs are exact-integer or one
+    * 6dp-rounded division. */
+  val q141PackingEfficiency: Q = (s, d) => {
+    val lens = Seq(128, 256, 512)
+    val dl = documents(s, d)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("dl"))
+    val aggCols = Seq(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")) ++
+      lens.map(L => sum(ceil(col("dl").cast("double") / L).cast("long"))
+        .as(s"pad_$L"))
+    val aggs = dl.agg(aggCols.head, aggCols.tail: _*)
+    val perL = lens.map { L =>
+      aggs.select(lit(L).as("seq_len"), col("n_docs"), col("total_tokens"),
+        col(s"pad_$L").as("n_seq_padded"),
+        ceil(col("total_tokens").cast("double") / L).cast("long")
+          .as("n_seq_packed"))
+    }.reduce(_.unionByName(_))
+    perL.select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("n_seq_padded"), col("n_seq_packed"),
+        round(lit(1.0) - col("total_tokens").cast("double")
+          / (col("n_seq_padded") * col("seq_len")), 6).as("waste_padded"),
+        round(lit(1.0) - col("total_tokens").cast("double")
+          / (col("n_seq_packed") * col("seq_len")), 6).as("waste_packed"))
+      .orderBy("seq_len")
+  }
+  val q141Sql: String =
+    """WITH dl AS (
+      |  SELECT CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS dl
+      |  FROM documents),
+      |a AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CAST(CEIL(CAST(dl AS DOUBLE) / 128) AS BIGINT)) AS BIGINT) AS pad_128,
+      |    CAST(SUM(CAST(CEIL(CAST(dl AS DOUBLE) / 256) AS BIGINT)) AS BIGINT) AS pad_256,
+      |    CAST(SUM(CAST(CEIL(CAST(dl AS DOUBLE) / 512) AS BIGINT)) AS BIGINT) AS pad_512
+      |  FROM dl),
+      |perl AS (
+      |  SELECT 128 AS seq_len, n_docs, total_tokens, pad_128 AS n_seq_padded,
+      |    CAST(CEIL(CAST(total_tokens AS DOUBLE) / 128) AS BIGINT) AS n_seq_packed FROM a
+      |  UNION ALL
+      |  SELECT 256, n_docs, total_tokens, pad_256,
+      |    CAST(CEIL(CAST(total_tokens AS DOUBLE) / 256) AS BIGINT) FROM a
+      |  UNION ALL
+      |  SELECT 512, n_docs, total_tokens, pad_512,
+      |    CAST(CEIL(CAST(total_tokens AS DOUBLE) / 512) AS BIGINT) FROM a)
+      |SELECT seq_len, n_docs, total_tokens, n_seq_padded, n_seq_packed,
+      |  ROUND(1.0 - CAST(total_tokens AS DOUBLE) / (n_seq_padded * seq_len), 6)
+      |    AS waste_padded,
+      |  ROUND(1.0 - CAST(total_tokens AS DOUBLE) / (n_seq_packed * seq_len), 6)
+      |    AS waste_packed
+      |FROM perl ORDER BY seq_len""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q141_packing_efficiency" -> q141PackingEfficiency,
     "q76_seq_packing" -> q76SeqPacking,
     "q77_chunk_windows" -> q77ChunkWindows,
     "q78_embed_quantize" -> q78EmbedQuantize,
@@ -376,6 +442,7 @@ object PackingOps {
     "q120_export_order" -> q120ExportOrder,
   )
   val oracle: Map[String, String] = Map(
+    "q141_packing_efficiency" -> q141Sql,
     "q76_seq_packing" -> q76Sql,
     "q77_chunk_windows" -> q77Sql,
     "q78_embed_quantize" -> q78Sql,

@@ -168,6 +168,7 @@ object Soak {
     "q129_label_prop", "q130_pagerank", "q130_pagerank_trained",
     // sequence assembly + pipeline
     "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
+    "q141_packing_efficiency",
     "q79_lang_drift", "q82_e2e_pipeline", "q120_export_order",
     // events (skewed-user stream; every query here reads ONLY events)
     "q19_event_windows", "q34_sessionize", "q88_sessionize_scaled",

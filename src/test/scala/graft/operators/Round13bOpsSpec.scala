@@ -192,6 +192,36 @@ class Round13bOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // ---------------------------------------------------------------- q141
+
+  test("q141: packing audit matches hand-computed sequence counts; packing never loses") {
+    val sp = spark
+    import sp.implicits._
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // 5 + 128 + 200 tokens: at L=128 padding needs 1+1+2 = 4 sequences,
+    // packing needs ceil(333/128) = 3
+    val docs = Seq((1L, "web", toks(5)), (2L, "web", toks(128)),
+      (3L, "web", toks(200))).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q141spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PackingOps.q141PackingEfficiency(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(128) == ((4L, 3L,
+      BigDecimal(1.0 - 333.0 / (4 * 128)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(1.0 - 333.0 / (3 * 128)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      out(128).toString)
+    // invariants at every L, here and on the real corpus: packing never
+    // needs more sequences, and its waste stays under one sequence's worth
+    val real = PackingOps.q141PackingEfficiency(spark, "/root/testdata/sf0.001").collect()
+    (real.toSeq ++ PackingOps.q141PackingEfficiency(spark, dir).collect()).foreach { r =>
+      val (l, total, pad, packed) = (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(packed <= pad, r.toString)
+      assert(r.getDouble(6) <= r.getDouble(5) + 1e-9, r.toString)
+      assert(packed * l - total < l, s"packed waste must be under one sequence: $r")
+    }
+  }
+
   test("q139: identical vectors project identically (ratio guard -> 1.0)") {
     val sp = spark
     import sp.implicits._
