@@ -26,7 +26,7 @@ object SparkEntry {
       PipelineOps.queries ++ CorpusOps.queries ++ BpeVocab.queries ++
       PackingOps.queries ++ CorpusPipeline.queries ++ MixtureOps.queries ++
       SubstrDedup.queries ++ SemanticDedup.queries ++ KnnGraph.queries ++
-      QualityModels.queries ++ HybridRetrieval.queries
+      QualityModels.queries ++ HybridRetrieval.queries ++ DataLayout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +36,5 @@ object SparkEntry {
       PipelineOps.oracle ++ CorpusOps.oracle ++ BpeVocab.oracle ++
       PackingOps.oracle ++ CorpusPipeline.oracle ++ MixtureOps.oracle ++
       SubstrDedup.oracle ++ SemanticDedup.oracle ++ KnnGraph.oracle ++
-      QualityModels.oracle ++ HybridRetrieval.oracle
+      QualityModels.oracle ++ HybridRetrieval.oracle ++ DataLayout.oracle
 }

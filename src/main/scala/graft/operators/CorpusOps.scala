@@ -273,16 +273,96 @@ object CorpusOps {
       |        / n, 6) AS intercept
       |FROM sums ORDER BY source""".stripMargin
 
+  /** q142: interpolated Kneser-Ney bigram LM scoring — the smoothing the
+    * production perplexity filters actually use (KenLM's modified KN;
+    * Wenzek et al. 2020 score CommonCrawl shards with it), upgraded from
+    * q63/q110's add-one baseline. Add-one over-penalizes rare-but-real
+    * continuations in proportion to vocabulary size; KN discounts every
+    * observed bigram by a fixed D and backs off to the CONTINUATION
+    * distribution (how many distinct contexts a word follows), which is
+    * what separates "Francisco" (frequent, but only after "San") from
+    * genuinely productive words:
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − D)/c(w1)
+    *               + D·N1+(w1,·)/c(w1) · N1+(·,w2)/|bigram types|
+    *
+    * with D = 0.75. Scoring the training corpus itself, every scored
+    * bigram has c ≥ 1, so the max(·,0) clamp never binds and the model
+    * assigns every occurrence a finite log-probability.
+    *
+    * Scale shape: all four statistic tables derive from the TYPE table
+    * c(w1,w2) (vocabulary²-bounded, collapsed map-side) — the
+    * context totals c(w1) and fan-outs N1+(w1,·) are ONE further
+    * aggregation over types (not a second pass over occurrences), the
+    * continuation counts N1+(·,w2) likewise, and the type-count
+    * denominator is a single broadcast row. The join back to occurrence
+    * rows shuffles on the high-cardinality token keys (AQE-skew-safe),
+    * exactly q63's plan. Determinism: per-term logs rounded to 6dp,
+    * order-free DECIMAL(38,6) summation; the perplexity exp runs on the
+    * already-rounded per-doc mean. */
+  def knBigramScores(docs: DataFrame): DataFrame = {
+    val l = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("l"))
+    val bg = l.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val cw = cbg.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"),
+      count(lit(1)).as("n1p_fw"))
+    val bw = cbg.groupBy("w2").agg(count(lit(1)).as("n1p_bw"))
+    val t = cbg.agg(count(lit(1)).as("t_types"))
+    val pKn = (col("c_bg").cast(DoubleType) - lit(0.75d)) /
+        col("c_w1").cast(DoubleType) +
+      lit(0.75d) * col("n1p_fw").cast(DoubleType) / col("c_w1").cast(DoubleType) *
+        (col("n1p_bw").cast(DoubleType) / col("t_types").cast(DoubleType))
+    val mean = round(sum(col("logp").cast(DecimalType(38, 6))).cast(DoubleType) /
+      count(lit(1)), 6)
+    bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1")).join(bw, Seq("w2"))
+      .crossJoin(broadcast(t))
+      .select(col("doc_id"), round(log(pKn), 6).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), mean.as("kn_logprob"),
+        round(exp(-mean), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+  val q142KnPerplexity: Q = (s, d) => knBigramScores(documents(s, d))
+  val q142Sql: String =
+    """WITH l AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |          i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS b
+      |        FROM l WHERE len(l) >= 2),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgs),
+      |cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |cw AS (SELECT w1, SUM(c_bg) AS c_w1, COUNT(*) AS n1p_fw FROM cbg GROUP BY 1),
+      |bw AS (SELECT w2, COUNT(*) AS n1p_bw FROM cbg GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS t_types FROM cbg),
+      |terms AS (
+      |  SELECT bg.doc_id,
+      |    ROUND(LN((CAST(c_bg AS DOUBLE) - 0.75) / CAST(c_w1 AS DOUBLE)
+      |      + 0.75 * CAST(n1p_fw AS DOUBLE) / CAST(c_w1 AS DOUBLE)
+      |        * (CAST(n1p_bw AS DOUBLE) / CAST(t_types AS DOUBLE))), 6) AS logp
+      |  FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1) JOIN bw USING (w2)
+      |  CROSS JOIN t)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS kn_logprob,
+      |  ROUND(EXP(-ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
+      |    / COUNT(*), 6)), 6) AS ppl
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62TfidfTopTerms,
     "q63_bigram_lm" -> q63BigramLm,
     "q101_source_divergence" -> q101SourceDivergence,
     "q104_zipf_slope" -> q104ZipfSlope,
+    "q142_kn_perplexity" -> q142KnPerplexity,
   )
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
     "q63_bigram_lm" -> q63Sql,
     "q101_source_divergence" -> q101Sql,
     "q104_zipf_slope" -> q104Sql,
+    "q142_kn_perplexity" -> q142Sql,
   )
 }

@@ -55,4 +55,143 @@ object DataLayout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
+
+  /** Per-file min/max skipping stats for one candidate layout of
+    * lineitem: assign each row to one of 64 "files" by NTILE over the
+    * layout's sort key (the deterministic stand-in for the range-write,
+    * replayable in SQL), then fold each file's footer stats and test them
+    * against a 2-D box predicate (~2 % of rows; bounds derived from the
+    * key ranges so the audit is scale-factor-free — see
+    * [[q145ZorderLayout]]). `files_hit`/`rows_scanned` are what a
+    * min/max-pruning scan would actually open and read. */
+  private def layoutAudit(li: DataFrame, key: Seq[Column], layout: String,
+                          pLo: Long, pHi: Long, sLo: Long, sHi: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(key :+ col("l_orderkey") :+ col("l_linenumber"): _*)
+    val inBox = col("l_partkey").between(pLo, pHi) &&
+      col("l_suppkey").between(sLo, sHi)
+    val hit = col("min_p") <= pHi && col("max_p") >= pLo &&
+      col("min_s") <= sHi && col("max_s") >= sLo
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        ntile(64).over(w).as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+        min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"),
+        sum(when(inBox, 1L).otherwise(0L)).as("n_match"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+        sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"),
+        sum(col("n")).as("rows_total"))
+      .select(lit(layout).as("layout"), col("files_total"), col("files_hit"),
+        col("rows_scanned"), col("rows_matched"),
+        round(col("rows_scanned").cast("double") / col("rows_total"), 6)
+          .as("scan_frac"))
+  }
+
+  /** q145: the Z-order data-skipping audit — the measured case for
+    * [[zorderBy]] as a gate query. Three layouts of lineitem (natural
+    * insertion order; single-column l_partkey sort; the Z-curve of
+    * (l_partkey, l_suppkey)) are each split into 64 files, and a
+    * min/max-pruning scan for one selective 2-D box is replayed against
+    * the footer stats: natural order hits everything, the single-column
+    * sort prunes only on its leading column, and the Z-layout prunes on
+    * BOTH — the reason OPTIMIZE ZORDER exists at 100 TB, here pinned as
+    * numbers (`files_hit`, `rows_scanned`, `scan_frac`) instead of
+    * prose. The keys are already dense non-negative ordinals so the
+    * audit interleaves values directly ([[zvalue]]), with one static
+    * normalization: suppkey spans 7 bits against partkey's 11, so it is
+    * scaled ×16 to align the two columns' bit weights on the curve —
+    * the constant-factor stand-in for the production write's rank
+    * normalization ([[rankBuckets]], DataLayoutSpec), chosen so the
+    * oracle replays it as plain integer arithmetic.
+    *
+    * The NTILE file assignment is one global sort per layout — exactly
+    * the range-exchange the real write pays (`repartitionByRange`
+    * samples instead of sorting; the audit needs the deterministic
+    * form so DuckDB replays file boundaries bit-for-bit). Output is
+    * 3 rows of BIGINT counts + one rounded ratio — hash-exact.
+    *
+    * The box bounds derive from the observed key ranges in pure integer
+    * arithmetic (40 % of the partkey span × 5 % of the suppkey span —
+    * at sf0.01 that is partkey ∈ [100,900] ∧ suppkey ∈ [20,25]), so the
+    * audit is meaningful at every scale factor; the 4-value stats row is
+    * a bounded driver-side panel (the q29/q81 collect policy), and the
+    * oracle recomputes the same bounds with `//`. */
+  val q145ZorderLayout: Q = (s, d) => {
+    val li = graft.Tables.lineitem(s, d)
+    val b = li.agg(
+      min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
+    val (pMin, pMax, sMin, sMax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val pLo = pMin + (pMax - pMin + 1) * 5 / 100
+    val pHi = pMin + (pMax - pMin + 1) * 45 / 100
+    val sLo = sMin + (sMax - sMin + 1) * 20 / 100
+    val sHi = sMin + (sMax - sMin + 1) * 25 / 100
+    val z = zvalue(col("l_partkey"), col("l_suppkey") * 16)
+    layoutAudit(li, Seq(col("l_orderkey")), "natural", pLo, pHi, sLo, sHi)
+      .unionAll(layoutAudit(li, Seq(col("l_partkey")), "partkey_sort", pLo, pHi, sLo, sHi))
+      .unionAll(layoutAudit(li, Seq(z), "zorder", pLo, pHi, sLo, sHi))
+      .orderBy("layout")
+  }
+  val q145Sql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+      |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      |  FROM lineitem),
+      |box AS (
+      |  SELECT pmin + (pmax - pmin + 1) * 5 // 100 AS p_lo,
+      |         pmin + (pmax - pmin + 1) * 45 // 100 AS p_hi,
+      |         smin + (smax - smin + 1) * 20 // 100 AS s_lo,
+      |         smin + (smax - smin + 1) * 25 // 100 AS s_hi
+      |  FROM b),
+      |li AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    list_sum(list_transform(range(0, 16),
+      |      i -> (((l_partkey >> i) & 1) << (2 * i))
+      |         + ((((l_suppkey * 16) >> i) & 1) << (2 * i + 1)))) AS z
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    NTILE(64) OVER (ORDER BY l_orderkey, l_linenumber) AS f_nat,
+      |    NTILE(64) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) AS f_part,
+      |    NTILE(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f_z
+      |  FROM li),
+      |tagged AS (
+      |  SELECT 'natural' AS layout, f_nat AS fl, l_partkey, l_suppkey FROM f
+      |  UNION ALL SELECT 'partkey_sort', f_part, l_partkey, l_suppkey FROM f
+      |  UNION ALL SELECT 'zorder', f_z, l_partkey, l_suppkey FROM f),
+      |pf AS (
+      |  SELECT layout, fl, COUNT(*) AS n,
+      |    MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+      |    MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s,
+      |    SUM(CASE WHEN l_partkey BETWEEN (SELECT p_lo FROM box)
+      |                            AND (SELECT p_hi FROM box)
+      |             AND l_suppkey BETWEEN (SELECT s_lo FROM box)
+      |                             AND (SELECT s_hi FROM box)
+      |             THEN 1 ELSE 0 END) AS n_match
+      |  FROM tagged GROUP BY 1, 2)
+      |SELECT layout, COUNT(*) AS files_total,
+      |  CAST(SUM(CASE WHEN min_p <= (SELECT p_hi FROM box) AND max_p >= (SELECT p_lo FROM box)
+      |                AND min_s <= (SELECT s_hi FROM box) AND max_s >= (SELECT s_lo FROM box)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+      |  CAST(SUM(CASE WHEN min_p <= (SELECT p_hi FROM box) AND max_p >= (SELECT p_lo FROM box)
+      |                AND min_s <= (SELECT s_hi FROM box) AND max_s >= (SELECT s_lo FROM box)
+      |           THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+      |  CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+      |  ROUND(CAST(SUM(CASE WHEN min_p <= (SELECT p_hi FROM box) AND max_p >= (SELECT p_lo FROM box)
+      |                      AND min_s <= (SELECT s_hi FROM box) AND max_s >= (SELECT s_lo FROM box)
+      |                 THEN n ELSE 0 END) AS DOUBLE) / SUM(n), 6) AS scan_frac
+      |FROM pf GROUP BY layout ORDER BY layout""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q145_zorder_layout" -> q145ZorderLayout,
+  )
+  val oracle: Map[String, String] = Map(
+    "q145_zorder_layout" -> q145Sql,
+  )
 }

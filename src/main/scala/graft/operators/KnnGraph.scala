@@ -742,6 +742,71 @@ object KnnGraph {
        |  MIN(sil) AS min_sil
        |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** Mutual-kNN (reciprocal-neighbor) filter: keep a directed edge only
+    * when its reverse edge is also in the graph. The standard kNN-graph
+    * denoiser (the `mutual_nn` step in dedup/cluster pipelines, the MNN
+    * rule in batch-effect correction): hub vectors attract many one-way
+    * edges from unrelated neighborhoods, and requiring reciprocity drops
+    * exactly those — raising same-label purity at the cost of degree.
+    * One self-join of the edge list on the swapped key pair; edge set is
+    * ≤ k·N rows, so the join is edge-mass-bounded, never pair-mass. */
+  def mutualEdges(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id"))
+    edges.join(rev, Seq("src_id", "nbr_id"), "left_semi")
+  }
+
+  /** q144: mutual-kNN purity audit — per source label, the directed kNN
+    * edge count, same-label edge count, and purity, against the same
+    * three numbers after the reciprocity filter. The audit a curation
+    * deployment runs to decide whether its cluster/label-propagation
+    * graph (q105/q129) should pay the mutual filter's recall cost: if
+    * purity_mutual ≈ purity_knn the hubs are benign; a large gap means
+    * one-way hub edges are polluting downstream components. Label joins
+    * shuffle on vec_id (edge-mass-bounded); the final aggregate is
+    * |labels|×2 rows. Hash-exact: counts are BIGINT, purity is one
+    * rounded division. */
+  def q144MutualKnn(k: Int = 5, nList: Int = -1, nProbe: Int = 4): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val edges = knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl),
+      k, nProbe).select("src_id", "nbr_id")
+    val tagged = edges.withColumn("edge_set", lit("knn"))
+      .unionAll(mutualEdges(edges).withColumn("edge_set", lit("mutual")))
+    val lab = emb.select(col("vec_id"), col("label"))
+    tagged
+      .join(lab.select(col("vec_id").as("src_id"), col("label").as("src_label")),
+        Seq("src_id"))
+      .join(lab.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")),
+        Seq("nbr_id"))
+      .groupBy("edge_set", "src_label")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("src_label") === col("nbr_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("edge_set"), col("src_label").as("label"), col("n_edges"),
+        col("n_same"),
+        round(col("n_same").cast("double") / col("n_edges"), 6).as("purity"))
+      .orderBy("edge_set", "label")
+  }
+  private val q144Sql: String =
+    s"""WITH ${knnCtes(nList = 16, nProbe = 4, k = 5)},
+       |e AS (SELECT src_id, nbr_id FROM edges_k),
+       |m AS (SELECT e.src_id, e.nbr_id FROM e
+       |      JOIN e r ON r.src_id = e.nbr_id AND r.nbr_id = e.src_id),
+       |tagged AS (
+       |  SELECT 'knn' AS edge_set, src_id, nbr_id FROM e
+       |  UNION ALL SELECT 'mutual', src_id, nbr_id FROM m),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT t.edge_set, sl.label AS label, COUNT(*) AS n_edges,
+       |  CAST(SUM(CASE WHEN sl.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_same,
+       |  ROUND(CAST(SUM(CASE WHEN sl.label = nl.label THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / COUNT(*), 6) AS purity
+       |FROM tagged t
+       |JOIN lab sl ON sl.vec_id = t.src_id
+       |JOIN lab nl ON nl.vec_id = t.nbr_id
+       |GROUP BY t.edge_set, sl.label
+       |ORDER BY edge_set, label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q140_silhouette" -> q140Silhouette(),
     "q103_knn_graph" -> q103KnnGraph(),
@@ -750,6 +815,7 @@ object KnnGraph {
     "q125_nn_descent" -> q125NnDescent(),
     "q129_label_prop" -> q129LabelProp(),
     "q130_pagerank" -> q130PageRank(),
+    "q144_mutual_knn" -> q144MutualKnn(),
   )
   val oracle: Map[String, String] = Map(
     "q140_silhouette" -> q140Sql,
@@ -759,5 +825,6 @@ object KnnGraph {
     "q125_nn_descent" -> q125Sql,
     "q129_label_prop" -> q129Sql,
     "q130_pagerank" -> q130Sql,
+    "q144_mutual_knn" -> q144Sql,
   )
 }

@@ -599,6 +599,95 @@ object TextOps {
       |GROUP BY k.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q143: Count-Min sketch frequency estimation with an exact error
+    * audit — the merge-friendly complement to q128's Misra-Gries. MG
+    * answers "which tokens are heavy" with bounded state but needs the
+    * exact recount pass; a Count-Min sketch (Cormode & Muthukrishnan
+    * 2005) answers point frequency queries from CONSTANT state
+    * (depth × width counters, here 4 × 16 — width shrunk to the gate corpus
+    * the way q125 starves its base: the synthetic vocabulary is ~31
+    * types, so a production-sized 2^20-cell sketch would never collide
+    * and the audit would pin nothing; at width 16 the collision error
+    * the sketch trades for constant state is actually exercised) that merges by cell-wise
+    * addition — the shape a 1000-executor pipeline wants, since every
+    * shard's sketch folds into the global one with no candidate
+    * exchange, and the same sketch later serves any ad-hoc token probe
+    * without re-reading the corpus.
+    *
+    * Construction collapses to relational algebra: fold the OCCURRENCE
+    * stream to the vocabulary-sized type table first (map-side partial
+    * agg — hashing once per type, not per occurrence, is the classic
+    * CMS-over-aggregates trick and is mathematically the identical
+    * sketch), explode each type into its `depth` (row, bucket) cells,
+    * and sum counts per cell: the sketch IS a 2048-row DataFrame.
+    * Estimation: est(t) = min over rows of that row's bucket sum —
+    * always ≥ the true count (cells only ever over-count via
+    * collisions), within ε·N (ε = e/width) with probability
+    * 1 − e^−depth. The audit joins the estimates back against the
+    * exact counts for the top-25 tokens and reports the per-token
+    * overestimate — all BIGINT arithmetic, hash-exact by construction.
+    * Bucket hashing is the md5₃₂ idiom (identical hex in both engines):
+    * row j's hash of token t is md5("j#t") mod width. */
+  def countMinSketch(toks: DataFrame, depth: Int = 4, width: Int = 16): DataFrame = {
+    val tc = toks.groupBy("token").agg(count(lit(1)).as("c_true"))
+    tc.select(col("token"), col("c_true"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("rw"))
+      .select(col("rw"),
+        (conv(substring(md5(concat(col("rw").cast("string"), lit("#"),
+          col("token"))), 1, 8), 16, 10).cast("long") % width).as("bucket"),
+        col("c_true"))
+      .groupBy("rw", "bucket").agg(sum(col("c_true")).as("cell_sum"))
+  }
+
+  def countMinAudit(docs: DataFrame, depth: Int = 4, width: Int = 16,
+                    topK: Int = 25): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val sketch = countMinSketch(toks, depth, width)
+    val tc = toks.groupBy("token").agg(count(lit(1)).as("c_true"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("c_true"), col("token"))
+    val top = tc.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+    val probes = top.select(col("token"), col("c_true"), col("rk"),
+      explode(expr(s"sequence(0, ${depth - 1})")).as("rw"))
+      .select(col("token"), col("c_true"), col("rk"), col("rw"),
+        (conv(substring(md5(concat(col("rw").cast("string"), lit("#"),
+          col("token"))), 1, 8), 16, 10).cast("long") % width).as("bucket"))
+    probes.join(sketch, Seq("rw", "bucket"))
+      .groupBy("token", "c_true", "rk")
+      .agg(min(col("cell_sum")).as("c_est"))
+      .select(col("token"), col("c_true"), col("c_est"),
+        (col("c_est") - col("c_true")).as("overestimate"), col("rk"))
+      .orderBy("rk")
+  }
+  val q143CountMinAudit: Q = (s, d) => countMinAudit(documents(s, d))
+  val q143Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS token
+      |  FROM documents),
+      |tc AS (SELECT token, COUNT(*) AS c_true FROM toks GROUP BY token),
+      |cells AS (
+      |  SELECT r.range AS rw,
+      |    CAST(concat('0x', substr(md5(concat(CAST(r.range AS VARCHAR), '#',
+      |      token)), 1, 8)) AS BIGINT) % 16 AS bucket,
+      |    c_true
+      |  FROM tc CROSS JOIN range(0, 4) r),
+      |sketch AS (SELECT rw, bucket, SUM(c_true) AS cell_sum
+      |           FROM cells GROUP BY 1, 2),
+      |top AS (
+      |  SELECT token, c_true,
+      |    ROW_NUMBER() OVER (ORDER BY c_true DESC, token) AS rk
+      |  FROM tc QUALIFY rk <= 25),
+      |probes AS (
+      |  SELECT token, c_true, rk, r.range AS rw,
+      |    CAST(concat('0x', substr(md5(concat(CAST(r.range AS VARCHAR), '#',
+      |      token)), 1, 8)) AS BIGINT) % 16 AS bucket
+      |  FROM top CROSS JOIN range(0, 4) r)
+      |SELECT token, c_true, CAST(MIN(cell_sum) AS BIGINT) AS c_est,
+      |  CAST(MIN(cell_sum) - c_true AS BIGINT) AS overestimate, rk
+      |FROM probes JOIN sketch USING (rw, bucket)
+      |GROUP BY token, c_true, rk
+      |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20TokenStats,
     "q21_quality_score" -> q21QualityScore,
@@ -612,6 +701,7 @@ object TextOps {
     "q121_split_leakage" -> q121SplitLeakage,
     "q128_heavy_hitters" -> q128HeavyHitters,
     "q131_unigram_logprob" -> q131UnigramLogprob,
+    "q143_countmin_audit" -> q143CountMinAudit,
   )
   val oracle: Map[String, String] = Map(
     "q20_token_stats" -> q20Sql,
@@ -626,5 +716,6 @@ object TextOps {
     "q121_split_leakage" -> q121Sql,
     "q128_heavy_hitters" -> q128Sql,
     "q131_unigram_logprob" -> q131Sql,
+    "q143_countmin_audit" -> q143Sql,
   )
 }
