@@ -104,6 +104,30 @@ object CorpusStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("source"), col("lang"), col("n_docs"))
 
+  /** Streaming Count-Min sketch — the ingest-time twin of q143's
+    * [[graft.operators.TextOps.countMinSketch]]: every arriving
+    * document's tokens hash into the same depth×width cell grid and the
+    * running aggregation keeps ONE count per cell. This is the sketch's
+    * whole point as streaming state: the store holds exactly
+    * depth × width rows FOREVER — no watermark, no eviction policy, no
+    * per-key growth — while still answering any point frequency query
+    * over everything ever ingested (est = min over rows of the cell
+    * count, one-sided error, Round13cOpsSpec). The batch operator folds
+    * occurrences through the vocabulary-sized type table first; the
+    * stream counts occurrences directly (update-mode aggregations do
+    * not cascade) — cell values are identical either way, pinned by the
+    * batch-parity spec. */
+  def frequencySketch(docs: DataFrame, depth: Int = 4,
+                      width: Int = 16): DataFrame =
+    docs
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("rw"), col("token"))
+      .select(col("rw"),
+        (conv(substring(md5(concat(col("rw").cast("string"), lit("#"),
+          col("token"))), 1, 8), 16, 10).cast("long") % width).as("bucket"))
+      .groupBy("rw", "bucket")
+      .agg(count(lit(1)).as("cell_sum"))
+
   final case class PackedDoc(doc_id: Long, source: String,
                              n_tokens: Long, bin: Long)
 

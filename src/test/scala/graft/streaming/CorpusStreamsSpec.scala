@@ -740,4 +740,33 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(ch.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
   }
+
+  test("streaming CMS: state stays depth*width and matches the batch sketch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val (depth, width) = (4, 8)
+    val d1 = Seq(
+      SourcedDoc(1, "web", "aa aa bb cc dd"),
+      SourcedDoc(2, "web", "ee ff gg aa bb"))
+    val d2 = Seq(
+      SourcedDoc(3, "web", "hh ii jj aa"),
+      SourcedDoc(4, "web", "bb bb kk ll mm"))
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.frequencySketch(stream.toDF(), depth, width)
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    stream.addData(d1: _*); q.processAllAvailable()
+    stream.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    val got = sp.table("cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size <= depth * width,
+      s"sketch state is bounded by the grid: ${got.size}")
+    val batch = graft.operators.TextOps.countMinSketch(
+      (d1 ++ d2).toDF("doc_id", "source", "text")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token")),
+      depth, width).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch, "streamed cells must equal the batch sketch")
+  }
 }
