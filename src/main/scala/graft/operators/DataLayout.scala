@@ -59,24 +59,33 @@ object DataLayout {
   type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
 
   /** Per-file min/max skipping stats for one candidate layout of
-    * lineitem: assign each row to one of 64 "files" by NTILE over the
-    * layout's sort key (the deterministic stand-in for the range-write,
-    * replayable in SQL), then fold each file's footer stats and test them
-    * against a 2-D box predicate (~2 % of rows; bounds derived from the
-    * key ranges so the audit is scale-factor-free — see
+    * lineitem: assign each row to one of 64 "files" by EQUAL-WIDTH key
+    * ranges over the layout's sort key — file = (key − kmin)·64 DIV
+    * span — then fold each file's footer stats and test them against a
+    * 2-D box predicate (~2 % of rows; bounds derived from the key
+    * ranges so the audit is scale-factor-free — see
     * [[q145ZorderLayout]]). `files_hit`/`rows_scanned` are what a
-    * min/max-pruning scan would actually open and read. */
-  private def layoutAudit(li: DataFrame, key: Seq[Column], layout: String,
+    * min/max-pruning scan would actually open and read.
+    *
+    * Equal-width ranges instead of NTILE is the scale decision: tiles
+    * need a GLOBAL sort (one-partition window — the exact shape this
+    * codebase bans), while the range ordinal is a narrow codegen'd map
+    * over the scan followed by a 64-group partial aggregate, i.e. the
+    * plan stays fully parallel at any corpus size. The keys here are
+    * dense near-uniform ordinals, so equal-width ≈ equal-count; sparse
+    * stretches (the Z-key's unreachable codes) just leave some ranges
+    * empty, which the audit reports honestly via `files_total` =
+    * non-empty ranges. */
+  private def layoutAudit(li: DataFrame, key: Column, kMin: Long, span: Long,
+                          layout: String,
                           pLo: Long, pHi: Long, sLo: Long, sHi: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(key :+ col("l_orderkey") :+ col("l_linenumber"): _*)
     val inBox = col("l_partkey").between(pLo, pHi) &&
       col("l_suppkey").between(sLo, sHi)
     val hit = col("min_p") <= pHi && col("max_p") >= pLo &&
       col("min_s") <= sHi && col("max_s") >= sLo
-    li.select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"),
-        ntile(64).over(w).as("f"))
+    li.select(col("l_partkey"), col("l_suppkey"),
+        (key - lit(kMin)).cast("long").as("kk"))
+      .withColumn("f", expr(s"kk * 64 DIV ${span}L"))
       .groupBy("f")
       .agg(count(lit(1)).as("n"),
         min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
@@ -96,13 +105,14 @@ object DataLayout {
   /** q145: the Z-order data-skipping audit — the measured case for
     * [[zorderBy]] as a gate query. Three layouts of lineitem (natural
     * insertion order; single-column l_partkey sort; the Z-curve of
-    * (l_partkey, l_suppkey)) are each split into 64 files, and a
-    * min/max-pruning scan for one selective 2-D box is replayed against
-    * the footer stats: natural order hits everything, the single-column
-    * sort prunes only on its leading column, and the Z-layout prunes on
-    * BOTH — the reason OPTIMIZE ZORDER exists at 100 TB, here pinned as
-    * numbers (`files_hit`, `rows_scanned`, `scan_frac`) instead of
-    * prose. The keys are already dense non-negative ordinals so the
+    * (l_partkey, l_suppkey)) are each split into 64 files by equal-width
+    * key ranges ([[layoutAudit]] — no global sort anywhere in the plan),
+    * and a min/max-pruning scan for one selective 2-D box is replayed
+    * against the footer stats: natural order hits everything, the
+    * single-column sort prunes only on its leading column, and the
+    * Z-layout prunes on BOTH — the reason OPTIMIZE ZORDER exists at
+    * 100 TB, pinned as numbers (8 vs 26 vs 64 files at sf0.01) instead
+    * of prose. The keys are already dense non-negative ordinals so the
     * audit interleaves values directly ([[zvalue]]), with one static
     * normalization: suppkey spans 7 bits against partkey's 11, so it is
     * scaled ×16 to align the two columns' bit weights on the curve —
@@ -110,56 +120,64 @@ object DataLayout {
     * normalization ([[rankBuckets]], DataLayoutSpec), chosen so the
     * oracle replays it as plain integer arithmetic.
     *
-    * The NTILE file assignment is one global sort per layout — exactly
-    * the range-exchange the real write pays (`repartitionByRange`
-    * samples instead of sorting; the audit needs the deterministic
-    * form so DuckDB replays file boundaries bit-for-bit). Output is
-    * 3 rows of BIGINT counts + one rounded ratio — hash-exact.
-    *
-    * The box bounds derive from the observed key ranges in pure integer
-    * arithmetic (40 % of the partkey span × 5 % of the suppkey span —
-    * at sf0.01 that is partkey ∈ [100,900] ∧ suppkey ∈ [20,25]), so the
-    * audit is meaningful at every scale factor; the 4-value stats row is
-    * a bounded driver-side panel (the q29/q81 collect policy), and the
-    * oracle recomputes the same bounds with `//`. */
+    * The box bounds and per-layout key spans derive from the observed
+    * key ranges in pure integer arithmetic (40 % of the partkey span ×
+    * 5 % of the suppkey span — at sf0.01 that is partkey ∈ [100,900] ∧
+    * suppkey ∈ [20,25]), so the audit is meaningful at every scale
+    * factor; the 8-value stats row is a bounded driver-side panel (the
+    * q29/q81 collect policy), and the oracle recomputes the same bounds
+    * with `//`. Output is 3 rows of BIGINT counts + one rounded ratio —
+    * hash-exact. */
   val q145ZorderLayout: Q = (s, d) => {
     val li = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey") * 16))
     val b = li.agg(
       min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
-      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
-    val (pMin, pMax, sMin, sMax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long"),
+      min(col("l_orderkey")).cast("long"), max(col("l_orderkey")).cast("long"),
+      min(col("z")), max(col("z"))).head()
+    val Seq(pMin, pMax, sMin, sMax, oMin, oMax, zMin, zMax) =
+      (0 to 7).map(b.getLong)
     val pLo = pMin + (pMax - pMin + 1) * 5 / 100
     val pHi = pMin + (pMax - pMin + 1) * 45 / 100
     val sLo = sMin + (sMax - sMin + 1) * 20 / 100
     val sHi = sMin + (sMax - sMin + 1) * 25 / 100
-    val z = zvalue(col("l_partkey"), col("l_suppkey") * 16)
-    layoutAudit(li, Seq(col("l_orderkey")), "natural", pLo, pHi, sLo, sHi)
-      .unionAll(layoutAudit(li, Seq(col("l_partkey")), "partkey_sort", pLo, pHi, sLo, sHi))
-      .unionAll(layoutAudit(li, Seq(z), "zorder", pLo, pHi, sLo, sHi))
+    layoutAudit(li, col("l_orderkey"), oMin, oMax - oMin + 1,
+        "natural", pLo, pHi, sLo, sHi)
+      .unionAll(layoutAudit(li, col("l_partkey"), pMin, pMax - pMin + 1,
+        "partkey_sort", pLo, pHi, sLo, sHi))
+      .unionAll(layoutAudit(li, col("z"), zMin, zMax - zMin + 1,
+        "zorder", pLo, pHi, sLo, sHi))
       .orderBy("layout")
   }
   val q145Sql: String =
-    """WITH b AS (
-      |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
-      |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey,
+      |    list_sum(list_transform(range(0, 16),
+      |      i -> (((l_partkey >> i) & 1) << (2 * i))
+      |         + ((((l_suppkey * 16) >> i) & 1) << (2 * i + 1)))) AS z
       |  FROM lineitem),
+      |st AS (
+      |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+      |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+      |         MIN(l_orderkey) AS omin, MAX(l_orderkey) AS omax,
+      |         MIN(z) AS zmin, MAX(z) AS zmax
+      |  FROM li),
       |box AS (
       |  SELECT pmin + (pmax - pmin + 1) * 5 // 100 AS p_lo,
       |         pmin + (pmax - pmin + 1) * 45 // 100 AS p_hi,
       |         smin + (smax - smin + 1) * 20 // 100 AS s_lo,
       |         smin + (smax - smin + 1) * 25 // 100 AS s_hi
-      |  FROM b),
-      |li AS (
-      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-      |    list_sum(list_transform(range(0, 16),
-      |      i -> (((l_partkey >> i) & 1) << (2 * i))
-      |         + ((((l_suppkey * 16) >> i) & 1) << (2 * i + 1)))) AS z
-      |  FROM lineitem),
+      |  FROM st),
       |f AS (
       |  SELECT l_partkey, l_suppkey,
-      |    NTILE(64) OVER (ORDER BY l_orderkey, l_linenumber) AS f_nat,
-      |    NTILE(64) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) AS f_part,
-      |    NTILE(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f_z
+      |    (l_orderkey - (SELECT omin FROM st)) * 64
+      |      // (SELECT omax - omin + 1 FROM st) AS f_nat,
+      |    (l_partkey - (SELECT pmin FROM st)) * 64
+      |      // (SELECT pmax - pmin + 1 FROM st) AS f_part,
+      |    (z - (SELECT zmin FROM st)) * 64
+      |      // (SELECT zmax - zmin + 1 FROM st) AS f_z
       |  FROM li),
       |tagged AS (
       |  SELECT 'natural' AS layout, f_nat AS fl, l_partkey, l_suppkey FROM f

@@ -203,10 +203,14 @@ class Round13cOpsSpec extends AnyFunSuite with SharedSpark {
     val (zHit, pHit) = (out("zorder")._2, out("partkey_sort")._2)
     assert(zHit < pHit, s"z-order must open fewer files: $zHit vs $pHit")
     assert(out("zorder")._3 < out("partkey_sort")._3, "and scan fewer rows")
-    // every layout still finds all matches inside its scanned files
+    // every layout still finds all matches inside its scanned files;
+    // equal-width ranges leave at most the z-key's sparse stretches empty
     out.foreach { case (l, (total, hit, scanned, matched, _)) =>
-      assert(total == 64L); assert(hit <= total); assert(matched <= scanned || hit == 0L,
+      assert(total <= 64L && total > 0L, s"$l: files_total $total")
+      assert(hit <= total)
+      assert(matched <= scanned || hit == 0L,
         s"$l: matches must lie inside scanned files")
     }
+    assert(out("natural")._1 == 64L, "dense orderkey fills every range")
   }
 }
