@@ -925,6 +925,112 @@ object DedupOps {
        |SELECT n AS doc_id, MIN(m) AS component
        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  /** q146: leakage-free cluster-granular split assignment — the REPAIR
+    * for what q121 measures. A doc-keyed hash split puts near-duplicate
+    * documents on both sides of the train/eval boundary (the classic
+    * contamination channel: the eval answer was memorized from its
+    * training-set twin); splitting at the NEAR-DUP-CLUSTER granularity —
+    * every document inherits its q42 component's split, keyed by the
+    * component id's hash — makes cross-split leakage structurally zero
+    * while keeping the assignment stateless and reproducible (no RNG, no
+    * split table: re-running on the grown corpus re-derives it).
+    *
+    * Output: one row per rule (`by_doc` = q121's doc-keyed rule,
+    * `by_cluster` = the repair), with the leaky-cluster count, the
+    * documents involved, and the resulting split sizes — the by_doc row
+    * quantifies the contamination being bought back, the by_cluster row
+    * pins zero by construction AND shows the split-balance cost (whole
+    * clusters move together, so sizes drift from the hash split's
+    * 12/2/2 sixteenths in proportion to cluster mass).
+    *
+    * Scale shape: clusters come from the q42 chain (capped LSH pairs →
+    * O(log-diameter) label propagation); the tagging is one narrow
+    * projection (both split columns are hash expressions); the summary
+    * is a (rule, component)-keyed aggregate — ≤2·|components| rows into
+    * the final |rules|-row fold. All counts BIGINT — hash-exact. */
+  val q146ClusterSplit: Q = (s, d) =>
+    clusterSplitSummary(connectedComponents(documents(s, d).select("doc_id"),
+      q27LshPairs(s, d).select("doc_a", "doc_b")))
+
+  /** The rule/leakage summary over a (doc_id, component) frame — split
+    * out of [[q146ClusterSplit]] so the spec can pin it on a hand-built
+    * component table. */
+  def clusterSplitSummary(comp: DataFrame): DataFrame = {
+    def splitOf(c: Column) = {
+      val h1 = substring(md5(c.cast("string")), 1, 1)
+      when(h1 < "c", "train").when(h1 < "e", "val").otherwise("test")
+    }
+    val long = comp
+      .select(col("component"), lit("by_doc").as("rule"),
+        splitOf(col("doc_id")).as("split"))
+      .unionAll(comp.select(col("component"), lit("by_cluster").as("rule"),
+        splitOf(col("component")).as("split")))
+    long.groupBy("rule", "component")
+      .agg(countDistinct(col("split")).as("k"), count(lit(1)).as("n"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("va"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+      .groupBy("rule")
+      .agg(sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_leaky_clusters"),
+        sum(when(col("k") >= 2, col("n")).otherwise(0L)).as("n_docs_involved"),
+        sum(col("tr")).as("n_train"), sum(col("va")).as("n_val"),
+        sum(col("te")).as("n_test"))
+      .orderBy("rule")
+  }
+  val q146Sql: String =
+    s"""WITH RECURSIVE $duckShingles,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shing),
+       |sig AS (
+       |  SELECT doc_id, CAST(seed AS INT) AS seed,
+       |    MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       |  FROM dsh, range(0, 16) r(seed) GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash, '|'
+       |        ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '=' || minhash)) AS band_key
+       |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+       |rbands AS (
+       |  SELECT doc_id, band, band_key,
+       |    ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+       |  FROM bands),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rbands x JOIN rbands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |       AND y.rn <= x.rn + $DefaultCandidateCap),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+       |lng AS (
+       |  SELECT component, 'by_doc' AS rule,
+       |    CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |         WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM comp
+       |  UNION ALL
+       |  SELECT component, 'by_cluster',
+       |    CASE WHEN SUBSTR(md5(CAST(component AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |         WHEN SUBSTR(md5(CAST(component AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |         ELSE 'test' END
+       |  FROM comp),
+       |grp AS (
+       |  SELECT rule, component, COUNT(DISTINCT split) AS k, COUNT(*) AS n,
+       |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+       |    SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+       |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+       |  FROM lng GROUP BY rule, component)
+       |SELECT rule,
+       |  CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters,
+       |  CAST(SUM(CASE WHEN k >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_docs_involved,
+       |  CAST(SUM(tr) AS BIGINT) AS n_train,
+       |  CAST(SUM(va) AS BIGINT) AS n_val,
+       |  CAST(SUM(te) AS BIGINT) AS n_test
+       |FROM grp GROUP BY rule ORDER BY rule""".stripMargin
+
   /** Incremental dedup against an EXISTING corpus index — the ingest-time
     * production shape: a new batch of documents probes the accumulated
     * corpus's LSH signature index instead of self-deduping the union
@@ -1409,6 +1515,7 @@ object DedupOps {
     "q84_lsh_fast" -> q84LshPairsFast,
     "q92_dedup_clusters_fast" -> q92DedupClustersFast,
     "q95_dedup_against_index" -> q95DedupAgainstIndex,
+    "q146_cluster_split" -> q146ClusterSplit,
   )
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" -> q24Sql,
@@ -1428,5 +1535,6 @@ object DedupOps {
     "q137_cdc_chunks" -> q137Sql,
     "q138_edit_verify" -> q138Sql,
     "q95_dedup_against_index" -> q95Sql,
+    "q146_cluster_split" -> q146Sql,
   )
 }

@@ -136,7 +136,7 @@ object Soak {
     "q122_substr_removal", "q102_semantic_dedup", "q102_semantic_trained",
     "q124_semdedup_xcell", "q127_bloom_decontam", "q133_containment",
     "q134_winnowing", "q135_sketch_calibration",
-    "q137_cdc_chunks", "q138_edit_verify",
+    "q137_cdc_chunks", "q138_edit_verify", "q146_cluster_split",
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
@@ -147,6 +147,7 @@ object Soak {
     "q106_priority_sample",
     "q99_bpe_encode", "q100_repetition", "q101_source_divergence",
     "q104_zipf_slope", "q128_heavy_hitters", "q131_unigram_logprob",
+    "q142_kn_perplexity", "q143_countmin_audit",
     // learned selection (round 9)
     "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
     "q118_curation_pipeline",
@@ -166,6 +167,7 @@ object Soak {
     "q136_bm25", "q139_jl_audit", "q140_silhouette",
     "q119_semantic_decontam", "q126_ivf_recall_audit", "q132_ndcg_audit",
     "q129_label_prop", "q130_pagerank", "q130_pagerank_trained",
+    "q144_mutual_knn",
     // sequence assembly + pipeline
     "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
     "q141_packing_efficiency",

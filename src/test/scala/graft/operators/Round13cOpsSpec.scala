@@ -188,6 +188,44 @@ class Round13cOpsSpec extends AnyFunSuite with SharedSpark {
       f"overall purity: mutual ${sM.toDouble / nM}%.4f vs knn ${sK.toDouble / nK}%.4f")
   }
 
+  // ---------------------------------------------------------------- q146
+
+  test("q146: cluster-granular split is leakage-free; doc-keyed split leaks") {
+    val sp = spark
+    import sp.implicits._
+    // md5("4") starts 'a' (train), md5("3") starts 'e' (test): a cluster
+    // {3,4} is split across train/test under the doc-keyed rule. 6 and 9
+    // are train singletons, 10 a val singleton.
+    val comp = Seq(
+      (3L, 3L), (4L, 3L), (6L, 6L), (9L, 9L), (10L, 10L))
+      .toDF("doc_id", "component")
+    val out = DedupOps.clusterSplitSummary(comp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val (lkD, nD, trD, vaD, teD) = out("by_doc")
+    assert(lkD == 1L && nD == 2L, s"doc-keyed rule leaks cluster {3,4}: $lkD/$nD")
+    assert((trD, vaD, teD) == (3L, 1L, 1L))
+    val (lkC, nC, trC, vaC, teC) = out("by_cluster")
+    assert(lkC == 0L && nC == 0L, "cluster-keyed split cannot leak")
+    // docs conserved under both rules; cluster {3,4} moved WHOLE to test
+    // (md5("3") -> 'e'): balance shifts by cluster mass, never splits one
+    assert(trC + vaC + teC == 5L && trD + vaD + teD == 5L)
+    assert((trC, vaC, teC) == (2L, 1L, 2L))
+  }
+
+  test("q146: gate output on real data — repair zeroes leakage, conserves docs") {
+    val out = DedupOps.queries("q146_cluster_split")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("by_cluster")._1 == 0L)
+    val tot = Seq("by_doc", "by_cluster")
+      .map(k => out(k)._3 + out(k)._4 + out(k)._5)
+    assert(tot.distinct.size == 1, s"both rules assign every doc exactly once: $tot")
+  }
+
   // ---------------------------------------------------------------- q145
 
   test("q145: z-order prunes files on both dimensions; sorts only on one") {
