@@ -78,6 +78,44 @@ object KnnGraph {
       .select(col("src_id"), col("vec_id").as("nbr_id"), col("sim"), col("rk"))
   }
 
+  /** [[knnEdgesWithCents]] under the round-13b HIERARCHICAL coarse
+    * quantizer — the production path once adaptive nList passes ~10³
+    * cells, where the flat per-vector centroid scan (O(N·nList) for both
+    * the index assignment and the probe ranking, i.e. O(N²/targetCell)
+    * under the adaptive contract) becomes the graph build's dominant
+    * cost. Both sides of the cell join run
+    * [[ProductQuantization.probeExprHier]]: supers are scanned first and
+    * only the nSuperProbe nearest supers' member cells are ranked —
+    * O(N·(nSuper + nList·nSuperProbe/nSuper)) with the same
+    * (distance, id) tie rule, so at nSuperProbe = nSuper the edge list
+    * is BIT-IDENTICAL to [[knnEdgesWithCents]] (spec-pinned here, on top
+    * of HierarchicalIvfSpec's expression-level pin). The candidate join
+    * and top-k window are unchanged — the hierarchy only prices the
+    * quantizer. */
+  def knnEdgesHier(emb: DataFrame, cents: Array[Array[Float]],
+                   k: Int, nProbe: Int, nSuper: Int,
+                   nSuperProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val (sup, c2s) = ProductQuantization.trainSuper(cents, nSuper)
+    val assign1 = ProductQuantization.probeExprHier(spark, cents, sup, c2s,
+      1, nSuperProbe)
+    val probeH = ProductQuantization.probeExprHier(spark, cents, sup, c2s,
+      nProbe, nSuperProbe)
+    val index = emb.select(col("vec_id"), col("embedding"),
+      element_at(assign1(col("embedding")), 1).as("cell"))
+    val probes = emb.select(col("vec_id").as("src_id"),
+      col("embedding").as("src_emb"),
+      explode(probeH(col("embedding"))).as("cell"))
+    val cand = probes.join(index, Seq("cell"))
+      .filter(col("src_id") =!= col("vec_id"))
+      .select(col("src_id"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("src_emb"), col("embedding")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("src_id").orderBy(desc("sim"), col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("src_id"), col("vec_id").as("nbr_id"), col("sim"), col("rk"))
+  }
+
   /** q103: the kNN-graph edge list over the embeddings table, ordered for
     * the gate — run under the SQL-expressible
     * [[SemanticDedup.refinedCentroids]] so the gate is hash-exact (r10
@@ -768,8 +806,15 @@ object KnnGraph {
   def q144MutualKnn(k: Int = 5, nList: Int = -1, nProbe: Int = 4): Q = (s, d) => {
     val emb = embeddings(s, d)
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
-    val edges = knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl),
-      k, nProbe).select("src_id", "nbr_id")
+    mutualPurityAudit(emb,
+      knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl), k, nProbe))
+  }
+
+  /** The raw-vs-reciprocal per-label purity summary over any edge list —
+    * split out of [[q144MutualKnn]] so the soak's trained/hierarchical
+    * twins run the identical audit over their own graphs. */
+  def mutualPurityAudit(emb: DataFrame, edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.select("src_id", "nbr_id")
     val tagged = edges.withColumn("edge_set", lit("knn"))
       .unionAll(mutualEdges(edges).withColumn("edge_set", lit("mutual")))
     val lab = emb.select(col("vec_id"), col("label"))

@@ -167,7 +167,7 @@ object Soak {
     "q136_bm25", "q139_jl_audit", "q140_silhouette",
     "q119_semantic_decontam", "q126_ivf_recall_audit", "q132_ndcg_audit",
     "q129_label_prop", "q130_pagerank", "q130_pagerank_trained",
-    "q144_mutual_knn",
+    "q144_mutual_knn", "q144_mutual_hier", "q103_knn_hier",
     // sequence assembly + pipeline
     "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
     "q141_packing_efficiency",
@@ -263,6 +263,29 @@ object Soak {
             graft.operators.KnnGraph.pageRank(emb,
               graft.operators.KnnGraph.knnEdges(emb, 5,
                 graft.operators.ProductQuantization.adaptiveNList(emb), 2))
+          }),
+          // HIERARCHICAL-quantizer twins (round 13c): the production
+          // graph path once adaptive nList passes ~10^3 cells — the flat
+          // per-vector centroid scan is O(N^2/targetCell) under the
+          // adaptive contract (the q144 gate chain measured 3.5x/doubling
+          // from exactly this term), while the two-level probe prices the
+          // quantizer at O(N*(nSuper + nList*nSuperProbe/nSuper))
+          "q103_knn_hier" -> ((s, d) => {
+            val emb = graft.Tables.embeddings(s, d)
+            val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
+            val cents = graft.operators.ProductQuantization.trainCoarse(emb, nl)
+            val nSuper = math.max(1, math.ceil(math.sqrt(nl.toDouble)).toInt)
+            graft.operators.KnnGraph.knnEdgesHier(emb, cents, 5, 4,
+              nSuper, math.max(4, nSuper / 5))
+          }),
+          "q144_mutual_hier" -> ((s, d) => {
+            val emb = graft.Tables.embeddings(s, d)
+            val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
+            val cents = graft.operators.ProductQuantization.trainCoarse(emb, nl)
+            val nSuper = math.max(1, math.ceil(math.sqrt(nl.toDouble)).toInt)
+            graft.operators.KnnGraph.mutualPurityAudit(emb,
+              graft.operators.KnnGraph.knnEdgesHier(emb, cents, 5, 4,
+                nSuper, math.max(4, nSuper / 5)))
           }),
           "q26_minhash_fast" -> ((s, d) => graft.operators.DedupOps
             .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)),

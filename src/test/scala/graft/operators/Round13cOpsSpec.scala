@@ -188,6 +188,15 @@ class Round13cOpsSpec extends AnyFunSuite with SharedSpark {
       f"overall purity: mutual ${sM.toDouble / nM}%.4f vs knn ${sK.toDouble / nK}%.4f")
   }
 
+  test("knnEdgesHier at full super fan-out equals the flat graph bit-for-bit") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = ProductQuantization.trainCoarse(emb, 16)
+    val flat = KnnGraph.knnEdgesWithCents(emb, cents, 5, 2)
+    val hier = KnnGraph.knnEdgesHier(emb, cents, 5, 2, nSuper = 4, nSuperProbe = 4)
+    assert(flat.exceptAll(hier).isEmpty && hier.exceptAll(flat).isEmpty,
+      "full fan-out must reduce hier to pure pruning of nothing")
+  }
+
   // ---------------------------------------------------------------- q146
 
   test("q146: cluster-granular split is leakage-free; doc-keyed split leaks") {
