@@ -270,10 +270,15 @@ object Soak {
           // adaptive contract (the q144 gate chain measured 3.5x/doubling
           // from exactly this term), while the two-level probe prices the
           // quantizer at O(N*(nSuper + nList*nSuperProbe/nSuper))
+          // the hier twins run the SAME refined centroids as the q103/q144
+          // gates so flat-vs-hier isolates the quantizer pricing (a
+          // trainCoarse variant was rejected by this soak: its <=2048-row
+          // sample degenerates at nList=400 — 5 points/cluster — and the
+          // imbalanced cells blow the candidate join past the flat form)
           "q103_knn_hier" -> ((s, d) => {
             val emb = graft.Tables.embeddings(s, d)
             val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
-            val cents = graft.operators.ProductQuantization.trainCoarse(emb, nl)
+            val cents = graft.operators.SemanticDedup.refinedCentroids(emb, nl)
             val nSuper = math.max(1, math.ceil(math.sqrt(nl.toDouble)).toInt)
             graft.operators.KnnGraph.knnEdgesHier(emb, cents, 5, 4,
               nSuper, math.max(4, nSuper / 5))
@@ -281,7 +286,7 @@ object Soak {
           "q144_mutual_hier" -> ((s, d) => {
             val emb = graft.Tables.embeddings(s, d)
             val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
-            val cents = graft.operators.ProductQuantization.trainCoarse(emb, nl)
+            val cents = graft.operators.SemanticDedup.refinedCentroids(emb, nl)
             val nSuper = math.max(1, math.ceil(math.sqrt(nl.toDouble)).toInt)
             graft.operators.KnnGraph.mutualPurityAudit(emb,
               graft.operators.KnnGraph.knnEdgesHier(emb, cents, 5, 4,
