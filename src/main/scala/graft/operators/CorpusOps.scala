@@ -327,6 +327,107 @@ object CorpusOps {
       .orderBy("doc_id")
   }
   val q142KnPerplexity: Q = (s, d) => knBigramScores(documents(s, d))
+
+  /** q147: DoReMi-style domain reweighting — per-source EXCESS
+    * log-probability under the corpus-trained KN bigram LM (q142's
+    * model), exponentiated and normalized into a sampling-weight table.
+    * The DoReMi/Pile mixing recipe in its counts-only form: a domain
+    * whose documents score systematically below the corpus mean carries
+    * information the current mixture under-represents (or noise — the
+    * q101/q104 audits disambiguate), so its weight rises
+    * ∝ exp(τ·excess); a domain of template text the LM finds easy is
+    * down-weighted. Complements q85 (size-temperature weighting: counts
+    * only, no quality signal) and q109 (DSIR: per-DOCUMENT importance
+    * against a target corpus — q147 needs no target, the corpus is its
+    * own reference).
+    *
+    * Scale shape: q142's plan with `source` carried through the
+    * occurrence join, collapsing to |sources| rows at the first
+    * aggregate; the corpus mean derives EXACTLY from the per-source
+    * DECIMAL sums (one broadcast 1-row total), and the softmax
+    * normalizes over the |sources|-row table. Determinism: 6dp terms,
+    * DECIMAL sums, exp at 6dp, weight = rounded ratio of decimal-summed
+    * rounded terms — replays bit-for-bit. */
+  val q147DomainReweight: Q = (s, d) => domainReweight(documents(s, d))
+
+  def domainReweight(docs: DataFrame): DataFrame = {
+    val l = docs
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l"))
+    val bg = l.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val cw = cbg.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"),
+      count(lit(1)).as("n1p_fw"))
+    val bw = cbg.groupBy("w2").agg(count(lit(1)).as("n1p_bw"))
+    val t = cbg.agg(count(lit(1)).as("t_types"))
+    val pKn = (col("c_bg").cast(DoubleType) - lit(0.75d)) /
+        col("c_w1").cast(DoubleType) +
+      lit(0.75d) * col("n1p_fw").cast(DoubleType) / col("c_w1").cast(DoubleType) *
+        (col("n1p_bw").cast(DoubleType) / col("t_types").cast(DoubleType))
+    val perSource = bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .join(bw, Seq("w2")).crossJoin(broadcast(t))
+      .select(col("source"), col("doc_id"), round(log(pKn), 6).as("logp"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("logp").cast(DecimalType(38, 6))).as("sum_lp"))
+    val tot = perSource.agg(
+      sum(col("sum_lp")).as("tot_lp"), sum(col("n_bigrams")).as("tot_n"))
+    val meanS = round(col("sum_lp").cast(DoubleType) / col("n_bigrams"), 6)
+    val meanC = round(col("tot_lp").cast(DoubleType) / col("tot_n"), 6)
+    val scored = perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        meanS.as("mean_logprob"),
+        round(meanC - meanS, 6).as("excess"))
+      .withColumn("e", round(exp(col("excess")), 6))
+    val z = scored.agg(sum(col("e").cast(DecimalType(38, 6))).as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("mean_logprob"), col("excess"),
+        round(col("e") / col("z").cast(DoubleType), 6).as("weight"))
+      .orderBy("source")
+  }
+  val q147Sql: String =
+    """WITH l AS (SELECT doc_id, source,
+      |             string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |bgs AS (SELECT doc_id, source, unnest(list_transform(range(1, len(l)),
+      |          i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS b
+      |        FROM l WHERE len(l) >= 2),
+      |bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bgs),
+      |cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |cw AS (SELECT w1, SUM(c_bg) AS c_w1, COUNT(*) AS n1p_fw FROM cbg GROUP BY 1),
+      |bw AS (SELECT w2, COUNT(*) AS n1p_bw FROM cbg GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS t_types FROM cbg),
+      |terms AS (
+      |  SELECT bg.source, bg.doc_id,
+      |    ROUND(LN((CAST(c_bg AS DOUBLE) - 0.75) / CAST(c_w1 AS DOUBLE)
+      |      + 0.75 * CAST(n1p_fw AS DOUBLE) / CAST(c_w1 AS DOUBLE)
+      |        * (CAST(n1p_bw AS DOUBLE) / CAST(t_types AS DOUBLE))), 6) AS logp
+      |  FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1) JOIN bw USING (w2)
+      |  CROSS JOIN t),
+      |per_source AS (
+      |  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_bigrams,
+      |    SUM(CAST(logp AS DECIMAL(38,6))) AS sum_lp
+      |  FROM terms GROUP BY source),
+      |tot AS (SELECT SUM(sum_lp) AS tot_lp, SUM(n_bigrams) AS tot_n
+      |        FROM per_source),
+      |scored AS (
+      |  SELECT source, n_docs, n_bigrams,
+      |    ROUND(CAST(sum_lp AS DOUBLE) / n_bigrams, 6) AS mean_logprob,
+      |    ROUND(ROUND(CAST(tot_lp AS DOUBLE) / tot_n, 6)
+      |        - ROUND(CAST(sum_lp AS DOUBLE) / n_bigrams, 6), 6) AS excess,
+      |    ROUND(EXP(ROUND(ROUND(CAST(tot_lp AS DOUBLE) / tot_n, 6)
+      |        - ROUND(CAST(sum_lp AS DOUBLE) / n_bigrams, 6), 6)), 6) AS e
+      |  FROM per_source CROSS JOIN tot),
+      |z AS (SELECT SUM(CAST(e AS DECIMAL(38,6))) AS z FROM scored)
+      |SELECT source, n_docs, n_bigrams, mean_logprob, excess,
+      |  ROUND(e / CAST(z.z AS DOUBLE), 6) AS weight
+      |FROM scored CROSS JOIN z ORDER BY source""".stripMargin
+
   val q142Sql: String =
     """WITH l AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents),
       |bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
@@ -357,6 +458,7 @@ object CorpusOps {
     "q101_source_divergence" -> q101SourceDivergence,
     "q104_zipf_slope" -> q104ZipfSlope,
     "q142_kn_perplexity" -> q142KnPerplexity,
+    "q147_domain_reweight" -> q147DomainReweight,
   )
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -364,5 +466,6 @@ object CorpusOps {
     "q101_source_divergence" -> q101Sql,
     "q104_zipf_slope" -> q104Sql,
     "q142_kn_perplexity" -> q142Sql,
+    "q147_domain_reweight" -> q147Sql,
   )
 }

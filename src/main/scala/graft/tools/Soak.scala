@@ -147,7 +147,7 @@ object Soak {
     "q106_priority_sample",
     "q99_bpe_encode", "q100_repetition", "q101_source_divergence",
     "q104_zipf_slope", "q128_heavy_hitters", "q131_unigram_logprob",
-    "q142_kn_perplexity", "q143_countmin_audit",
+    "q142_kn_perplexity", "q143_countmin_audit", "q147_domain_reweight",
     // learned selection (round 9)
     "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
     "q118_curation_pipeline",

@@ -188,6 +188,30 @@ class Round13cOpsSpec extends AnyFunSuite with SharedSpark {
       f"overall purity: mutual ${sM.toDouble / nM}%.4f vs knn ${sK.toDouble / nK}%.4f")
   }
 
+  // ---------------------------------------------------------------- q147
+
+  test("q147: template domains down-weight, diverse domains up-weight; weights sum to 1") {
+    val sp = spark
+    import sp.implicits._
+    // "tpl" repeats ONE bigram — the corpus LM finds it easy (high mean
+    // logprob, negative excess); "div" has unique transitions the LM
+    // scores poorly. DoReMi's direction: weight(div) > weight(tpl).
+    val docs = Seq(
+      (1L, "tpl", "a b a b a b a b a b"),
+      (2L, "tpl", "a b a b a b a b"),
+      (3L, "div", "c d e f g h i j"),
+      (4L, "div", "k l m n o p q r")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.domainReweight(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set("tpl", "div"))
+    assert(out("tpl")._1 < 0 && out("div")._1 > 0,
+      s"excess direction: tpl ${out("tpl")._1}, div ${out("div")._1}")
+    assert(out("div")._2 > out("tpl")._2, "diverse domain must up-weight")
+    val wSum = out.values.map(_._2).sum
+    assert(math.abs(wSum - 1.0) < 2e-5, s"weights must normalize: $wSum")
+  }
+
   test("knnEdgesHier at full super fan-out equals the flat graph bit-for-bit") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = ProductQuantization.trainCoarse(emb, 16)
