@@ -121,6 +121,89 @@ object MixtureOps {
       |FROM documents
       |GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** q148: resharding-cost audit — when the shard fleet grows 16 → 20,
+    * what fraction of the corpus MOVES under modulo assignment versus
+    * rendezvous (highest-random-weight) hashing? The number that prices
+    * a fleet resize at 100 TB: mod-N reassigns almost everything
+    * (doc moves unless md5₃₂ ≡ same value mod 16 and mod 20 — ~95 % move),
+    * while rendezvous moves exactly the docs whose per-(doc, shard) hash
+    * crowns one of the four NEW shards — expected 4/20 = 20 %, the
+    * theoretical minimum for a balanced resize. This is why the at-rest
+    * layouts here key buckets by STABLE content hashes and treat shard
+    * count as a rendezvous choice, not a modulus.
+    *
+    * Shape: one narrow map per doc for the mod pair; the rendezvous
+    * argmax explodes doc × (16 + 20) hash rows into a per-doc
+    * row_number window (doc_id partitions — high-cardinality, parallel,
+    * no global sort; ties broken (h, s) for a total order both engines
+    * share). Output 2 BIGINT rows + a rounded fraction — hash-exact. */
+  /** Rendezvous (highest-random-weight) shard of each doc_id over
+    * `nShards` shards — the stable-under-resize assignment [[q148ReshardAudit]]
+    * prices against mod-N. Per-doc argmax of md5(doc#shard), tie-broken
+    * (h, s) for a total order both engines share. */
+  def rendezvousShard(docs: DataFrame, nShards: Int, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("h"), desc("s"))
+    docs.select(col("doc_id"),
+        explode(expr(s"sequence(0, ${nShards - 1})")).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("s").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("s").as(out))
+  }
+
+  val q148ReshardAudit: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"))
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val modMoved = docs.select(
+        (h32 % 16 =!= h32 % 20).cast("long").as("moved"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("moved")).as("n_moved"))
+      .select(lit("mod_n").as("strategy"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 6).as("moved_frac"))
+    val rdv = rendezvousShard(docs, 16, "s16")
+      .join(rendezvousShard(docs, 20, "s20"), Seq("doc_id"))
+      .select((col("s16") =!= col("s20")).cast("long").as("moved"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("moved")).as("n_moved"))
+      .select(lit("rendezvous").as("strategy"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 6).as("moved_frac"))
+    modMoved.unionAll(rdv).orderBy("strategy")
+  }
+  val q148Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      |  FROM documents),
+      |modrow AS (
+      |  SELECT 'mod_n' AS strategy, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN h32 % 16 <> h32 % 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_moved,
+      |    ROUND(CAST(SUM(CASE WHEN h32 % 16 <> h32 % 20 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*), 6) AS moved_frac
+      |  FROM h),
+      |r16 AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s.range AS s,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.range AS VARCHAR)) DESC,
+      |                 s.range DESC) AS rn
+      |    FROM documents CROSS JOIN range(0, 16) s) x WHERE rn = 1),
+      |r20 AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s.range AS s,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.range AS VARCHAR)) DESC,
+      |                 s.range DESC) AS rn
+      |    FROM documents CROSS JOIN range(0, 20) s) x WHERE rn = 1),
+      |rdvrow AS (
+      |  SELECT 'rendezvous' AS strategy, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN r16.s <> r20.s THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      |    ROUND(CAST(SUM(CASE WHEN r16.s <> r20.s THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*), 6) AS moved_frac
+      |  FROM r16 JOIN r20 USING (doc_id))
+      |SELECT * FROM modrow UNION ALL SELECT * FROM rdvrow ORDER BY strategy""".stripMargin
+
   /** q87: n-gram novelty attribution — per document, the fraction of its
     * distinct word-3-grams whose FIRST corpus occurrence (min doc_id) is
     * this document. This is the cross-document complement of q51's
@@ -219,11 +302,13 @@ object MixtureOps {
     "q85_temperature_mix" -> q85TemperatureMix,
     "q86_shard_assign" -> q86ShardAssign,
     "q87_ngram_novelty" -> q87NgramNovelty,
+    "q148_reshard_audit" -> q148ReshardAudit,
     "q90_winsorize" -> q90Winsorize)
 
   val oracle: Map[String, String] = Map(
     "q85_temperature_mix" -> q85Sql,
     "q86_shard_assign" -> q86Sql,
     "q87_ngram_novelty" -> q87Sql,
+    "q148_reshard_audit" -> q148Sql,
     "q90_winsorize" -> q90Sql)
 }

@@ -139,7 +139,7 @@ object Soak {
     "q137_cdc_chunks", "q138_edit_verify", "q146_cluster_split",
     // text analysis
     // mixture / scheduling (round 8)
-    "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty",
+    "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty", "q148_reshard_audit",
     "q90_winsorize",
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",

@@ -212,6 +212,28 @@ class Round13cOpsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(wSum - 1.0) < 2e-5, s"weights must normalize: $wSum")
   }
 
+  // ---------------------------------------------------------------- q148
+
+  test("q148: rendezvous resize moves docs ONLY to new shards; mod-N scatters") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 400L).toDF("doc_id")
+    val joined = MixtureOps.rendezvousShard(docs, 16, "s16")
+      .join(MixtureOps.rendezvousShard(docs, 20, "s20"), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // HRW monotonicity: growing the fleet can only crown a NEW shard —
+    // every existing shard's hash is unchanged, so a doc that moves must
+    // land on s >= 16. Mod-N has no such property.
+    val moved = joined.filter { case (_, a, b) => a != b }
+    assert(moved.nonEmpty && moved.forall(_._3 >= 16),
+      s"moved docs must land on new shards: ${moved.filter(_._3 < 16).take(3).toSeq}")
+    // the moved fraction concentrates near the 4/20 = 20 % minimum
+    val frac = moved.length.toDouble / joined.length
+    assert(frac > 0.10 && frac < 0.35, s"rendezvous moved frac $frac")
+    // docs that do NOT move keep their exact shard (stability)
+    assert(joined.filter { case (_, a, b) => a == b }.forall(_._2 < 16))
+  }
+
   test("knnEdgesHier at full super fan-out equals the flat graph bit-for-bit") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = ProductQuantization.trainCoarse(emb, 16)
