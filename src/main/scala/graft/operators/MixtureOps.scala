@@ -153,6 +153,17 @@ object MixtureOps {
       .select(col("doc_id"), col("s").as(out))
   }
 
+  /** Per-row rendezvous shard as a pure Column expression — the
+    * streaming-safe form of [[rendezvousShard]] (no window, so it runs
+    * on an unbounded stream and in any narrow projection): argmax over
+    * shards of the per-(doc, shard) hash via an array-native struct max,
+    * whose field-order comparison (h first, then s) reproduces the
+    * window form's (h DESC, s DESC) pick exactly. */
+  def rendezvousCol(nShards: Int): org.apache.spark.sql.Column =
+    expr(s"""array_max(transform(sequence(0, ${nShards - 1}),
+             s -> struct(md5(concat(cast(doc_id as string), '#',
+                  cast(s as string))) as h, s)))""").getField("s")
+
   val q148ReshardAudit: Q = (s, d) => {
     val docs = documents(s, d).select(col("doc_id"))
     val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)

@@ -620,4 +620,16 @@ object CorpusStreams {
     * makes incremental shard maintenance safe. */
   def shardRouter(docs: DataFrame): DataFrame =
     docs.withColumn("shard", graft.operators.MixtureOps.shardCol)
+
+  /** Rendezvous shard router — the resize-stable ingest routing q148
+    * prices: each arriving doc routes to its highest-random-weight shard
+    * via the pure per-row expression
+    * ([[graft.operators.MixtureOps.rendezvousCol]] — no window, no
+    * state), so changing `nShards` mid-deployment re-routes ONLY the
+    * docs whose hash crowns a new shard (~(new−old)/new of traffic, the
+    * HRW minimum) instead of mod-N's near-total scatter; everything
+    * already at rest stays where a batch rebuild would put it, because
+    * stream and batch share the hash. */
+  def rendezvousRouter(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.withColumn("shard", graft.operators.MixtureOps.rendezvousCol(nShards))
 }

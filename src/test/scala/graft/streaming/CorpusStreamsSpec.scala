@@ -769,4 +769,40 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == batch, "streamed cells must equal the batch sketch")
   }
+
+  test("rendezvous router: stream equals the batch window form; resize is minimal") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val ids = (1L to 200L)
+    // expression form == batch window form on the same ids
+    val viaCol = ids.toDF("doc_id")
+      .withColumn("s", graft.operators.MixtureOps.rendezvousCol(16))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaWindow = graft.operators.MixtureOps
+      .rendezvousShard(ids.toDF("doc_id"), 16, "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaCol == viaWindow, "per-row argmax must equal the window pick")
+
+    // streamed routing equals the batch expression, across micro-batches
+    val stream = MemoryStream[SourcedDoc]
+    val q = CorpusStreams.rendezvousRouter(stream.toDF(), 16)
+      .select("doc_id", "shard")
+      .writeStream.format("memory").queryName("rdvroute").outputMode("append").start()
+    stream.addData(SourcedDoc(1, "web", "x"), SourcedDoc(2, "web", "y"))
+    q.processAllAvailable()
+    stream.addData(SourcedDoc(3, "web", "z"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("rdvroute").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == Map(1L -> viaCol(1L), 2L -> viaCol(2L), 3L -> viaCol(3L)))
+
+    // resize 16 -> 20 re-routes only to NEW shards (HRW monotonicity)
+    val via20 = ids.toDF("doc_id")
+      .withColumn("s", graft.operators.MixtureOps.rendezvousCol(20))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = ids.filter(i => viaCol(i) != via20(i))
+    assert(moved.nonEmpty && moved.forall(i => via20(i) >= 16))
+  }
 }
