@@ -567,4 +567,32 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(leaky.isEmpty,
       s"payload/text bytes crossing a shuffle:\n${physicalPlan(df)}")
   }
+
+  test("q145: the layout audit plan has NO window and no single-partition exchange") {
+    // the sort-free property is the operator's whole scale claim: file
+    // assignment must be a narrow map + 64-group aggregate, never an
+    // NTILE global sort (one-partition WindowExec)
+    val df = DataLayout.queries("q145_zorder_layout")(spark, sf)
+    assert(nodes(df) { case w: WindowExec => w }.isEmpty,
+      s"window crept back into q145:\n${physicalPlan(df)}")
+    val singleton = nodes(df) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 &&
+          e.child.output.exists(_.name == "f") => e
+    }
+    assert(singleton.isEmpty,
+      s"single-partition exchange on the file-stats path:\n${physicalPlan(df)}")
+  }
+
+  test("q143: the sketch aggregates partially before its shuffles") {
+    // both the type-count and cell-sum aggregations must collapse
+    // map-side: every shuffle input on the sketch path is a partial
+    // HashAggregate, so hot tokens cost |tasks| rows, not occurrences
+    val df = TextOps.queries("q143_countmin_audit")(spark, sf)
+    val aggs = nodes(df) { case a: HashAggregateExec => a }
+    assert(aggs.size >= 4, s"expected partial+final agg pairs:\n${physicalPlan(df)}")
+    val partialAggs = aggs.filter(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial))
+    assert(partialAggs.nonEmpty, s"no partial aggregation:\n${physicalPlan(df)}")
+  }
 }
