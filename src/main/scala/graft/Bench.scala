@@ -50,7 +50,7 @@ object Bench {
         ()
         runOnce(n, SparkEntry.queries(n))
       }
-    // best of 2 measured passes: this host shows sporadic multi-second
+    // best of 5 measured passes: this host shows sporadic multi-second
     // whole-JVM stalls (futex storms, system-time waves) unrelated to the
     // query; min-of-k reports steady-state per standard bench practice.
     // Reps are taken as whole-suite PASSES (every query once, then every
@@ -59,7 +59,13 @@ object Bench {
     // it — separating a query's reps by a full pass lets the min escape
     // any wave shorter than the suite (observed: the same suite run twice
     // put 12-22 s on q73-q75 once and on q12-q22/q37 the other time).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // Default raised 2 → 5 (round-13 verdict task 3): the per-round
+    // driver run uses these defaults while the committed close-gate
+    // artifact was min-of-6, and the two disagreed by ~13 % every round
+    // purely from stall-wave exposure — at 5 separated passes the driver
+    // number lands within the committed artifact's noise floor, so both
+    // methodologies report the same engine.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val passes = (1 to reps).map(_ => names.map(n => runOnce(n, SparkEntry.queries(n))))
     val results = names.zipWithIndex.map { case (n, i) =>
       val ts = passes.map(_(i))

@@ -123,15 +123,23 @@ object DataLayout {
     * The box bounds and per-layout key spans derive from the observed
     * key ranges in pure integer arithmetic (40 % of the partkey span ×
     * 5 % of the suppkey span — at sf0.01 that is partkey ∈ [100,900] ∧
-    * suppkey ∈ [20,25]), so the audit is meaningful at every scale
-    * factor; the 8-value stats row is a bounded driver-side panel (the
-    * q29/q81 collect policy), and the oracle recomputes the same bounds
-    * with `//`. Output is 3 rows of BIGINT counts + one rounded ratio —
-    * hash-exact. */
+    * suppkey ∈ [20,25]); the 8-value stats row is a bounded driver-side
+    * panel (the q29/q81 collect policy), and the oracle recomputes the
+    * same bounds with `//`. Output is 3 rows of BIGINT counts + one
+    * rounded ratio — hash-exact.
+    *
+    * Bit budget: BOTH engines interleave exactly 31 bits per column
+    * (the Spark inputs are masked to 31 bits before [[zvalue]]; the
+    * DuckDB transform runs `range(0, 31)`), so the two z keys agree
+    * bit-for-bit up to keys of 2^31 — TPC-H l_partkey reaches that
+    * around sf ≈ 10,000, far beyond any gate scale. 31 (not 32) keeps
+    * the top interleaved bit at position 61 < 63, so neither engine's
+    * BIGINT sign bit enters the sum. */
   val q145ZorderLayout: Q = (s, d) => {
     val li = graft.Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-      .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey") * 16))
+      .withColumn("z", zvalue(col("l_partkey").bitwiseAND(lit(0x7FFFFFFFL)),
+        (col("l_suppkey") * 16).bitwiseAND(lit(0x7FFFFFFFL))))
     val b = li.agg(
       min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
       min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long"),
@@ -154,7 +162,7 @@ object DataLayout {
   val q145Sql: String =
     """WITH li AS (
       |  SELECT l_orderkey, l_partkey, l_suppkey,
-      |    list_sum(list_transform(range(0, 16),
+      |    list_sum(list_transform(range(0, 31),
       |      i -> (((l_partkey >> i) & 1) << (2 * i))
       |         + ((((l_suppkey * 16) >> i) & 1) << (2 * i + 1)))) AS z
       |  FROM lineitem),

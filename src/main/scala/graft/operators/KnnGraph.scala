@@ -128,7 +128,7 @@ object KnnGraph {
     val emb = embeddings(s, d)
     // nList ≤ 0 → adaptiveNList (fixed cell size as the corpus grows —
     // the wrapper must keep the scale contract when soaked); the oracle
-    // SQL pins nList=16, which IS the adaptive value at the sf0.01 gate
+    // SQL re-derives nList from COUNT(embeddings) with the same formula
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
     knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl), k, nProbe)
       .orderBy("src_id", "rk")
@@ -343,13 +343,9 @@ object KnnGraph {
   def semanticClustersWithCents(emb: DataFrame, cents: Array[Array[Float]],
                                 k: Int, nProbe: Int, tau: Double,
                                 descentRounds: Int = 0,
-                                randomBuckets: Int = 2): DataFrame = {
-    val edges = knnEdgesRefined(emb, cents, k, nProbe, descentRounds, randomBuckets)
-      .filter(col("sim") >= tau)
-      .select(col("src_id").as("doc_a"), col("nbr_id").as("doc_b"))
-    DedupOps.connectedComponents(emb.select(col("vec_id").as("doc_id")), edges)
-      .select(col("doc_id").as("vec_id"), col("component"))
-  }
+                                randomBuckets: Int = 2): DataFrame =
+    GraphMaintenance.clustersFromEdges(emb.select(col("vec_id")),
+      knnEdgesRefined(emb, cents, k, nProbe, descentRounds, randomBuckets), tau)
 
   /** q105: per-vector semantic-cluster assignment over the embeddings
     * table, ordered for the gate. nProbe defaults lower than q103's:
@@ -435,7 +431,7 @@ object KnnGraph {
        |    FROM cand) x WHERE rk <= $k)"""
 
   private val q103Sql: String =
-    s"""WITH ${knnCtes(nList = 16, nProbe = 4, k = 5)}
+    s"""WITH ${knnCtes(nList = -1, nProbe = 4, k = 5)}
        |SELECT src_id, nbr_id, sim, rk FROM edges_k ORDER BY src_id, rk""".stripMargin
 
   /** τ-thresholded kNN edges → undirected closure → min-id component per
@@ -450,12 +446,12 @@ object KnnGraph {
        |comp AS (SELECT n AS vec_id, MIN(m) AS component FROM reach GROUP BY n)"""
 
   private val q105Sql: String =
-    s"""WITH RECURSIVE ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+    s"""WITH RECURSIVE ${knnCtes(nList = -1, nProbe = 2, k = 5)},
        |${clusterCtes(tau = 0.40)}
        |SELECT vec_id, component FROM comp ORDER BY vec_id""".stripMargin
 
   private val q107Sql: String =
-    s"""WITH RECURSIVE ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+    s"""WITH RECURSIVE ${knnCtes(nList = -1, nProbe = 2, k = 5)},
        |${clusterCtes(tau = 0.40)}
        |SELECT vec_id, component, rk FROM (
        |  SELECT vec_id, component,
@@ -472,7 +468,7 @@ object KnnGraph {
     * the operator exactly). */
   private val q125Sql: String = {
     val cosSe = cosSql("se.embedding", "ne.embedding")
-    s"""WITH ${knnCtes(nList = 16, nProbe = 1, k = 5)},
+    s"""WITH ${knnCtes(nList = -1, nProbe = 1, k = 5)},
        |member AS (
        |  SELECT e.vec_id, j.j,
        |    CAST(concat('0x', substr(md5(concat(CAST(e.vec_id AS VARCHAR), ':',
@@ -593,7 +589,7 @@ object KnnGraph {
          |  LEFT JOIN und u ON u.src_id = v.vec_id
          |  LEFT JOIN $prev n ON n.vec_id = u.nbr_id
          |  GROUP BY v.vec_id, v.labeled, v.seed)"""
-    s"""WITH ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+    s"""WITH ${knnCtes(nList = -1, nProbe = 2, k = 5)},
        |und AS (
        |  SELECT src_id, nbr_id, MAX(sim) AS w FROM (
        |    SELECT src_id, nbr_id, sim FROM edges_k
@@ -661,6 +657,108 @@ object KnnGraph {
     scores
   }
 
+  /** [[pageRank]] run TO A TOLERANCE — the production form (round-13
+    * verdict task 5): the fixed-round gate shape exists so DuckDB can
+    * replay a static plan; a deployment iterates until max |Δscore| ≤
+    * `tol` and fails LOUDLY if the walk hasn't settled by `maxIters`
+    * (silent non-convergence would ship half-mixed centrality scores —
+    * the [[DedupOps.connectedComponents]] rule). Per-iteration shape is
+    * identical (one join + one groupBy on vec_id over the share table);
+    * every round is eagerly localCheckpoint'ed so the loop's plan
+    * lineage stays constant instead of doubling per iteration (the q42
+    * discipline). Numerics stay plain doubles inside the loop — per-round
+    * 6dp rounding would floor the residual at the rounding step and lie
+    * about convergence; this variant is spec-verified against an
+    * independently computed driver-side fixpoint, not a DuckDB replay. */
+  def pageRankConverged(ids: DataFrame, edges: DataFrame,
+                        tol: Double = 1e-8, maxIters: Int = 50,
+                        damping: Double = 0.85): DataFrame = {
+    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
+    val und = fwd
+      .union(fwd.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"), col("sim")))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
+    val strength = und.groupBy("src_id").agg(sum(col("w")).as("s"))
+    val share = und.join(strength, Seq("src_id"))
+      .select(col("src_id"), col("nbr_id"), (col("w") / col("s")).as("share"))
+      .localCheckpoint(true)
+    val n = ids.count()
+    val teleport = (1.0 - damping) / n
+    var scores = ids.select(col("vec_id"), (lit(1.0) / n).as("score"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val contrib = share
+        .join(scores.select(col("vec_id").as("src_id"), col("score")), Seq("src_id"))
+        .groupBy(col("nbr_id").as("vec_id"))
+        .agg(sum(col("share") * col("score")).as("inflow"))
+      val next = ids.select(col("vec_id"))
+        .join(contrib, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("score"))
+        .localCheckpoint(true)
+      val delta = next.join(scores.withColumnRenamed("score", "old"), Seq("vec_id"))
+        .agg(max(abs(col("score") - col("old")))).head().getDouble(0)
+      scores = next
+      converged = delta <= tol
+      iter += 1
+    }
+    require(converged,
+      s"pageRankConverged: residual still above $tol after $maxIters " +
+        "iterations — raise maxIters or loosen tol")
+    scores
+  }
+
+  /** [[labelPropagate]] run TO A TOLERANCE (seeds stay clamped every
+    * round — Zhu–Ghahramani's harmonic solution is the fixpoint of
+    * exactly this clamped iteration). Same loop discipline as
+    * [[pageRankConverged]]: localCheckpoint per round, loud
+    * non-convergence, plain-double numerics verified against a
+    * driver-side fixpoint in the spec. */
+  def labelPropagateConverged(ids: DataFrame, edges: DataFrame,
+                              isSeed: Column => Column, isPos: Column => Column,
+                              tol: Double = 1e-8, maxIters: Int = 50): DataFrame = {
+    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
+    val und = fwd
+      .union(fwd.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"), col("sim")))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
+      .localCheckpoint(true)
+    val base = ids.select(col("vec_id"), isSeed(col("vec_id")).as("labeled"),
+        when(isSeed(col("vec_id")) && isPos(col("label")), 1.0)
+          .otherwise(0.0).as("seed"))
+      .localCheckpoint(true)
+    var scores = base.withColumn("score", col("seed")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val contrib = und
+        .join(scores.select(col("vec_id").as("nbr_id"), col("score")), Seq("nbr_id"))
+        .groupBy("src_id")
+        .agg(sum(col("w") * col("score")).as("num"), sum(col("w")).as("den"))
+      val next = base
+        .join(contrib.withColumnRenamed("src_id", "vec_id"), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("labeled"), col("seed"),
+          when(col("labeled"), col("seed"))
+            .otherwise(coalesce(col("num") / col("den"), lit(0.0)))
+            .as("score"))
+        .localCheckpoint(true)
+      val delta = next.select(col("vec_id"), col("score"))
+        .join(scores.select(col("vec_id"), col("score").as("old")), Seq("vec_id"))
+        .agg(max(abs(col("score") - col("old")))).head().getDouble(0)
+      scores = next
+      converged = delta <= tol
+      iter += 1
+    }
+    require(converged,
+      s"labelPropagateConverged: residual still above $tol after $maxIters " +
+        "iterations — raise maxIters or loosen tol")
+    scores.select(col("vec_id"), col("labeled"), col("score"),
+      (col("score") >= 0.5).as("predicted_pos"))
+  }
+
   /** q130: PageRank gate — two damped iterations over the q105-config
     * kNN graph (SQL-expressible grid centroids, nProbe=2, k=5), so the
     * DuckDB oracle replays the graph, the share table, and both
@@ -692,7 +790,7 @@ object KnnGraph {
          |  LEFT JOIN share sh ON sh.nbr_id = v.vec_id
          |  LEFT JOIN $prev p ON p.vec_id = sh.src_id
          |  GROUP BY v.vec_id)"""
-    s"""WITH ${knnCtes(nList = 16, nProbe = 2, k = 5)},
+    s"""WITH ${knnCtes(nList = -1, nProbe = 2, k = 5)},
        |und AS (
        |  SELECT src_id, nbr_id, MAX(sim) AS w FROM (
        |    SELECT src_id, nbr_id, sim FROM edges_k
@@ -754,7 +852,7 @@ object KnnGraph {
     silhouetteWithCents(emb, SemanticDedup.refinedCentroids(emb, nl))
   }
   val q140Sql: String =
-    s"""WITH ${SemanticDedup.refinedCentsSql(16)},
+    s"""WITH ${SemanticDedup.refinedCentsSql(-1)},
        |dd AS (
        |  SELECT e.vec_id, c.c,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -833,7 +931,7 @@ object KnnGraph {
       .orderBy("edge_set", "label")
   }
   private val q144Sql: String =
-    s"""WITH ${knnCtes(nList = 16, nProbe = 4, k = 5)},
+    s"""WITH ${knnCtes(nList = -1, nProbe = 4, k = 5)},
        |e AS (SELECT src_id, nbr_id FROM edges_k),
        |m AS (SELECT e.src_id, e.nbr_id FROM e
        |      JOIN e r ON r.src_id = e.nbr_id AND r.nbr_id = e.src_id),

@@ -348,6 +348,7 @@ object ProductQuantization {
     math.min(4096,
       math.max(minList, math.ceil(emb.count().toDouble / targetCell).toInt))
 
+
   /** Assign every vector to its nearest coarse centroid — one narrow
     * compiled pass with the broadcast centroid table (nList × dim floats,
     * tiny at any corpus scale). Output: (vec_id, cell). At rest a real

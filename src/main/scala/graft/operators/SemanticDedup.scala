@@ -198,7 +198,7 @@ object SemanticDedup {
     val emb = embeddings(s, d)
     // nList ≤ 0 → adaptiveNList, preserving the fixed-cell-size scale
     // contract when the same wrapper runs on a soak corpus; the oracle
-    // SQL pins nList=16, which IS the adaptive value at the sf0.01 gate
+    // SQL re-derives nList from COUNT(embeddings) with the same formula
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
     val vs = verdictsWithCents(emb, refinedCentroids(emb, nl), tau)
     vs.groupBy("cell")
@@ -216,12 +216,23 @@ object SemanticDedup {
     * seeds → per-cell DECIMAL(38,12) means (order-free, the q61 pattern)
     * → `cents` = refined centroids, seeds kept for empty cells. Mirrors
     * [[refinedCentroids]] term for term. */
-  private[operators] def refinedCentsSql(nList: Int): String =
+  /** `nList <= 0` → the oracle derives the seed count from the corpus
+    * itself, replaying [[ProductQuantization.adaptiveNList]]'s
+    * min(4096, max(16, ceil(N/500))) formula as a LIMIT expression —
+    * so gate parity holds at ANY scale factor, not only while the
+    * engine's adaptive value sits at its 16 floor (N ≤ 8000 vectors;
+    * the round-13 ADVICE divergence on q144). A positive `nList` stays
+    * a literal for callers that pin the seed count explicitly. */
+  private[operators] def refinedCentsSql(nList: Int): String = {
+    val limitExpr =
+      if (nList > 0) nList.toString
+      else "LEAST(4096, GREATEST(16, CAST(CEIL(" +
+        "(SELECT COUNT(*) FROM embeddings) / 500.0) AS BIGINT)))"
     s"""seeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c,
        |         embedding AS cent
        |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $nList) sd),
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $limitExpr) sd),
        |sdist AS (
        |  SELECT e.vec_id, s.c,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -245,9 +256,10 @@ object SemanticDedup {
        |cents AS (
        |  SELECT s.c, COALESCE(r.cent, s.cent) AS cent
        |  FROM seeds s LEFT JOIN refined r USING (c))"""
+  }
 
   private val q102Sql: String = {
-    val (nList, tau) = (16, 0.45)
+    val (nList, tau) = (-1, 0.45)
     // the exact arithmetic of the Spark side, term for term: distances and
     // cosines accumulate left-to-right in doubles over float inputs (the
     // q114-established parity pattern); ties on distance break to the
@@ -306,7 +318,7 @@ object SemanticDedup {
   }
 
   private val q124Sql: String = {
-    val (nList, tau, nProbe) = (16, 0.45, 2)
+    val (nList, tau, nProbe) = (-1, 0.45, 2)
     def cos(a: String, b: String) =
       s"""(list_sum(list_transform(range(1, len($a) + 1),
          |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))

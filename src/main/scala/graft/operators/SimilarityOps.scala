@@ -873,7 +873,7 @@ object SimilarityOps {
 
   private val q83Sql: String =
     s"""WITH ${pqCtes(m = 16, k = 16, sd = 4)},
-       |${SemanticDedup.refinedCentsSql(16)},
+       |${SemanticDedup.refinedCentsSql(-1)},
        |cdist AS (
        |  SELECT e.vec_id, c.c,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -994,7 +994,7 @@ object SimilarityOps {
 
   private val q132Sql: String = {
     val cosQe = q126CosSql("qe.embedding", "e.embedding")
-    s"""WITH ${SemanticDedup.refinedCentsSql(16)},
+    s"""WITH ${SemanticDedup.refinedCentsSql(-1)},
        |qids AS (SELECT vec_id FROM embeddings
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
        |cdist AS (
@@ -1055,7 +1055,7 @@ object SimilarityOps {
 
   private val q126Sql: String = {
     val cosQe = q126CosSql("qe.embedding", "e.embedding")
-    s"""WITH ${SemanticDedup.refinedCentsSql(16)},
+    s"""WITH ${SemanticDedup.refinedCentsSql(-1)},
        |qids AS (SELECT vec_id FROM embeddings
        |         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
        |cdist AS (

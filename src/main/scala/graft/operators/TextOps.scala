@@ -644,9 +644,17 @@ object TextOps {
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
     val sketch = countMinSketch(toks, depth, width)
     val tc = toks.groupBy("token").agg(count(lit(1)).as("c_true"))
+    // top-K via orderBy+limit FIRST (TakeOrderedAndProject: per-partition
+    // heaps, no global sort) so the rank window runs over topK rows — the
+    // type table is vocabulary-sized, i.e. unbounded at corpus scale, and
+    // a global row_number over it would funnel the whole vocabulary
+    // through one WindowExec task (the HybridRetrieval.bm25 rule). The
+    // deterministic (c_true desc, token) order makes the post-cut ranks
+    // identical to ranks assigned over the full table.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("c_true"), col("token"))
-    val top = tc.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+    val top = tc.orderBy(desc("c_true"), col("token")).limit(topK)
+      .withColumn("rk", row_number().over(w))
     val probes = top.select(col("token"), col("c_true"), col("rk"),
       explode(expr(s"sequence(0, ${depth - 1})")).as("rw"))
       .select(col("token"), col("c_true"), col("rk"), col("rw"),

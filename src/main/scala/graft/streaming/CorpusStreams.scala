@@ -631,5 +631,6 @@ object CorpusStreams {
     * already at rest stays where a batch rebuild would put it, because
     * stream and batch share the hash. */
   def rendezvousRouter(docs: DataFrame, nShards: Int = 16): DataFrame =
-    docs.withColumn("shard", graft.operators.MixtureOps.rendezvousCol(nShards))
+    docs.withColumn("shard",
+      graft.operators.MixtureOps.rendezvousCol(org.apache.spark.sql.functions.col("doc_id"), nShards))
 }

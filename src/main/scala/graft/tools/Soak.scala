@@ -179,6 +179,23 @@ object Soak {
     "q71_sliding_windows", "q73_event_paths", "q89_event_paths_scaled",
     "q74_cohort_retention")
 
+  /** Super-cell fan-out for the hier soak twins. nSuperProbe = max(4,
+    * nSuper/5) saturates at small nList: whenever nSuperProbe >= nSuper
+    * the two-level probe visits every super-cell, so the "hier" twin
+    * degenerates to flat-plus-overhead — identical candidate sets,
+    * measuring nothing about the hierarchy. Mark that loudly in the
+    * soak output instead of letting the flat-vs-hier comparison pass
+    * silently (round-13 ADVICE). */
+  private def hierFanout(nList: Int, name: String): (Int, Int) = {
+    val nSuper = math.max(1, math.ceil(math.sqrt(nList.toDouble)).toInt)
+    val nSuperProbe = math.max(4, nSuper / 5)
+    if (nSuperProbe >= nSuper)
+      System.err.println(s"[soak] $name: nSuperProbe=$nSuperProbe >= " +
+        s"nSuper=$nSuper at nList=$nList — the hier probe visits ALL " +
+        "super-cells; this twin measures flat-plus-overhead, not the hierarchy")
+    (nSuper, nSuperProbe)
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")
     val dir = args.lift(1).getOrElse("target/soak")
@@ -279,18 +296,18 @@ object Soak {
             val emb = graft.Tables.embeddings(s, d)
             val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
             val cents = graft.operators.SemanticDedup.refinedCentroids(emb, nl)
-            val nSuper = math.max(1, math.ceil(math.sqrt(nl.toDouble)).toInt)
+            val (nSuper, nSuperProbe) = hierFanout(nl, "q103_knn_hier")
             graft.operators.KnnGraph.knnEdgesHier(emb, cents, 5, 4,
-              nSuper, math.max(4, nSuper / 5))
+              nSuper, nSuperProbe)
           }),
           "q144_mutual_hier" -> ((s, d) => {
             val emb = graft.Tables.embeddings(s, d)
             val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
             val cents = graft.operators.SemanticDedup.refinedCentroids(emb, nl)
-            val nSuper = math.max(1, math.ceil(math.sqrt(nl.toDouble)).toInt)
+            val (nSuper, nSuperProbe) = hierFanout(nl, "q144_mutual_hier")
             graft.operators.KnnGraph.mutualPurityAudit(emb,
               graft.operators.KnnGraph.knnEdgesHier(emb, cents, 5, 4,
-                nSuper, math.max(4, nSuper / 5)))
+                nSuper, nSuperProbe))
           }),
           "q26_minhash_fast" -> ((s, d) => graft.operators.DedupOps
             .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)),

@@ -594,5 +594,19 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     val partialAggs = aggs.filter(_.aggregateExpressions.exists(
       _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial))
     assert(partialAggs.nonEmpty, s"no partial aggregation:\n${physicalPlan(df)}")
+    // the top-K rank window must run over a LIMITED input (the
+    // TakeOrderedAndProject cut), never the vocabulary-sized type
+    // table — a global row_number over the full vocab funnels every
+    // type through one WindowExec task at corpus scale
+    val windows = nodes(df) { case w: WindowExec => w }
+    windows.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        case l: org.apache.spark.sql.execution.CollectLimitExec => l
+      }.isDefined
+      assert(bounded,
+        s"q143 rank window reads an unbounded input:\n${physicalPlan(df)}")
+    }
   }
 }

@@ -777,7 +777,7 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
     val ids = (1L to 200L)
     // expression form == batch window form on the same ids
     val viaCol = ids.toDF("doc_id")
-      .withColumn("s", graft.operators.MixtureOps.rendezvousCol(16))
+      .withColumn("s", graft.operators.MixtureOps.rendezvousCol(col("doc_id"), 16))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val viaWindow = graft.operators.MixtureOps
       .rendezvousShard(ids.toDF("doc_id"), 16, "s")
@@ -800,7 +800,7 @@ class CorpusStreamsSpec extends AnyFunSuite with SharedSpark {
 
     // resize 16 -> 20 re-routes only to NEW shards (HRW monotonicity)
     val via20 = ids.toDF("doc_id")
-      .withColumn("s", graft.operators.MixtureOps.rendezvousCol(20))
+      .withColumn("s", graft.operators.MixtureOps.rendezvousCol(col("doc_id"), 20))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val moved = ids.filter(i => viaCol(i) != via20(i))
     assert(moved.nonEmpty && moved.forall(i => via20(i) >= 16))
