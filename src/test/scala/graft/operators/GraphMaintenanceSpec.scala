@@ -1,0 +1,207 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+import scala.jdk.CollectionConverters._
+
+/** The at-rest kNN graph contract (round-13 verdict task 1):
+  *  - the persisted graph is BIT-IDENTICAL to the inline
+  *    [[KnnGraph.knnEdgesWithCents]] build under the same frozen
+  *    centroids (parity);
+  *  - incremental maintenance — inserts through the reverse-probe index,
+  *    re-embeds and deletes through the source-repair path — reproduces
+  *    a FULL REBUILD bit-for-bit (the top-k merge identity);
+  *  - the graph family (PageRank, clusters) consumes the stored edges
+  *    unchanged;
+  *  - maintenance rewrites only affected partitions (file-listing
+  *    identity on untouched cells, the [[CorpusMaintenance]] contract).
+  */
+class GraphMaintenanceSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val K = 5
+  private val NPROBE = 2
+
+  private def emb: DataFrame =
+    graft.Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.select("src_id", "nbr_id", "sim", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-gmaint-$tag").toString
+
+  /** Build index + graph layouts for `corpus` under `cents`. */
+  private def buildAll(corpus: DataFrame, cents: Array[Array[Float]],
+                       root: String): (String, String) = {
+    val embPath = root + "/index"
+    val graphPath = root + "/graph"
+    EmbeddingMaintenance.writeCellLayout(corpus, cents, embPath)
+    EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+      EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+    GraphMaintenance.writeKnnGraph(spark, embPath, graphPath, K, NPROBE)
+    (embPath, graphPath)
+  }
+
+  test("at-rest graph == inline knnEdgesWithCents, bit-for-bit") {
+    val cents = SemanticDedup.refinedCentroids(emb, 16)
+    val (_, graphPath) = buildAll(emb, cents, tmp("parity"))
+    val atRest = edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath))
+    val inline = edgeSet(KnnGraph.knnEdgesWithCents(emb, cents, K, NPROBE))
+    assert(atRest == inline)
+    assert(atRest.nonEmpty)
+  }
+
+  test("graph family consumes the stored edges: PageRank and clusters match the inline build") {
+    val cents = SemanticDedup.refinedCentroids(emb, 16)
+    val (_, graphPath) = buildAll(emb, cents, tmp("consume"))
+    val stored = GraphMaintenance.edgesAtRest(spark, graphPath)
+    val inline = KnnGraph.knnEdgesWithCents(emb, cents, K, NPROBE)
+    def prSet(e: DataFrame) = KnnGraph.pageRank(emb, e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(prSet(stored) == prSet(inline))
+    def clSet(e: DataFrame) = GraphMaintenance
+      .clustersFromEdges(emb.select("vec_id"), e, 0.40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clSet(stored) ==
+      KnnGraph.semanticClustersWithCents(emb, cents, K, NPROBE, 0.40).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("incremental INSERT == full rebuild (frozen centroids), bit-for-bit") {
+    // content-addressed split: ~10 % arrivals, the ingest shape
+    val isArrival = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10 === 0
+    val base = emb.filter(!isArrival)
+    val arrivals = emb.filter(isArrival)
+    assert(arrivals.count() > 10)
+    val cents = SemanticDedup.refinedCentroids(base, 16)
+    val (embPath, graphPath) = buildAll(base, cents, tmp("insert"))
+    GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals)
+    // reference: full rebuild of the grown corpus under the SAME centroids
+    val (_, refGraph) = buildAll(emb, cents, tmp("insert-ref"))
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refGraph)))
+    // and the incremental graph equals the inline build on the grown corpus
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(KnnGraph.knnEdgesWithCents(emb, cents, K, NPROBE)))
+  }
+
+  test("incremental RE-EMBED == full rebuild (repair path), bit-for-bit") {
+    val cents = SemanticDedup.refinedCentroids(emb, 16)
+    val (embPath, graphPath) = buildAll(emb, cents, tmp("reembed"))
+    // re-embed 8 vectors: swap each one's embedding with another vector's
+    // (stays on-manifold, changes cells and sims)
+    val donors = emb.orderBy(desc("vec_id")).limit(8)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val victims = emb.orderBy("vec_id").limit(8)
+      .select("vec_id", "label").collect()
+    val changed = victims.zip(donors).map { case (r, e) =>
+      (r.getLong(0), e, r.getInt(1))
+    }.toSeq.toDF("vec_id", "embedding", "label")
+    GraphMaintenance.upsertGraph(spark, embPath, graphPath, changed)
+    val after = spark.read.parquet(embPath)
+      .select("vec_id", "embedding", "label")
+    val (_, refGraph) = buildAll(after, cents, tmp("reembed-ref"))
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refGraph)))
+  }
+
+  test("DELETE == full rebuild on the survivors (repair path), bit-for-bit") {
+    val cents = SemanticDedup.refinedCentroids(emb, 16)
+    val (embPath, graphPath) = buildAll(emb, cents, tmp("delete"))
+    val victims = emb.orderBy("vec_id").limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    GraphMaintenance.deleteFromGraph(spark, embPath, graphPath, victims)
+    val survivors = emb.filter(!col("vec_id").isInCollection(victims))
+    val (_, refGraph) = buildAll(survivors, cents, tmp("delete-ref"))
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refGraph)))
+    // no stored edge may point at a deleted vector
+    assert(GraphMaintenance.edgesAtRest(spark, graphPath)
+      .filter(col("nbr_id").isInCollection(victims)).count() == 0)
+  }
+
+  test("insert far from a blob leaves that blob's edge partitions bit-identical (nProbe=1)") {
+    // two well-separated blobs, nProbe=1: an arrival near blob2 can only
+    // affect cell2's sources — blob1's edge directory must not be touched
+    def vec(base: Array[Float], j: Float) =
+      base.zipWithIndex.map { case (v, i) => v + (if (i == 1) j else 0f) }
+    val b1 = Array(10f, 0f, 0f, 0f)
+    val b2 = Array(0f, 0f, 10f, 0f)
+    val corpus = ((1L to 6L).map(i => (i, vec(b1, 0.01f * i), 0)) ++
+      (11L to 16L).map(i => (i, vec(b2, 0.01f * i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val cents = ProductQuantization.trainCoarse(corpus, nList = 2)
+    val root = tmp("untouched")
+    val embPath = root + "/index"
+    val graphPath = root + "/graph"
+    EmbeddingMaintenance.writeCellLayout(corpus, cents, embPath)
+    EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+      EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+    GraphMaintenance.writeKnnGraph(spark, embPath, graphPath, k = 3, nProbe = 1)
+    val blob1Cell = spark.read.parquet(embPath)
+      .filter(col("vec_id") === 1L).select("cell").head().getInt(0)
+    def listing(dir: String): Set[(String, Long)] =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => (f.getFileName.toString, Files.size(f))).toSet
+    val before = listing(s"${graphPath}/edges/src_cell=$blob1Cell")
+    val arrival = Seq((21L, vec(b2, 0.33f), 1)).toDF("vec_id", "embedding", "label")
+    GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrival)
+    assert(listing(s"${graphPath}/edges/src_cell=$blob1Cell") == before,
+      "blob1's edge partition was rewritten by a blob2 arrival")
+    // and the maintained graph still equals the rebuild
+    val after = spark.read.parquet(embPath).select("vec_id", "embedding", "label")
+    val cents2 = cents // frozen
+    val refRoot = tmp("untouched-ref")
+    EmbeddingMaintenance.writeCellLayout(after, cents2, refRoot + "/index")
+    EmbeddingMaintenance.saveQuantizer(spark, refRoot + "/index", cents2,
+      EmbeddingMaintenance.layoutStats(spark, refRoot + "/index", cents2))
+    GraphMaintenance.writeKnnGraph(spark, refRoot + "/index",
+      refRoot + "/graph", k = 3, nProbe = 1)
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refRoot + "/graph")))
+  }
+
+  test("self-healing cycle: off-manifold churn rebuilds the graph under fresh centroids") {
+    def vec(base: Array[Float], j: Float) =
+      base.zipWithIndex.map { case (v, i) => v + (if (i == 1) j else 0f) }
+    val b1 = Array(10f, 0f, 0f, 0f)
+    val b2 = Array(0f, 0f, 10f, 0f)
+    val corpus = ((1L to 8L).map(i => (i, vec(b1, 0.01f * i), 0)) ++
+      (11L to 18L).map(i => (i, vec(b2, 0.01f * i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val cents = ProductQuantization.trainCoarse(corpus, nList = 2)
+    val root = tmp("heal")
+    val embPath = root + "/index"
+    val graphPath = root + "/graph"
+    EmbeddingMaintenance.writeCellLayout(corpus, cents, embPath)
+    EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+      EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+    GraphMaintenance.writeKnnGraph(spark, embPath, graphPath, k = 3, nProbe = 1)
+    // a healthy batch maintains incrementally, no trigger: the arrival
+    // lands at blob1's mean jitter, so the fit proxies barely move
+    val quiet = Seq((21L, vec(b1, 0.05f), 0)).toDF("vec_id", "embedding", "label")
+    assert(GraphMaintenance.maintainGraphPersistent(
+      spark, embPath, graphPath, quiet, audit = true).isEmpty)
+    // a third blob arrives in force: drift fires, quantizer retrains,
+    // the graph is rebuilt under the FRESH sidecar centroids
+    val b3 = Array(0f, 10f, 0f, 10f)
+    val churn = (31L to 62L).map(i => (i, vec(b3, 0.02f * i), 2))
+      .toDF("vec_id", "embedding", "label")
+    val reasons = GraphMaintenance.maintainGraphPersistent(
+      spark, embPath, graphPath, churn, audit = true)
+    assert(reasons.nonEmpty, "off-manifold churn must trigger the audit")
+    val freshCents = EmbeddingMaintenance.loadQuantizer(spark, embPath).get._1
+    val nowCorpus = spark.read.parquet(embPath).select("vec_id", "embedding", "label")
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(KnnGraph.knnEdgesWithCents(
+        nowCorpus.select("vec_id", "embedding"), freshCents, 3, 1)))
+  }
+}
