@@ -328,6 +328,65 @@ object CorpusOps {
   }
   val q142KnPerplexity: Q = (s, d) => knBigramScores(documents(s, d))
 
+  /** The KN model ALONE: the bigram TYPE table (w1, w2, c_bg) — the one
+    * statistic every other q142 table derives from (context totals and
+    * fan-outs are one aggregation over types, continuation counts
+    * another, the type count a broadcast row), so it IS the persistable
+    * model ([[ModelStore]]): vocabulary²-bounded, rebuild-free to
+    * score under. */
+  def knModel(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+
+  /** [[knBigramScores]] under an EXTERNALLY trained type table — the
+    * at-rest scoring path. Scoring a LATER corpus under a frozen model,
+    * three regimes fall out of KN naturally: a seen bigram scores as in
+    * training; an unseen bigram over seen words takes the pure backoff
+    * mass (the max(c−D, 0) clamp binds — exactly KN's unseen-pair
+    * probability); a bigram whose context or continuation the model
+    * never saw has no distribution to score under and is EXCLUDED, with
+    * the per-doc count reported so the consumer sees its OOV exposure.
+    * On the model's own training corpus every join hits and the clamp
+    * never binds — bit-identical to [[knBigramScores]]
+    * (ModelStoreSpec). */
+  def knScoresWithModel(docs: DataFrame, model: DataFrame): DataFrame = {
+    val cbg = model.select(col("w1"), col("w2"), col("c_bg"))
+    val cw = cbg.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"),
+      count(lit(1)).as("n1p_fw"))
+    val bw = cbg.groupBy("w2").agg(count(lit(1)).as("n1p_bw"))
+    val t = cbg.agg(count(lit(1)).as("t_types"))
+    val bg = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val mean = round(sum(col("logp").cast(DecimalType(38, 6))).cast(DoubleType) /
+      sum(when(col("logp").isNotNull, 1L).otherwise(0L)), 6)
+    bg.join(cbg, Seq("w1", "w2"), "left")
+      .join(cw, Seq("w1"), "left").join(bw, Seq("w2"), "left")
+      .crossJoin(broadcast(t))
+      .select(col("doc_id"),
+        when(col("c_w1").isNotNull && col("n1p_bw").isNotNull,
+          round(log(
+            greatest(coalesce(col("c_bg"), lit(0L)).cast(DoubleType) - lit(0.75d), lit(0.0d)) /
+              col("c_w1").cast(DoubleType) +
+            lit(0.75d) * col("n1p_fw").cast(DoubleType) / col("c_w1").cast(DoubleType) *
+              (col("n1p_bw").cast(DoubleType) / col("t_types").cast(DoubleType))), 6))
+          .as("logp"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("logp").isNotNull, 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("logp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        mean.as("kn_logprob"),
+        round(exp(-mean), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** q147: DoReMi-style domain reweighting — per-source EXCESS
     * log-probability under the corpus-trained KN bigram LM (q142's
     * model), exponentiated and normalized into a sampling-weight table.

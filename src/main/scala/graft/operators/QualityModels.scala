@@ -98,6 +98,51 @@ object QualityModels {
         round(col("raw").cast(DoubleType) / col("n_d"), 6).as("score"))
   }
 
+  /** The trained NB model ALONE: (token, llr) — [[nbDocScores]]'s llr
+    * chain factored out so the model can be persisted at rest
+    * ([[ModelStore]]) and scored against later corpora / streams without
+    * retraining. Values are identical to the inline chain (same
+    * aggregations, same 6dp rounding). */
+  def nbModel(docs: DataFrame): DataFrame = {
+    val isT = col("source").isin(ReferenceSources: _*)
+    val cw = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("c_dw"))
+      .groupBy("token").agg(
+        sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
+        sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r"))
+    val tot = cw.agg(
+      sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
+      count(lit(1)).as("v"))
+    cw.crossJoin(broadcast(tot)).select(col("token"),
+      round(
+        log((col("c_t") + 1) / (col("n_t") + col("v")).cast(DoubleType)) -
+          log((col("c_r") + 1) / (col("n_r") + col("v")).cast(DoubleType)),
+        6).as("llr"))
+  }
+
+  /** Per-document NB scores under an EXTERNALLY trained model — the
+    * at-rest scoring path. Tokens the model never saw contribute ZERO
+    * (left join + coalesce — the [[dsirLogWeights]] rule: a document
+    * scored under an older model must still be a candidate); on the
+    * model's own training corpus every token hits, so the scores are
+    * bit-identical to [[nbDocScores]] (ModelStoreSpec pins it). */
+  def nbScoresWithModel(docs: DataFrame, model: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("c_dw"))
+      .join(model, Seq("token"), "left")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c_dw")).as("n_d"),
+        sum(coalesce(col("llr"), lit(0.0)).cast(DecimalType(18, 6)) *
+          col("c_dw").cast(DecimalType(18, 0))).as("raw"))
+      .select(col("doc_id"), col("source"),
+        round(col("raw").cast(DoubleType) / col("n_d"), 6).as("score"))
+
   val q108NbQuality: Q = (s, d) => {
     nbDocScores(documents(s, d)).groupBy("source").agg(
       count(lit(1)).as("n_docs"),
