@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
@@ -20,6 +20,141 @@ object Bench {
   private def fmt(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(v))
 
+  /** The queries the steered bench explores by default: the relational /
+    * events / text-scoring families where the steering dimensions (join
+    * strategy, shuffle-partition tier) are live knobs. ≥32 per the
+    * round-13 verdict done-bar; SPARK_GRAFT_QUERIES overrides. */
+  private val steeredDefault: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_top_revenue", "q03_broadcast_join",
+    "q04_semi_join", "q05_anti_join", "q06_row_min_sum", "q07_min_observed",
+    "q08_distinct_sum", "q09_percentiles", "q10_count_distinct",
+    "q11_argmin", "q12_cumsum", "q13_group_stats", "q14_group_median",
+    "q15_window_rank", "q16_scalar_funcs", "q17_set_ops", "q18_interpolate",
+    "q25_ngram_jaccard", "q29_ann_bruteforce", "q34_sessionize",
+    "q35_asof_join", "q36_json_props", "q37_range_join", "q38_salted_agg",
+    "q44_rollup", "q45_pivot", "q46_cube", "q47_clean_corpus",
+    "q48_window_suite", "q53_full_outer", "q54_exists_subquery",
+    "q55_array_funcs", "q56_funnel", "q59_source_overlap",
+    "q62_tfidf_topterms", "q63_bigram_lm", "q65_lateral_topk",
+    "q66_decay_engagement", "q68_regional_revenue", "q71_sliding_windows",
+    "q72_ordered_set_aggs", "q73_event_paths", "q74_cohort_retention",
+    "q75_promo_revenue")
+
+  /** `graft.Bench --steered` (round-13 verdict task 4): realize the
+    * learned-steering win on the engine's own bench instead of only as a
+    * trace. Phase 1 explores the (query × config) space with the online
+    * censored-ALS loop (the LimeQO machinery over live Spark configs)
+    * and learns one config per query into the [[graft.catalyst.Steered]]
+    * registry; phase 2 BANKS the wall-clock by measuring every query
+    * min-of-N under the session default and under its learned config,
+    * alternating whole passes like the main bench. Artifacts (trace,
+    * learned hints, steered-vs-default totals) land in
+    * `experiment/steering/`. */
+  private def steeredMain(spark: SparkSession, sfDir: String): Unit = {
+    import graft.catalyst.{Steered, SteeringLoop}
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None => steeredDefault.filter(SparkEntry.queries.contains)
+    }
+    require(names.size >= 32, s"steered bench wants ≥32 queries, got ${names.size}")
+    val qs: Seq[(String, SparkSession => DataFrame)] =
+      names.map(n => n -> ((sp: SparkSession) => SparkEntry.queries(n)(sp, sfDir)))
+    // JVM/codegen warm before anything is measured
+    qs.foreach { case (_, fn) =>
+      try fn(spark).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val configs = SteeringLoop.crossed(SteeringLoop.defaultConfigs,
+      SteeringLoop.partitionTiers(8))
+    val batch = sys.env.getOrElse("SPARK_GRAFT_STEER_BATCH", "32").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_STEER_ROUNDS", "10").toInt
+    val res = SteeringLoop.steer(spark, qs, configs,
+      batch = batch, rounds = rounds, learn = false)
+    // TWO-STAGE ADOPTION. Stage 1 (propose): the loop's best observed
+    // config per query with a ≥10 % margin over the observed default.
+    // Selection on noisy minima is BIASED — the min over several sampled
+    // cells beats the query's single default observation almost surely
+    // (measured: without the second stage, all 45 queries "cleared" the
+    // margin and the banked steered arm came out SLOWER) — so stage 2
+    // (validate) re-measures each proposed pair back-to-back on FRESH
+    // data, independent of the sample that selected it, and only
+    // survivors are learned. Real wins (the 20-50 % p8/shuffle_hash
+    // margins tools/ConfigProbe measures on the shuffle-heavy queries)
+    // pass both stages; noise picks fail the independent re-measure.
+    val obsMin = res.observations.groupBy(o => (o.query, o.config))
+      .view.mapValues(_.map(_.seconds).min).toMap
+    val proposals = names.indices.flatMap { qi =>
+      obsMin.get((qi, 0)).flatMap { d =>
+        val cands = configs.indices.drop(1)
+          .flatMap(ci => obsMin.get((qi, ci)).map(ci -> _))
+        cands.sortBy(_._2).headOption.collect {
+          case (bc, bt) if bt < 0.9 * d => (qi, bc)
+        }
+      }
+    }
+    // validation is min-of-2 per arm, alternated, at a WIDER 15 % margin:
+    // this host's sub-second queries carry ±10 % stall noise, and a
+    // single-sample 10 % bar still let ~noise-level proposals through
+    // (banked: half regressed). Only margins that survive two independent
+    // alternations at 15 % are worth pinning to a plan — which is also
+    // the honest deployment rule: a learned hint must beat the default by
+    // more than the environment's own variance to be worth shipping.
+    val adopted = scala.collection.mutable.Map.empty[String, String]
+    proposals.foreach { case (qi, ci) =>
+      val d = Seq(SteeringLoop.measure(spark, qs(qi)._2, configs.head),
+        SteeringLoop.measure(spark, qs(qi)._2, configs.head)).min
+      val t = Seq(SteeringLoop.measure(spark, qs(qi)._2, configs(ci)),
+        SteeringLoop.measure(spark, qs(qi)._2, configs(ci))).min
+      if (t < 0.85 * d) {
+        Steered.learn(qs(qi)._2(spark), configs(ci).strategy, configs(ci).confs)
+        adopted(names(qi)) = configs(ci).name
+      }
+    }
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STEER_OUT", "experiment/steering"))
+    java.nio.file.Files.createDirectories(outDir)
+    SteeringLoop.saveTrace(res, names, configs.map(_.name),
+      outDir.resolve("bench_steer_trace.json"))
+    Steered.save(outDir.resolve("bench_learned_hints.json"))
+    // bank it: alternate whole default/steered passes, min per query
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    def once(fn: SparkSession => DataFrame, steered: Boolean): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark)
+        if (steered) Steered.run(df)(_.write.format("noop").mode("overwrite").save())
+        else df.write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val passes = (1 to reps).flatMap(_ => Seq(
+      qs.map { case (_, fn) => once(fn, steered = false) },
+      qs.map { case (_, fn) => once(fn, steered = true) }))
+    val defaultT = names.indices.map(i =>
+      passes.zipWithIndex.collect { case (p, pi) if pi % 2 == 0 => p(i) }
+        .filter(_ >= 0).min)
+    val steeredT = names.indices.map(i =>
+      passes.zipWithIndex.collect { case (p, pi) if pi % 2 == 1 => p(i) }
+        .filter(_ >= 0).min)
+    val recs = adopted.toMap
+    val sb = new StringBuilder
+    sb.append("{\n  \"sf\": \"").append(sfDir).append("\",\n")
+    sb.append(s"""  "reps": $reps, "configs": ${configs.size},\n""")
+    sb.append(s"""  "default_total": ${fmt(defaultT.sum, 3)},\n""")
+    sb.append(s"""  "steered_total": ${fmt(steeredT.sum, 3)},\n""")
+    sb.append(s"""  "exploration_seconds": ${fmt(res.totalExplorationSeconds, 3)},\n""")
+    sb.append("  \"queries\": {\n")
+    sb.append(names.indices.map { i =>
+      s"""    "${names(i)}": {"default": ${fmt(defaultT(i), 3)}, """ +
+        s""""steered": ${fmt(steeredT(i), 3)}, "config": "${recs.getOrElse(names(i), "default")}"}"""
+    }.mkString(",\n"))
+    sb.append("\n  }\n}\n")
+    java.nio.file.Files.writeString(outDir.resolve("steered_bench.json"), sb.toString)
+    spark.stop()
+    println(s"""{"metric":"steered_total","value":${fmt(steeredT.sum, 2)},""" +
+      s""""default_total":${fmt(defaultT.sum, 2)},"unit":"sec","n":${names.size},"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,6 +166,8 @@ object Bench {
       .withExtensions(new graft.catalyst.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("--steered")) { steeredMain(spark, sfDir); return }
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -811,6 +811,205 @@ object KnnGraph {
        |SELECT vec_id, score FROM p2 ORDER BY vec_id""".stripMargin
   }
 
+  /** q149: graph arrival-impact audit — what one ingest batch DOES to the
+    * kNN graph, as a queryable number rather than a maintenance
+    * side-effect. A content-addressed ~10 % of the corpus plays the
+    * arrival batch (md5₃₂(vec_id) % 10 = 0 — the q40/q106 split idiom);
+    * the audit builds the graph WITHOUT them and WITH them under the
+    * same frozen quantizer and classifies every edge:
+    *
+    *  - `arrival_src` — a new vector's own list (the insert path's work);
+    *  - `kept`        — a base source's edge both graphs agree on;
+    *  - `displaced`   — a base edge the arrivals pushed out of top-k
+    *    (exactly the rows [[GraphMaintenance.upsertGraph]]'s merge
+    *    rewrites — the reverse-probe partitions bound WHERE these occur);
+    *  - `gained`      — a base source's replacement edge (symmetric to
+    *    displaced; overwhelmingly arrival neighbors).
+    *
+    * The displaced/kept ratio is the number a deployment watches to size
+    * its incremental-maintenance batches: it is the fraction of the
+    * at-rest graph one batch invalidates. Cost: two probe-join graph
+    * builds + one edge-keyed full-outer join (edge-mass-bounded, never
+    * pair-mass). Output: |classes| rows of BIGINT counts — hash-exact;
+    * the oracle replays BOTH graph chains over the same grid quantizer
+    * and the same split predicate. */
+  def q149GraphArrivalDiff(k: Int = 5, nList: Int = -1, nProbe: Int = 2): Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val cents = SemanticDedup.refinedCentroids(emb, nl)
+    def isArrival(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 10 === 0
+    val base = emb.filter(!isArrival(col("vec_id")))
+    val before = knnEdgesWithCents(base, cents, k, nProbe)
+      .select(col("src_id"), col("nbr_id")).withColumn("in_before", lit(1L))
+    val after = knnEdgesWithCents(emb, cents, k, nProbe)
+      .select(col("src_id"), col("nbr_id")).withColumn("in_after", lit(1L))
+    after.join(before, Seq("src_id", "nbr_id"), "full_outer")
+      .na.fill(0L, Seq("in_before", "in_after"))
+      .select(col("src_id"), col("nbr_id"),
+        when(isArrival(col("src_id")), "arrival_src")
+          .when(col("in_before") === 1 && col("in_after") === 1, "kept")
+          .when(col("in_after") === 1, "gained")
+          .otherwise("displaced").as("class"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("src_id")).as("n_srcs"))
+      .orderBy("class")
+  }
+
+  /** Per-table knn CTE chain for oracles that need TWO graphs in one
+    * query (q149): same shape as [[knnCtes]], CTE names prefixed, the
+    * shared `cents` CTE emitted once by the caller. */
+  private def knnCtesOver(tbl: String, pfx: String, nProbe: Int, k: Int) =
+    s"""${pfx}dist AS (
+       |  SELECT e.vec_id, c.c,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+       |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d
+       |  FROM $tbl e CROSS JOIN cents c),
+       |${pfx}drank AS (
+       |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |  FROM ${pfx}dist),
+       |${pfx}assigned AS (SELECT vec_id, c AS cell FROM ${pfx}drank WHERE rn = 1),
+       |${pfx}probes AS (SELECT vec_id AS src_id, c AS cell FROM ${pfx}drank WHERE rn <= $nProbe),
+       |${pfx}cand AS (
+       |  SELECT p.src_id, a.vec_id AS nbr_id,
+       |    ROUND(${cosSql("se.embedding", "ne.embedding")}, 6) AS sim
+       |  FROM ${pfx}probes p
+       |  JOIN ${pfx}assigned a ON a.cell = p.cell AND a.vec_id <> p.src_id
+       |  JOIN $tbl se ON se.vec_id = p.src_id
+       |  JOIN $tbl ne ON ne.vec_id = a.vec_id),
+       |${pfx}edges AS (
+       |  SELECT src_id, nbr_id FROM (
+       |    SELECT src_id, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rk
+       |    FROM ${pfx}cand) x WHERE rk <= $k)"""
+
+  private val q149Sql: String =
+    s"""WITH ${SemanticDedup.refinedCentsSql(-1)},
+       |base AS (
+       |  SELECT * FROM embeddings
+       |  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) % 10 <> 0),
+       |${knnCtesOver("embeddings", "f_", nProbe = 2, k = 5)},
+       |${knnCtesOver("base", "b_", nProbe = 2, k = 5)},
+       |j AS (
+       |  SELECT COALESCE(f.src_id, b.src_id) AS src_id,
+       |    CASE WHEN f.src_id IS NOT NULL THEN 1 ELSE 0 END AS in_after,
+       |    CASE WHEN b.src_id IS NOT NULL THEN 1 ELSE 0 END AS in_before
+       |  FROM f_edges f FULL OUTER JOIN b_edges b
+       |    ON f.src_id = b.src_id AND f.nbr_id = b.nbr_id)
+       |SELECT
+       |  CASE WHEN CAST(concat('0x', substr(md5(CAST(src_id AS VARCHAR)), 1, 8))
+       |            AS BIGINT) % 10 = 0 THEN 'arrival_src'
+       |       WHEN in_before = 1 AND in_after = 1 THEN 'kept'
+       |       WHEN in_after = 1 THEN 'gained'
+       |       ELSE 'displaced' END AS class,
+       |  COUNT(*) AS n_edges,
+       |  COUNT(DISTINCT src_id) AS n_srcs
+       |FROM j GROUP BY 1 ORDER BY class""".stripMargin
+
+  /** q150: PageRank convergence-residual audit — the observable the
+    * tolerance-driven production form ([[pageRankConverged]]) stops on,
+    * gated as a fixed-plan query: three damped iterations over the
+    * q130-config graph, reporting per iteration the max |Δscore|, the
+    * count of vertices that moved at 6dp, and the total residual mass.
+    * A deployment reads this table to pick its tolerance/iteration
+    * budget (the residual should shrink geometrically ≈ the damping
+    * factor; a flat residual means the walk is oscillating on structure,
+    * not converging). Same numerics as q130 (6dp scores per iteration,
+    * DECIMAL sums), so the deltas are exact multiples of 1e-6 and the
+    * oracle replays all three iterations and the three delta rows. */
+  def q150PagerankResidual(k: Int = 5, nList: Int = -1, nProbe: Int = 2,
+                           iters: Int = 3, damping: Double = 0.85): Q = (s, d) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val emb = embeddings(s, d)
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val edges = knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl), k, nProbe)
+    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
+    val und = fwd
+      .union(fwd.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"), col("sim")))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
+    val strength = und.groupBy("src_id")
+      .agg(sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType).as("s"))
+    val share = und.join(strength, Seq("src_id"))
+      .select(col("src_id"), col("nbr_id"),
+        round(col("w") / col("s"), 6).as("share"))
+    val n = emb.count()
+    val teleport = (1.0 - damping) / n
+    var scores = emb.select(col("vec_id"), round(lit(1.0) / n, 6).as("score"))
+    var out: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = share
+        .join(scores.select(col("vec_id").as("src_id"), col("score")), Seq("src_id"))
+        .groupBy(col("nbr_id").as("vec_id"))
+        .agg(sum(col("share").cast(DecimalType(18, 6)) * col("score").cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("inflow"))
+      val next = emb.select(col("vec_id"))
+        .join(contrib, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          round(lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
+            .as("score"))
+      val row = next.withColumnRenamed("score", "new")
+        .join(scores.withColumnRenamed("score", "old"), Seq("vec_id"))
+        .select(round(abs(col("new") - col("old")), 6).as("delta"))
+        .agg(max(col("delta")).as("max_abs_delta"),
+          sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_changed"),
+          round(sum(col("delta").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+            .as("residual_mass"))
+        .select(lit(i).as("iter"), col("max_abs_delta"), col("n_changed"),
+          col("residual_mass"))
+      out = if (out == null) row else out.unionAll(row)
+      scores = next
+    }
+    out.orderBy("iter")
+  }
+
+  private val q150Sql: String = {
+    def iterCte(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT v.vec_id,
+         |    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |        / (SELECT COUNT(*) FROM embeddings)
+         |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
+         |          CAST(sh.share AS DECIMAL(18,6)) * CAST(p.score AS DECIMAL(18,6))), 0)
+         |        AS DOUBLE), 6) AS score
+         |  FROM embeddings v
+         |  LEFT JOIN share sh ON sh.nbr_id = v.vec_id
+         |  LEFT JOIN $prev p ON p.vec_id = sh.src_id
+         |  GROUP BY v.vec_id)"""
+    def deltaRow(i: Int, prev: String, cur: String) =
+      s"""SELECT $i AS iter, MAX(d) AS max_abs_delta,
+         |  CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  ROUND(CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE), 6) AS residual_mass
+         |FROM (SELECT ROUND(ABS(b.score - a.score), 6) AS d
+         |      FROM $prev a JOIN $cur b USING (vec_id))""".stripMargin
+    s"""WITH ${knnCtes(nList = -1, nProbe = 2, k = 5)},
+       |und AS (
+       |  SELECT src_id, nbr_id, MAX(sim) AS w FROM (
+       |    SELECT src_id, nbr_id, sim FROM edges_k
+       |    UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id, sim FROM edges_k) u
+       |  GROUP BY src_id, nbr_id),
+       |strength AS (
+       |  SELECT src_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS s
+       |  FROM und GROUP BY src_id),
+       |share AS (
+       |  SELECT u.src_id, u.nbr_id, ROUND(u.w / st.s, 6) AS share
+       |  FROM und u JOIN strength st ON st.src_id = u.src_id),
+       |p0 AS (
+       |  SELECT vec_id,
+       |    ROUND(CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM embeddings), 6) AS score
+       |  FROM embeddings),
+       |${iterCte("p0", "p1")},
+       |${iterCte("p1", "p2")},
+       |${iterCte("p2", "p3")}
+       |${deltaRow(1, "p0", "p1")}
+       |UNION ALL ${deltaRow(2, "p1", "p2")}
+       |UNION ALL ${deltaRow(3, "p2", "p3")}
+       |ORDER BY iter""".stripMargin
+  }
+
   /** q140: centroid-silhouette audit of the coarse clustering every ANN /
     * semantic-dedup operator here stands on (q30/q102/q103/q105/q114…):
     * per vector, a = distance to its own (nearest) refined centroid and
@@ -959,9 +1158,13 @@ object KnnGraph {
     "q129_label_prop" -> q129LabelProp(),
     "q130_pagerank" -> q130PageRank(),
     "q144_mutual_knn" -> q144MutualKnn(),
+    "q149_graph_arrival_diff" -> q149GraphArrivalDiff(),
+    "q150_pagerank_residual" -> q150PagerankResidual(),
   )
   val oracle: Map[String, String] = Map(
     "q140_silhouette" -> q140Sql,
+    "q149_graph_arrival_diff" -> q149Sql,
+    "q150_pagerank_residual" -> q150Sql,
     "q103_knn_graph" -> q103Sql,
     "q105_semantic_clusters" -> q105Sql,
     "q107_diversity_sample" -> q107Sql,

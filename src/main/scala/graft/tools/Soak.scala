@@ -135,6 +135,7 @@ object Soak {
     "q95_dedup_against_index", "q98_substr_spans", "q98_substr_hashed",
     "q122_substr_removal", "q102_semantic_dedup", "q102_semantic_trained",
     "q124_semdedup_xcell", "q127_bloom_decontam", "q133_containment",
+    "q25_capsat", "q133_capsat",
     "q134_winnowing", "q135_sketch_calibration",
     "q137_cdc_chunks", "q138_edit_verify", "q146_cluster_split",
     // text analysis
@@ -309,6 +310,18 @@ object Soak {
               graft.operators.KnnGraph.knnEdgesHier(emb, cents, 5, 4,
                 nSuper, nSuperProbe))
           }),
+          // CAP-SATURATION twins (round-13 verdict task 2): q25/q133 with
+          // the block cap lowered 4x (32 -> 8), so the generator's dup
+          // blocks exceed the cap at EVERY corpus size and the O(N*cap)
+          // regime is measured directly instead of argued — below
+          // saturation the soak steps ride the generator's pair-mass
+          // ramp; above it, wall growth must flatten to <=2x/doubling
+          "q25_capsat" -> ((s, d) => graft.operators.DedupOps
+            .jaccardPairs(graft.Tables.documents(s, d), minJaccard = 0.2,
+              blockCap = 8)),
+          "q133_capsat" -> ((s, d) => graft.operators.DedupOps
+            .containmentPairs(graft.Tables.documents(s, d),
+              minContainment = 0.8, blockCap = 8)),
           "q26_minhash_fast" -> ((s, d) => graft.operators.DedupOps
             .minhashSignatures(graft.Tables.documents(s, d), useFastKernel = true)),
           "q98_substr_hashed" -> ((s, d) => graft.operators.SubstrDedup
@@ -356,7 +369,49 @@ object Soak {
         val oracleOnly = Set("q26_minhash_signatures", "q98_substr_spans")
         val prod = rows.filterNot(r => oracleOnly(r._1)).map(_._2).sum
         println(f"TOTAL ${rows.length} queries ${total}%.1f s (production-kernel total ${prod}%.1f s); failures: ${rows.count(_._3 != "ok")}")
-      case other => sys.error(s"unknown mode $other (gen|run)")
+      case "graphinc" =>
+        // The at-rest kNN-graph lifecycle (round-13 verdict task 1's
+        // done-bar): against <dir>/embeddings.parquet, time (a) the full
+        // build — index layout + edge layout — and (b) the incremental
+        // upsertGraph of a FIXED-size arrival batch. Across a doubling
+        // chain (a) grows with the corpus while (b) must track the
+        // BATCH: the reverse-probe partitions bound the displaced-source
+        // work, so incremental cost is ∝ batch, not corpus.
+        val batchN = args.lift(2).map(_.toLong).getOrElse(1000L)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding", "label")
+        val n = emb.count()
+        val base = emb.filter(col("vec_id") < n - batchN)
+        val arrivals = emb.filter(col("vec_id") >= n - batchN)
+          .localCheckpoint(true)
+        val nl = graft.operators.ProductQuantization.adaptiveNList(base)
+        val cents = graft.operators.ProductQuantization.trainCoarse(base, nl)
+        val root = s"$dir/graphinc"
+        val embPath = s"$root/index"
+        val graphPath = s"$root/graph"
+        def timed[A](what: String)(body: => A): A = {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"$what%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+            f"  (corpus ${n - batchN}, batch $batchN, nList $nl)")
+          r
+        }
+        timed("index_layout") {
+          graft.operators.EmbeddingMaintenance.writeCellLayout(base, cents, embPath)
+          graft.operators.EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+            graft.operators.EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+        }
+        timed("graph_full_build") {
+          graft.operators.GraphMaintenance.writeKnnGraph(
+            spark, embPath, graphPath, k = 5, nProbe = 2)
+        }
+        timed("graph_incremental") {
+          graft.operators.GraphMaintenance.upsertGraph(
+            spark, embPath, graphPath, arrivals)
+        }
+        val edges = graft.operators.GraphMaintenance.edgesAtRest(spark, graphPath)
+        println(s"edges at rest: ${edges.count()} rows over $n vectors")
+      case other => sys.error(s"unknown mode $other (gen|run|graphinc)")
     }
     spark.stop()
   }
