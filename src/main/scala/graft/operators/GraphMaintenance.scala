@@ -10,63 +10,73 @@ import org.apache.spark.sql.functions._
   * pipeline each consume the same edge list, and until now each rebuilt it
   * inline per run: correct, but at 100 TB the graph build is the dominant
   * cost (O(N·nProbe·|cell|) cosine work), so a deployment builds it ONCE,
-  * persists it next to the IVF index, and maintains it incrementally as
-  * vectors arrive — exactly the lifecycle already proven for the cells
-  * themselves ([[EmbeddingMaintenance]]).
+  * persists it next to the IVF index, and folds arrivals in incrementally.
   *
   * Layout (rooted at `graphPath`):
-  *  - `edges/`  — (src_id, nbr_id, sim, rk) partitioned by `src_cell`
-  *    (the source's coarse cell): the graph family's joins key on vec_id,
-  *    and cell-partitioning keeps each source's list in one directory so
-  *    maintenance rewrites ∝ touched cells, never the graph;
-  *  - `probes/` — (vec_id, own_cell) partitioned by `cell` (each PROBED
-  *    cell): the REVERSE-PROBE index. This is the structure that makes
-  *    incremental insert batch-proportional: an arrival lands in cell c,
+  *  - `edges/`  — partitioned by `src_cell` (the source's coarse cell),
+  *    rows carry a GENERATION and a KIND in `rk`:
+  *      rk ≥ 1  a full top-k list row (authoritative for its source at
+  *              its generation — a newer full list supersedes older rows);
+  *      rk = 0  a CHALLENGER row — an arrival candidate for an existing
+  *              source, additive since that source's last full list;
+  *      rk = −1 a tombstone (the source left this graph);
+  *  - `probes/` — the REVERSE-PROBE index partitioned by each PROBED
+  *    cell: (vec_id, own_cell, alive, gen). An arrival lands in cell c
   *    and the only existing sources whose top-k can change are exactly
-  *    the vectors that probe c — one partition-pruned read of `probes/
-  *    cell=c`, never a corpus scan (a source u sees candidate w iff
-  *    w's cell ∈ u's probe list, which is fixed under frozen centroids);
-  *  - `<graphPath>.graph.json` — (k, nProbe) sidecar, so any maintainer
-  *    (a restarted stream, another job) recovers the build discipline.
-  *    The CENTROIDS deliberately live in ONE place — the embedding
-  *    layout's own quantizer sidecar ([[EmbeddingMaintenance]]) — so the
-  *    graph and the index it derives from cannot drift apart.
+  *    the vectors that probe c — one partition-pruned read, never a
+  *    corpus scan (a source u sees candidate w iff w's cell ∈ u's probe
+  *    list, which is fixed under frozen centroids);
+  *  - `<graphPath>.graph.json` — (k, nProbe, gen) sidecar. The CENTROIDS
+  *    deliberately live in ONE place — the embedding layout's own
+  *    quantizer sidecar ([[EmbeddingMaintenance]]) — so the graph and
+  *    the index it derives from cannot drift apart.
   *
-  * Incremental-insert exactness (the parity the spec pins bit-for-bit):
-  * with centroids frozen, an arrival only ADDS candidates, and
-  * top-k(A ∪ B) = top-k(top-k(A) ∪ B) — so merging each displaced
-  * source's STORED top-k with its new arrival candidates and re-ranking
-  * reproduces the full rebuild exactly, at cost ∝ batch. The two cases
-  * that invalidate stored rows — a re-embedded or deleted neighbor, whose
-  * k-th-place successor was never stored — fall back to a full re-probe
-  * of just the affected sources (cost ∝ affected × nProbe·|cell|; finding
-  * them is one column-pruned (src_id, nbr_id) scan of the edge list,
-  * 16 bytes/row — the metadata read is corpus-linear, the cosine work is
-  * not, and insert-only ingest skips it entirely).
+  * WHY merge-on-read (the round-14 lesson, measured): the first cut
+  * rewrote affected `src_cell` partitions per batch, and a soak showed a
+  * 1000-vector batch spread across a 50-center corpus touches EVERY cell
+  * — the "incremental" pass rewrote the whole layout and came out SLOWER
+  * than a full rebuild (41 s vs 25 s at 50 k). Partition-granular
+  * rewrites cannot be batch-proportional for spread arrivals; the
+  * structure that can is the LSM one every production vector/graph store
+  * uses: the batch APPENDS (new sources' full lists + challenger rows
+  * for displaced sources), existing files are never touched, and the
+  * reader resolves per source — which is EXACT, because with frozen
+  * centroids an arrival only ADDS candidates and
+  * top-k(A ∪ B) = top-k(top-k(A) ∪ B): the stored full list plus its
+  * challengers re-ranked IS the full rebuild, bit for bit (spec-pinned).
+  * [[compactGraph]] folds the log back to one generation at maintenance
+  * cadence, amortized like any compaction.
+  *
+  * Re-embeds and deletes invalidate stored rows (a stale neighbor's
+  * (k+1)-th-place successor was never kept), so the sources holding one
+  * take a full re-probe repair appended as fresh full lists; finding
+  * them is one column-pruned (src_id, nbr_id) scan — corpus-linear
+  * METADATA at 16 bytes/row, while the cosine work stays proportional
+  * to the affected set. Insert-only ingest never pays it.
   */
 object GraphMaintenance {
 
-  import MaintenanceIO.{materialized, withDynamicOverwrite}
+  import MaintenanceIO.materialized
 
   private def edgesPath(graphPath: String) = graphPath + "/edges"
   private def probesPath(graphPath: String) = graphPath + "/probes"
   private def sidecar(graphPath: String) = new Path(graphPath + ".graph.json")
 
-  /** (k, nProbe) sidecar — atomic write-then-rename like the quantizer
-    * sidecar, so a maintainer never sees a torn config. */
+  /** (k, nProbe, gen) sidecar — atomic write-then-rename like the
+    * quantizer sidecar, so a maintainer never sees a torn config. */
   def saveGraphMeta(spark: SparkSession, graphPath: String,
-                    k: Int, nProbe: Int): Unit = {
+                    k: Int, nProbe: Int, gen: Long): Unit = {
     val fs = sidecar(graphPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(graphPath + ".graph.json.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"""{"k":$k,"nProbe":$nProbe}""".getBytes("UTF-8"))
+    try out.write(s"""{"k":$k,"nProbe":$nProbe,"gen":$gen}""".getBytes("UTF-8"))
     finally out.close()
     fs.delete(sidecar(graphPath), false)
     require(fs.rename(tmp, sidecar(graphPath)),
       s"could not promote graph sidecar for $graphPath")
   }
 
-  def loadGraphMeta(spark: SparkSession, graphPath: String): (Int, Int) = {
+  def loadGraphMeta(spark: SparkSession, graphPath: String): (Int, Int, Long) = {
     val fs = sidecar(graphPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(sidecar(graphPath)),
       s"no graph sidecar at $graphPath — create the layout with writeKnnGraph")
@@ -75,33 +85,43 @@ object GraphMaintenance {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val m = JsonMethods.parse(raw).asInstanceOf[JObject].obj.toMap
-    def int(v: JValue): Int = v match {
-      case JInt(i) => i.toInt
-      case JLong(l) => l.toInt
+    def long(v: JValue): Long = v match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
       case other => sys.error(s"bad number in graph sidecar: $other")
     }
-    (int(m("k")), int(m("nProbe")))
+    (long(m("k")).toInt, long(m("nProbe")).toInt, long(m("gen")))
   }
+
+  /** Step profiler for the maintenance paths (SPARK_GRAFT_PROFILE=1 →
+    * one stderr line per materialization/write) — the soak's first stop
+    * when an "incremental" number fails to track the batch. */
+  private def prof[A](what: String)(body: => A): A =
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("1")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[graph-prof] $what%-20s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    } else body
 
   private def centroidsOf(spark: SparkSession, embPath: String): Array[Array[Float]] =
     EmbeddingMaintenance.loadQuantizer(spark, embPath).getOrElse(sys.error(
       s"no quantizer sidecar at $embPath — create the index with " +
         "writeCellLayoutPersistent"))._1
 
-  /** Shared rank step — the exact [[KnnGraph.knnEdgesWithCents]] top-k
-    * discipline ((sim DESC, nbr_id) row_number ≤ k), applied to any
-    * candidate set that carries (src_id, src_cell, nbr_id, sim). */
+  /** The exact [[KnnGraph.knnEdgesWithCents]] top-k discipline
+    * ((sim DESC, nbr_id) row_number ≤ k) over any candidate set carrying
+    * (src_id, src_cell, nbr_id, sim). */
   private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("src_id").orderBy(desc("sim"), col("nbr_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("src_id"), col("src_cell"), col("nbr_id"), col("sim"), col("rk"))
   }
 
-  /** Candidate edges for the given probe side against the given index
-    * side — the [[KnnGraph.knnEdgesWithCents]] body with the index cell
-    * read from the STORED layout column instead of recomputed (identical
-    * values: the layout was written under the same frozen centroids).
-    * The probe side carries (src_id, src_emb, src_cell, cell). */
+  /** Candidate edges: probe side × stored index side — the
+    * [[KnnGraph.knnEdgesWithCents]] body with the index cell read from
+    * the STORED layout column (identical values: the layout was written
+    * under the same frozen centroids). */
   private def candidates(probeSide: DataFrame, index: DataFrame): DataFrame =
     probeSide.join(index, Seq("cell"))
       .filter(col("src_id") =!= col("vec_id"))
@@ -116,34 +136,68 @@ object GraphMaintenance {
       col("cell").as("src_cell"), explode(probeUdf(col("embedding"))).as("cell"))
   }
 
+  private def writeEdges(df: DataFrame, graphPath: String, gen: Long,
+                         append: Boolean): Unit =
+    df.withColumn("gen", lit(gen))
+      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .partitionBy("src_cell").parquet(edgesPath(graphPath))
+
   /** Build (or fully rebuild) the at-rest graph from the at-rest
-    * embedding layout: edges partitioned by source cell, the
-    * reverse-probe index partitioned by probed cell, and the (k, nProbe)
-    * sidecar. Bit-identical to [[KnnGraph.knnEdgesWithCents]] under the
-    * layout's frozen centroids (spec-pinned). */
+    * embedding layout: generation-0 edges, the reverse-probe index, and
+    * the sidecar. Bit-identical to [[KnnGraph.knnEdgesWithCents]] under
+    * the layout's frozen centroids (spec-pinned). */
   def writeKnnGraph(spark: SparkSession, embPath: String, graphPath: String,
                     k: Int, nProbe: Int): Unit = {
     val cents = centroidsOf(spark, embPath)
     val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
     val index = layout.select(col("cell"), col("vec_id"), col("embedding"))
-    rankTopK(candidates(probeSideOf(layout, cents, nProbe), index), k)
-      .write.mode(SaveMode.Overwrite).partitionBy("src_cell")
-      .parquet(edgesPath(graphPath))
+    // one file per cell partition: a cell holds ≈ targetCell·k edge rows
+    // under the adaptive contract, so per-cell files stay bounded at any
+    // corpus size while the file COUNT tracks nList (scattering every
+    // task across every partition value would multiply it by the task
+    // count — the small-file debt every later read pays)
+    writeEdges(rankTopK(candidates(probeSideOf(layout, cents, nProbe), index), k)
+        .repartition(col("src_cell")),
+      graphPath, gen = 0L, append = false)
     val probeUdf = ProductQuantization.probeExpr(spark, cents, nProbe)
-    layout.select(col("vec_id"), col("cell").as("own_cell"),
-        explode(probeUdf(col("embedding"))).as("cell"))
+    layout.select(col("vec_id"), col("cell").as("own_cell"), lit(true).as("alive"),
+        lit(0L).as("gen"), explode(probeUdf(col("embedding"))).as("cell"))
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(probesPath(graphPath))
-    saveGraphMeta(spark, graphPath, k, nProbe)
+    saveGraphMeta(spark, graphPath, k, nProbe, gen = 0L)
   }
 
-  /** The stored edge list in the shape every graph-family consumer takes
-    * ([[KnnGraph.labelPropagate]], [[KnnGraph.pageRank]],
-    * [[KnnGraph.mutualEdges]], [[clustersFromEdges]]): one read, no
-    * cosine work. */
-  def edgesAtRest(spark: SparkSession, graphPath: String): DataFrame =
-    spark.read.parquet(edgesPath(graphPath))
+  /** Resolve the edge log into the CURRENT graph — the merge-on-read
+    * step. Per source: its newest full list (rk ≥ 1 rows of the max
+    * authoritative generation) plus every challenger appended SINCE that
+    * list, re-ranked top-k — exactly the rebuild by the merge identity.
+    * Tombstoned sources resolve to nothing. One src-keyed window pass
+    * over base + delta rows; [[compactGraph]] keeps the delta short. */
+  def edgesAtRest(spark: SparkSession, graphPath: String): DataFrame = {
+    val (k, _, _) = loadGraphMeta(spark, graphPath)
+    resolveEdges(spark.read.parquet(edgesPath(graphPath)), k)
+  }
+
+  private def resolveEdges(raw: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("src_id")
+    // authoritative generations: the newest full list and the newest
+    // tombstone. A tombstone kills the source only when STRICTLY newer
+    // than any full list (a re-embed writes its fresh list and the
+    // old-cell tombstone in the SAME generation — the list wins); a
+    // deleted id can't accrue later challengers because its probe rows
+    // are tombstoned in the same batch.
+    val withAuth = raw
+      .withColumn("full_gen", max(when(col("rk") >= 1, col("gen"))).over(w))
+      .withColumn("tomb_gen", max(when(col("rk") === -1, col("gen"))).over(w))
+    val live = withAuth
+      .filter(col("tomb_gen").isNull ||
+        col("tomb_gen") <= coalesce(col("full_gen"), lit(-1L)))
+      .filter((col("rk") >= 1 && col("gen") === col("full_gen")) ||
+        (col("rk") === 0 && col("gen") > coalesce(col("full_gen"), lit(-1L))))
+    rankTopK(live.select(col("src_id"), col("src_cell"), col("nbr_id"), col("sim")), k)
       .select(col("src_id"), col("nbr_id"), col("sim"), col("rk"))
+  }
 
   /** The cluster tail of [[KnnGraph.semanticClustersWithCents]] factored
     * over an EXISTING edge list, so the at-rest graph feeds the same
@@ -157,9 +211,8 @@ object GraphMaintenance {
   }
 
   /** Full re-probe of the given sources against the current layout — the
-    * repair path for sources whose stored lists went stale (a neighbor
-    * was re-embedded or deleted, so the stored top-k no longer bounds the
-    * candidate set). `srcs` carries (src_id, src_cell); cost ∝
+    * repair path for stale stored lists (a neighbor was re-embedded or
+    * deleted). `srcs` carries (src_id, src_cell); cost ∝
     * |srcs| · nProbe · |cell|. */
   private def rebuildSources(spark: SparkSession, layout: DataFrame,
                              srcs: DataFrame, cents: Array[Array[Float]],
@@ -179,100 +232,71 @@ object GraphMaintenance {
     rankTopK(candidates(probeSide, index), k)
   }
 
+  /** Live reverse-probe rows for the given probed cells — a
+    * partition-pruned read with per-(vec, cell) latest-generation
+    * resolution (re-embeds tombstone their old probe rows IN PLACE, so
+    * the pruned read never needs other partitions to decide liveness). */
+  private def liveProbes(spark: SparkSession, graphPath: String,
+                         cells: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy("vec_id", "cell")
+    spark.read.parquet(probesPath(graphPath))
+      .filter(if (cells.isEmpty) lit(false) else col("cell").isInCollection(cells))
+      .withColumn("mg", max("gen").over(w)).filter(col("gen") === col("mg"))
+      .filter(col("alive"))
+      .select("vec_id", "own_cell", "cell")
+  }
+
   /** Incrementally fold a batch of arrivals (new vectors AND re-embeds)
-    * into BOTH layouts: the embedding cells via
-    * [[EmbeddingMaintenance.upsertVecs]], then the graph — each arrival
-    * gets its own freshly probed top-k list, and every existing source
-    * it can displace (found through the reverse-probe partitions of the
-    * arrival cells — partition-pruned, batch-proportional) has its
-    * stored top-k merged with the new candidates and re-ranked, which
-    * equals the full rebuild exactly (see the object doc). Sources
-    * holding a stale edge to a re-embedded id take the
-    * [[rebuildSources]] repair path instead. Rewrites only the affected
-    * edge/probe partitions via dynamic overwrite; untouched partitions
-    * stay bit-identical at the file-listing level (the
-    * [[CorpusMaintenance]] contract). */
+    * into BOTH layouts, append-only on the graph side:
+    *  - brand-new vectors append into the embedding cells (new files
+    *    only), get their own freshly probed full lists, and become
+    *    CHALLENGER rows for every existing source that probes their
+    *    cells (found through the reverse-probe partitions —
+    *    partition-pruned); nothing existing is rewritten, and the
+    *    reader's merge equals the full rebuild exactly;
+    *  - re-embeds go through the index's surgical upsert, their old
+    *    edge/probe rows are tombstoned, their own lists and the lists of
+    *    every source that held a stale edge to them are re-probed and
+    *    appended as fresh full lists. */
   def upsertGraph(spark: SparkSession, embPath: String, graphPath: String,
                   changed: DataFrame): Unit = {
     val changedIds = changed.select("vec_id").collect().map(_.getLong(0)).toSeq
     if (changedIds.isEmpty) return
     val cents = centroidsOf(spark, embPath)
-    val (k, nProbe) = loadGraphMeta(spark, graphPath)
+    val (k, nProbe, gen) = loadGraphMeta(spark, graphPath)
+    val thisGen = gen + 1
 
-    // pre-upsert facts about re-embedded ids (old rows must be surgically
-    // replaced): their old source cells and old probe partitions
-    val preLayout = spark.read.parquet(embPath)
-    val present = preLayout.filter(col("vec_id").isInCollection(changedIds))
-      .select("vec_id", "cell").collect()
+    // pre-upsert facts about re-embedded ids
+    val present = prof("present-lookup")(spark.read.parquet(embPath)
+      .filter(col("vec_id").isInCollection(changedIds))
+      .select("vec_id", "cell").collect())
     val reEmbedIds = present.map(_.getLong(0)).toSeq
-    val oldSrcCells = present.map(_.getInt(1)).distinct.toSeq
-    val oldProbeCells =
-      if (reEmbedIds.isEmpty) Seq.empty[Int]
-      else spark.read.parquet(probesPath(graphPath))
-        .filter(col("vec_id").isInCollection(reEmbedIds))
-        .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val oldCellOf = present.map(r => r.getLong(0) -> r.getInt(1)).toMap
 
-    EmbeddingMaintenance.upsertVecs(spark, embPath, cents, changed)
+    // index side: pure inserts APPEND (new files only); re-embeds take
+    // the surgical rewrite for exactly their rows
+    val cellUdf = ProductQuantization.cellExpr(spark, cents)
+    val newRows = if (reEmbedIds.isEmpty) changed
+      else changed.filter(!col("vec_id").isInCollection(reEmbedIds))
+    val reRows = if (reEmbedIds.isEmpty) changed.limit(0)
+      else changed.filter(col("vec_id").isInCollection(reEmbedIds))
+    if (reEmbedIds.size < changedIds.size)
+      prof("index-append")(newRows.withColumn("cell", cellUdf(col("embedding")))
+        .write.mode(SaveMode.Append).partitionBy("cell").parquet(embPath))
+    if (reEmbedIds.nonEmpty)
+      EmbeddingMaintenance.upsertVecs(spark, embPath, cents, reRows)
     val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
 
     val probeUdf = ProductQuantization.probeExpr(spark, cents, nProbe)
-    val cellUdf = ProductQuantization.cellExpr(spark, cents)
-    val arr = materialized(changed.select(col("vec_id"), col("embedding"))
+    val arr = prof("arr-materialize")(materialized(changed.select(col("vec_id"), col("embedding"))
       .withColumn("cell", cellUdf(col("embedding")))
-      .withColumn("probes", probeUdf(col("embedding"))))
+      .withColumn("probes", probeUdf(col("embedding")))))
     val arrCells = arr.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val arrProbeCells = arr.select(explode(col("probes")).as("c"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
-    // displaced existing sources: exactly the vectors probing an arrival
-    // cell (partition-pruned read of the reverse-probe index)
-    val rev = spark.read.parquet(probesPath(graphPath))
-      .filter(col("cell").isInCollection(arrCells))
-      .filter(!col("vec_id").isInCollection(changedIds))
-
-    // sources with a stale stored edge into a re-embedded id → repair
-    // path (their stored sims no longer bound the candidate set)
-    val repairSrcs = materialized(
-      if (reEmbedIds.isEmpty)
-        spark.emptyDataFrame.select(lit(0L).as("src_id"), lit(0).as("src_cell")).limit(0)
-      else spark.read.parquet(edgesPath(graphPath))
-        .filter(col("nbr_id").isInCollection(reEmbedIds))
-        .filter(!col("src_id").isInCollection(changedIds))
-        .select(col("src_id"), col("src_cell")).distinct())
-
-    val mergeSrcs = materialized(rev.select(col("vec_id"), col("own_cell")).distinct()
-      .join(repairSrcs.select(col("src_id").as("vec_id")), Seq("vec_id"), "left_anti"))
-    val mergeOwnCells = mergeSrcs.select("own_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-
-    // new candidates for merge sources: (source probing cell c) × (arrival
-    // in cell c), cosine under the source embedding read from its own cell
-    val srcEmb = layout
-      .filter(if (mergeOwnCells.isEmpty) lit(false)
-              else col("cell").isInCollection(mergeOwnCells))
-      .join(mergeSrcs.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
-        col("cell").as("src_cell"))
-    val newCand = rev
-      .join(mergeSrcs.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("src_id"), col("cell"))
-      .join(arr.select(col("cell"), col("vec_id").as("nbr_id"),
-        col("embedding").as("nbr_emb")), Seq("cell"))
-      .join(srcEmb, Seq("src_id"))
-      .select(col("src_id"), col("src_cell"), col("nbr_id"),
-        round(graft.functions.CosineSimilarity(col("src_emb"), col("nbr_emb")), 6)
-          .as("sim"))
-
-    // stored top-k of merge sources (≤ k rows each — the merge identity)
-    val oldEdges = spark.read.parquet(edgesPath(graphPath))
-      .filter(if (mergeOwnCells.isEmpty) lit(false)
-              else col("src_cell").isInCollection(mergeOwnCells))
-      .join(mergeSrcs.select(col("vec_id").as("src_id")), Seq("src_id"), "left_semi")
-      .select(col("src_id"), col("src_cell"), col("nbr_id"), col("sim"))
-    val mergedEdges = rankTopK(oldEdges.unionByName(newCand), k)
-
-    // the arrivals' own lists against the post-upsert layout (includes
-    // arrival↔arrival edges — the index side already holds the batch)
+    // the arrivals' own full lists against the post-upsert layout
+    // (includes arrival↔arrival edges — the index already holds the batch)
     val arrProbeSide = arr.select(col("vec_id").as("src_id"),
       col("embedding").as("src_emb"), col("cell").as("src_cell"),
       explode(col("probes")).as("cell"))
@@ -282,125 +306,191 @@ object GraphMaintenance {
       .select(col("cell"), col("vec_id"), col("embedding"))
     val arrEdges = rankTopK(candidates(arrProbeSide, arrIndex), k)
 
-    val repairedEdges = rebuildSources(spark, layout, repairSrcs, cents, k, nProbe)
-    val repairCells = repairSrcs.select("src_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-
-    // affected edge partitions: merge-source cells, arrival cells (new
-    // AND pre-move), repair cells; replaced sources drop, everything
-    // else in those partitions is carried through the dynamic overwrite
-    val affectedCells =
-      (mergeOwnCells ++ arrCells ++ oldSrcCells ++ repairCells).distinct
-    val replaced = mergeSrcs.select(col("vec_id").as("src_id"))
-      .unionByName(repairSrcs.select("src_id"))
-      .unionByName(arr.select(col("vec_id").as("src_id")))
-    val untouchedRows = spark.read.parquet(edgesPath(graphPath))
-      .filter(col("src_cell").isInCollection(affectedCells))
-      .join(replaced, Seq("src_id"), "left_anti")
-      .select("src_id", "src_cell", "nbr_id", "sim", "rk")
-    val finalEdges = materialized(untouchedRows
-      .unionByName(mergedEdges).unionByName(arrEdges).unionByName(repairedEdges))
-    withDynamicOverwrite(spark) {
-      finalEdges.write.mode(SaveMode.Overwrite).partitionBy("src_cell")
-        .parquet(edgesPath(graphPath))
-    }
-    reclaimEmpty(spark, edgesPath(graphPath), "src_cell", affectedCells,
-      finalEdges.select("src_cell").distinct().collect().map(_.getInt(0)).toSet)
-
-    // probe index: arrival rows replace any old rows of the same ids in
-    // the affected probe partitions
-    val affectedProbeCells = (arrProbeCells ++ oldProbeCells).distinct
-    val probeUntouched = spark.read.parquet(probesPath(graphPath))
-      .filter(col("cell").isInCollection(affectedProbeCells))
+    // challenger rows: (existing source probing an arrival cell) ×
+    // (arrival in that cell) — rk = 0, folded in by the reader
+    val rev = liveProbes(spark, graphPath, arrCells)
       .filter(!col("vec_id").isInCollection(changedIds))
-      .select("vec_id", "own_cell", "cell")
+    val revSrcs = prof("rev-sources")(materialized(rev.select(col("vec_id"), col("own_cell")).distinct()))
+    val srcCells = revSrcs.select("own_cell").distinct().collect().map(_.getInt(0)).toSeq
+    val srcEmb = layout
+      .filter(if (srcCells.isEmpty) lit(false)
+              else col("cell").isInCollection(srcCells))
+      .join(revSrcs.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
+        col("cell").as("src_cell"))
+    val challengersAll = rev
+      .select(col("vec_id").as("src_id"), col("cell"))
+      .join(arr.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("embedding").as("nbr_emb")), Seq("cell"))
+      .join(srcEmb, Seq("src_id"))
+      .select(col("src_id"), col("src_cell"), col("nbr_id"),
+        round(graft.functions.CosineSimilarity(col("src_emb"), col("nbr_emb")), 6)
+          .as("sim"))
+    // EXACT pre-cut before anything is appended — without it every
+    // affected source logs ~nProbe·batch/nList rows per batch and the
+    // log grows with the corpus (measured: the uncut form's append was
+    // the remaining corpus-proportional term):
+    //  1. kth-sim floor: a challenger below the source's LATEST FULL
+    //     LIST's k-th sim can never enter top-k (candidates only raise
+    //     the true k-th; ties kept — (sim, nbr_id) can still displace on
+    //     the id tiebreak). The floor is one column-pruned read of the
+    //     rk = k rows at each source's newest full generation; sources
+    //     with < k edges have no floor and keep everything.
+    //  2. per-source top-k cap: top-k(old ∪ C) = top-k(old ∪ top-k(C)).
+    // Appended volume is then ∝ actual displacements, not candidates.
+    val wf = Window.partitionBy("src_id")
+    val kthFloor = spark.read.parquet(edgesPath(graphPath))
+      // partition-pruned to the affected sources' cells: at production
+      // nList >> batch this is batch-bounded; only a source resident in
+      // one of these cells can appear in the challenger set
+      .filter(if (srcCells.isEmpty) lit(false)
+              else col("src_cell").isInCollection(srcCells))
+      .filter(col("rk") >= 1)
+      .withColumn("fg", max("gen").over(wf)).filter(col("gen") === col("fg"))
+      .filter(col("rk") === k)
+      .select(col("src_id"), col("sim").as("kth_sim"))
+    val wc = Window.partitionBy("src_id").orderBy(desc("sim"), col("nbr_id"))
+    val challengers = challengersAll
+      .join(kthFloor, Seq("src_id"), "left")
+      .filter(col("kth_sim").isNull || col("sim") >= col("kth_sim"))
+      .withColumn("crk", row_number().over(wc)).filter(col("crk") <= k)
+      .select(col("src_id"), col("src_cell"), col("nbr_id"), col("sim"),
+        lit(0).as("rk"))
+
+    // stale-pointer repairs: sources holding an edge to a re-embedded id
+    // get fresh full lists (their stored sims no longer bound anything)
+    // (current cell looked up from the LAYOUT, the single source of
+    // truth — a probes row's own_cell can be stale for sources
+    // re-embedded in EARLIER batches)
+    val repairSrcs = materialized(
+      if (reEmbedIds.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("src_id"), lit(0).as("src_cell")).limit(0)
+      else resolveEdges(spark.read.parquet(edgesPath(graphPath)), k)
+        .filter(col("nbr_id").isInCollection(reEmbedIds))
+        .filter(!col("src_id").isInCollection(changedIds))
+        .select("src_id").distinct()
+        .join(layout.select(col("vec_id").as("src_id"),
+          col("cell").as("src_cell")), Seq("src_id"), "inner"))
+    val repairedEdges = rebuildSources(spark, layout, repairSrcs, cents, k, nProbe)
+    // a repaired source's fresh list supersedes its older challengers,
+    // so challengers for repair sources this batch are dropped to keep
+    // the log unambiguous (their candidates are already in the re-probe)
+    val challengersClean = challengers
+      .join(repairSrcs.select("src_id"), Seq("src_id"), "left_anti")
+
+    // tombstones for re-embedded ids' OLD rows (their fresh lists land in
+    // arrEdges at this generation; old-cell rows must stop resolving)
+    import spark.implicits._
+    val edgeTombs =
+      if (reEmbedIds.isEmpty) None
+      else Some(reEmbedIds.map(id => (id, oldCellOf(id), 0L, 0.0, -1))
+        .toDF("src_id", "src_cell", "nbr_id", "sim", "rk"))
+
+    // one file per touched partition per batch: a 32-task append across
+    // ~nList partition values would otherwise create tasks × cells tiny
+    // files per batch (measured as the dominant incremental overhead at
+    // 50 k — file creation, then listing on every later read)
+    val allEdges = Seq(Some(arrEdges), Some(challengersClean),
+      Some(repairedEdges), edgeTombs).flatten.reduce(_ unionByName _)
+    val allEdgesM = prof("edge-delta-compute")(materialized(allEdges))
+    prof("edge-delta-write")(writeEdges(allEdgesM.repartition(col("src_cell")),
+      graphPath, thisGen, append = true))
+
+    // probe index: arrivals append their live rows; re-embeds tombstone
+    // their old probe rows in place (same partitions, append-only)
     val probeNew = arr.select(col("vec_id"), col("cell").as("own_cell"),
-      explode(col("probes")).as("cell"))
-    val finalProbes = materialized(probeUntouched.unionByName(probeNew))
-    withDynamicOverwrite(spark) {
-      finalProbes.write.mode(SaveMode.Overwrite).partitionBy("cell")
-        .parquet(probesPath(graphPath))
-    }
-    reclaimEmpty(spark, probesPath(graphPath), "cell", affectedProbeCells,
-      finalProbes.select("cell").distinct().collect().map(_.getInt(0)).toSet)
+      lit(true).as("alive"), explode(col("probes")).as("cell"))
+    val probeTombs =
+      if (reEmbedIds.isEmpty) None
+      else Some(spark.read.parquet(probesPath(graphPath))
+        .filter(col("vec_id").isInCollection(reEmbedIds))
+        .select("vec_id", "own_cell", "cell").distinct()
+        .withColumn("alive", lit(false)))
+    prof("probe-delta-write")(
+      materialized(Seq(Some(probeNew), probeTombs).flatten.reduce(_ unionByName _)
+          .select(col("vec_id"), col("own_cell"), col("alive"),
+            lit(thisGen).as("gen"), col("cell")))
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)))
+
+    saveGraphMeta(spark, graphPath, k, nProbe, thisGen)
   }
 
-  /** Remove vectors from BOTH layouts. The stored top-k of a source
-    * pointing at a victim cannot be patched (its (k+1)-th candidate was
-    * never stored), so those sources take the full re-probe repair
-    * against the post-delete layout — found by one column-pruned
-    * (src_id, nbr_id) scan of the edge list. */
+  /** Remove vectors from BOTH layouts: edge + probe tombstones for the
+    * victims (append-only), fresh full lists for every source that
+    * pointed at one (the repair path, against the post-delete layout). */
   def deleteFromGraph(spark: SparkSession, embPath: String, graphPath: String,
                       ids: Seq[Long]): Unit = {
     if (ids.isEmpty) return
     val cents = centroidsOf(spark, embPath)
-    val (k, nProbe) = loadGraphMeta(spark, graphPath)
-    val victimCells = EmbeddingMaintenance.cellsOf(spark, embPath, ids)
-    val reverseSrcs = materialized(spark.read.parquet(edgesPath(graphPath))
+    val (k, nProbe, gen) = loadGraphMeta(spark, graphPath)
+    val thisGen = gen + 1
+    val victimCells = spark.read.parquet(embPath)
+      .filter(col("vec_id").isInCollection(ids))
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    val reverseIds = materialized(resolveEdges(
+        spark.read.parquet(edgesPath(graphPath)), k)
       .filter(col("nbr_id").isInCollection(ids))
       .filter(!col("src_id").isInCollection(ids))
-      .select(col("src_id"), col("src_cell")).distinct())
-    val victimProbeCells = spark.read.parquet(probesPath(graphPath))
-      .filter(col("vec_id").isInCollection(ids))
-      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+      .select("src_id").distinct())
 
     EmbeddingMaintenance.deleteVecs(spark, embPath, ids)
     val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
-
+    // survivors' cells from the post-delete layout (the source of truth)
+    val reverseSrcs = materialized(reverseIds.join(
+      layout.select(col("vec_id").as("src_id"), col("cell").as("src_cell")),
+      Seq("src_id"), "inner"))
     val repairedEdges = rebuildSources(spark, layout, reverseSrcs, cents, k, nProbe)
-    val repairCells = reverseSrcs.select("src_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val affectedCells = (victimCells ++ repairCells).distinct
-    if (affectedCells.nonEmpty) {
-      val replaced = reverseSrcs.select("src_id")
-      val untouchedRows = spark.read.parquet(edgesPath(graphPath))
-        .filter(col("src_cell").isInCollection(affectedCells))
-        .filter(!col("src_id").isInCollection(ids))
-        .join(replaced, Seq("src_id"), "left_anti")
-        .select("src_id", "src_cell", "nbr_id", "sim", "rk")
-      val finalEdges = materialized(untouchedRows.unionByName(repairedEdges))
-      withDynamicOverwrite(spark) {
-        finalEdges.write.mode(SaveMode.Overwrite).partitionBy("src_cell")
-          .parquet(edgesPath(graphPath))
-      }
-      reclaimEmpty(spark, edgesPath(graphPath), "src_cell", affectedCells,
-        finalEdges.select("src_cell").distinct().collect().map(_.getInt(0)).toSet)
-    }
-    if (victimProbeCells.nonEmpty) {
-      val finalProbes = materialized(spark.read.parquet(probesPath(graphPath))
-        .filter(col("cell").isInCollection(victimProbeCells))
-        .filter(!col("vec_id").isInCollection(ids))
-        .select("vec_id", "own_cell", "cell"))
-      withDynamicOverwrite(spark) {
-        finalProbes.write.mode(SaveMode.Overwrite).partitionBy("cell")
-          .parquet(probesPath(graphPath))
-      }
-      reclaimEmpty(spark, probesPath(graphPath), "cell", victimProbeCells,
-        finalProbes.select("cell").distinct().collect().map(_.getInt(0)).toSet)
-    }
+
+    import spark.implicits._
+    val edgeTombs = victimCells.toSeq.map { case (id, c) => (id, c, 0L, 0.0, -1) }
+      .toDF("src_id", "src_cell", "nbr_id", "sim", "rk")
+    writeEdges(materialized(repairedEdges.unionByName(edgeTombs)),
+      graphPath, thisGen, append = true)
+
+    val probeTombs = spark.read.parquet(probesPath(graphPath))
+      .filter(col("vec_id").isInCollection(ids))
+      .select("vec_id", "own_cell", "cell").distinct()
+      .withColumn("alive", lit(false)).withColumn("gen", lit(thisGen))
+      .select("vec_id", "own_cell", "alive", "gen", "cell")
+    materialized(probeTombs)
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath))
+    saveGraphMeta(spark, graphPath, k, nProbe, thisGen)
   }
 
-  /** Dynamic overwrite cannot express an emptied partition — stale files
-    * would resurrect dropped rows ([[EmbeddingMaintenance]]'s rule). */
-  private def reclaimEmpty(spark: SparkSession, path: String, colName: String,
-                           affected: Seq[Int], kept: Set[Int]): Unit = {
-    val emptied = affected.filterNot(kept)
-    if (emptied.nonEmpty) {
-      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach(c => fs.delete(new Path(path, s"$colName=$c"), true))
-    }
+  /** Fold the edge/probe logs back to one generation — the LSM
+    * compaction, run at maintenance cadence (rows resolved exactly as
+    * [[edgesAtRest]] reads them, so the compacted graph is bit-identical
+    * to the pre-compaction view; spec-pinned). */
+  def compactGraph(spark: SparkSession, embPath: String, graphPath: String): Unit = {
+    val (k, nProbe, _) = loadGraphMeta(spark, graphPath)
+    val layout = spark.read.parquet(embPath).select(
+      col("vec_id").as("src_id"), col("cell").as("src_cell"))
+    val resolved = materialized(edgesAtRest(spark, graphPath)
+      .join(layout, Seq("src_id"))
+      .select("src_id", "src_cell", "nbr_id", "sim", "rk"))
+    writeEdges(resolved, graphPath, gen = 0L, append = false)
+    val w = Window.partitionBy("vec_id", "cell")
+    val probes = materialized(spark.read.parquet(probesPath(graphPath))
+      .withColumn("mg", max("gen").over(w)).filter(col("gen") === col("mg"))
+      .filter(col("alive"))
+      .select(col("vec_id"), col("own_cell"), lit(true).as("alive"),
+        lit(0L).as("gen"), col("cell")))
+    // STATIC overwrite: the whole directory is replaced, so partitions
+    // whose every probe row died disappear with it
+    probes.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(probesPath(graphPath))
+    saveGraphMeta(spark, graphPath, k, nProbe, gen = 0L)
   }
 
   /** One sidecar-backed self-healing cycle over BOTH artifacts — the
     * graph twin of [[EmbeddingMaintenance.maintainPersistent]]: fold the
-    * batch into the cells and the edges incrementally, then (at the
-    * caller's audit cadence) check the index's drift/recall triggers.
-    * When one fires the quantizer is retrained — which moves cell
-    * boundaries, so the graph's candidate discipline changes wholesale
-    * and the edge list is REBUILT under the fresh centroids (the same
-    * reasoning as the index's own full rewrite: after recluster there is
-    * nothing surgical to preserve). Returns the trigger reasons (empty =
-    * incremental only). */
+    * batch in append-only, then (at the caller's audit cadence) check
+    * the index's drift/recall triggers. When one fires the quantizer is
+    * retrained — which moves cell boundaries, so the graph's candidate
+    * discipline changes wholesale and the edge list is REBUILT under the
+    * fresh centroids. Returns the trigger reasons (empty = incremental
+    * only). */
   def maintainGraphPersistent(spark: SparkSession, embPath: String,
                               graphPath: String, changed: DataFrame,
                               audit: Boolean, targetCell: Int = 500,
@@ -424,7 +514,7 @@ object GraphMaintenance {
         val fresh = EmbeddingMaintenance.recluster(spark, embPath, targetCell)
         EmbeddingMaintenance.saveQuantizer(spark, embPath, fresh,
           EmbeddingMaintenance.layoutStats(spark, embPath, fresh))
-        val (k, nProbe) = loadGraphMeta(spark, graphPath)
+        val (k, nProbe, _) = loadGraphMeta(spark, graphPath)
         writeKnnGraph(spark, embPath, graphPath, k, nProbe)
       }
       reasons

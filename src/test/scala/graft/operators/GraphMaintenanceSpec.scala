@@ -169,6 +169,27 @@ class GraphMaintenanceSpec extends AnyFunSuite with SharedSpark {
       edgeSet(GraphMaintenance.edgesAtRest(spark, refRoot + "/graph")))
   }
 
+  test("compaction folds the log without changing the resolved graph") {
+    val isArrival = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10 === 0
+    val base = emb.filter(!isArrival)
+    val arrivals = emb.filter(isArrival)
+    val cents = SemanticDedup.refinedCentroids(base, 16)
+    val (embPath, graphPath) = buildAll(base, cents, tmp("compact"))
+    GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals)
+    val before = edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath))
+    // the log holds gen-0 + gen-1 rows pre-compaction
+    assert(spark.read.parquet(s"$graphPath/edges")
+      .select("gen").distinct().count() == 2)
+    GraphMaintenance.compactGraph(spark, embPath, graphPath)
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) == before,
+      "compaction must not change the resolved graph")
+    // one generation, no challengers/tombstones left
+    val raw = spark.read.parquet(s"$graphPath/edges")
+    assert(raw.select("gen").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(raw.filter(col("rk") <= 0).count() == 0)
+  }
+
   test("self-healing cycle: off-manifold churn rebuilds the graph under fresh centroids") {
     def vec(base: Array[Float], j: Float) =
       base.zipWithIndex.map { case (v, i) => v + (if (i == 1) j else 0f) }
