@@ -143,6 +143,109 @@ object QualityModels {
       .select(col("doc_id"), col("source"),
         round(col("raw").cast(DoubleType) / col("n_d"), 6).as("score"))
 
+  /** q151: model score-drift audit — the SCORE-level refresh diagnostic
+    * for the at-rest curation models ([[ModelStore]]'s refreshReasons
+    * triggers on corpus COUNTS; this measures what a retrain would
+    * actually do to the decisions). A content-addressed half of the
+    * corpus (md5₃₂("m:"+doc_id) % 2 — the q40 split idiom) plays the
+    * frozen v1 training set; v2 is the full-corpus retrain; every
+    * document is scored under BOTH models via the at-rest scoring rule
+    * (left join, unseen tokens contribute zero) and the audit reports
+    * per source the mean score under each, the mean absolute shift, and
+    * — the number a deployment actually gates on — how many keep
+    * decisions (score > 0) FLIP. Mean shifts near zero with zero flips
+    * say the frozen model is still serving the corpus; a source with
+    * concentrated flips says its text moved under the model.
+    *
+    * Shape: two vocab-sized model aggregations over the same token
+    * counts (computed once), one scoring join per model, a |sources|-row
+    * aggregate. Numerics: scores are the 6dp at-rest rule on both
+    * engines; shifts are differences of identical doubles re-rounded at
+    * 6dp; means via DECIMAL(38,6) sums — hash-exact. */
+  val q151ModelDrift: Q = (s, d) => {
+    val docs = documents(s, d)
+    val isTrain = conv(substring(
+      md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2 === 0
+    val v1 = nbModel(docs.filter(isTrain))
+    val v2 = nbModel(docs)
+    val s1 = nbScoresWithModel(docs, v1)
+      .select(col("doc_id"), col("source"), col("score").as("s1"))
+    val s2 = nbScoresWithModel(docs, v2)
+      .select(col("doc_id"), col("score").as("s2"))
+    s1.join(s2, Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("s1").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_v1"),
+        round(sum(col("s2").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_v2"),
+        round(sum(round(abs(col("s1") - col("s2")), 6)
+          .cast(DecimalType(38, 6))).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_abs_shift"),
+        sum(when((col("s1") > 0) =!= (col("s2") > 0), 1L).otherwise(0L))
+          .as("n_keep_flips"))
+      .orderBy("source")
+  }
+
+  /** Prefixed (token → llr) model CTE over an arbitrary training CTE —
+    * the q151 oracle needs TWO models in one query. */
+  private def nbLlrCte(trainCte: String, pfx: String): String =
+    s"""${pfx}cdw AS (
+       |  SELECT doc_id, source, token, COUNT(*) AS c_dw FROM (
+       |    SELECT doc_id, source,
+       |           unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+       |    FROM $trainCte) t GROUP BY 1, 2, 3),
+       |${pfx}cw AS (SELECT token,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN c_dw
+       |                       ELSE 0 END) AS BIGINT) AS c_t,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN 0
+       |                       ELSE c_dw END) AS BIGINT) AS c_r
+       |       FROM ${pfx}cdw GROUP BY token),
+       |${pfx}tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |               CAST(SUM(c_r) AS BIGINT) AS n_r,
+       |               COUNT(*) AS v FROM ${pfx}cw),
+       |${pfx}llr AS (SELECT token,
+       |          ROUND(LN((c_t + 1) / CAST(n_t + v AS DOUBLE))
+       |              - LN((c_r + 1) / CAST(n_r + v AS DOUBLE)), 6) AS llr
+       |        FROM ${pfx}cw CROSS JOIN ${pfx}tot)"""
+
+  val q151Sql: String =
+    s"""WITH train AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE CAST(concat('0x', substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) % 2 = 0),
+       |${nbLlrCte("train", "v1_")},
+       |${nbLlrCte("documents", "v2_")},
+       |sc_cdw AS (
+       |  SELECT doc_id, source, token, COUNT(*) AS c_dw FROM (
+       |    SELECT doc_id, source,
+       |           unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+       |    FROM documents) t GROUP BY 1, 2, 3),
+       |s1 AS (
+       |  SELECT doc_id, source,
+       |    ROUND(CAST(SUM(CAST(COALESCE(l.llr, 0.0) AS DECIMAL(18,6))
+       |                   * CAST(c_dw AS DECIMAL(18,0))) AS DOUBLE)
+       |          / CAST(SUM(c_dw) AS BIGINT), 6) AS s1
+       |  FROM sc_cdw LEFT JOIN v1_llr l USING (token) GROUP BY 1, 2),
+       |s2 AS (
+       |  SELECT doc_id,
+       |    ROUND(CAST(SUM(CAST(COALESCE(l.llr, 0.0) AS DECIMAL(18,6))
+       |                   * CAST(c_dw AS DECIMAL(18,0))) AS DOUBLE)
+       |          / CAST(SUM(c_dw) AS BIGINT), 6) AS s2
+       |  FROM sc_cdw LEFT JOIN v2_llr l USING (token) GROUP BY 1)
+       |SELECT s1.source, COUNT(*) AS n_docs,
+       |  ROUND(CAST(SUM(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_v1,
+       |  ROUND(CAST(SUM(CAST(s2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_v2,
+       |  ROUND(CAST(SUM(CAST(ROUND(ABS(s1 - s2), 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |        / COUNT(*), 6) AS mean_abs_shift,
+       |  CAST(SUM(CASE WHEN (s1 > 0) <> (s2 > 0) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep_flips
+       |FROM s1 JOIN s2 USING (doc_id)
+       |GROUP BY s1.source ORDER BY source""".stripMargin
+
   val q108NbQuality: Q = (s, d) => {
     nbDocScores(documents(s, d)).groupBy("source").agg(
       count(lit(1)).as("n_docs"),
@@ -547,11 +650,13 @@ object QualityModels {
     "q109_dsir_resample" -> q109DsirResample,
     "q110_ccnet_buckets" -> q110CcnetBuckets,
     "q118_curation_pipeline" -> q118CurationPipeline,
+    "q151_model_drift" -> q151ModelDrift,
   )
   val oracle: Map[String, String] = Map(
     "q108_nb_quality" -> q108Sql,
     "q109_dsir_resample" -> q109Sql,
     "q110_ccnet_buckets" -> q110Sql,
     "q118_curation_pipeline" -> q118Sql,
+    "q151_model_drift" -> q151Sql,
   )
 }

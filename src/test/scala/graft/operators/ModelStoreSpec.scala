@@ -118,6 +118,21 @@ class ModelStoreSpec extends AnyFunSuite with SharedSpark {
     assert(ModelStore.loadMeta(spark, root).get.stats.nDocs == 1500L)
   }
 
+  test("q151 model-drift audit: doc accounting, triangle bound, determinism") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = QualityModels.queries("q151_model_drift")(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == docs.count(),
+      "every document must be scored under both models exactly once")
+    out.foreach { r =>
+      val (v1, v2, shift) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(shift + 1e-9 >= math.abs(v1 - v2),
+        s"mean |shift| must dominate |mean shift| (${r.getString(0)})")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= r.getLong(1))
+    }
+    val again = QualityModels.queries("q151_model_drift")(spark, sf).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("streaming DSIR admission recovers the stored model across a checkpointed restart") {
     val sp = spark
     implicit val sq = sp.sqlContext
