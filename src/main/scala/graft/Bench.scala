@@ -130,18 +130,21 @@ object Bench {
     val passes = (1 to reps).flatMap(_ => Seq(
       qs.map { case (_, fn) => once(fn, steered = false) },
       qs.map { case (_, fn) => once(fn, steered = true) }))
+    // minOption: a query that fails in EVERY pass of one arm must record
+    // -1.0 in the artifact (and drop out of the totals below), not crash
+    // the bench after all exploration work is done
     val defaultT = names.indices.map(i =>
       passes.zipWithIndex.collect { case (p, pi) if pi % 2 == 0 => p(i) }
-        .filter(_ >= 0).min)
+        .filter(_ >= 0).minOption.getOrElse(-1.0))
     val steeredT = names.indices.map(i =>
       passes.zipWithIndex.collect { case (p, pi) if pi % 2 == 1 => p(i) }
-        .filter(_ >= 0).min)
+        .filter(_ >= 0).minOption.getOrElse(-1.0))
     val recs = adopted.toMap
     val sb = new StringBuilder
     sb.append("{\n  \"sf\": \"").append(sfDir).append("\",\n")
     sb.append(s"""  "reps": $reps, "configs": ${configs.size},\n""")
-    sb.append(s"""  "default_total": ${fmt(defaultT.sum, 3)},\n""")
-    sb.append(s"""  "steered_total": ${fmt(steeredT.sum, 3)},\n""")
+    sb.append(s"""  "default_total": ${fmt(defaultT.filter(_ >= 0).sum, 3)},\n""")
+    sb.append(s"""  "steered_total": ${fmt(steeredT.filter(_ >= 0).sum, 3)},\n""")
     sb.append(s"""  "exploration_seconds": ${fmt(res.totalExplorationSeconds, 3)},\n""")
     sb.append("  \"queries\": {\n")
     sb.append(names.indices.map { i =>
@@ -151,8 +154,8 @@ object Bench {
     sb.append("\n  }\n}\n")
     java.nio.file.Files.writeString(outDir.resolve("steered_bench.json"), sb.toString)
     spark.stop()
-    println(s"""{"metric":"steered_total","value":${fmt(steeredT.sum, 2)},""" +
-      s""""default_total":${fmt(defaultT.sum, 2)},"unit":"sec","n":${names.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"steered_total","value":${fmt(steeredT.filter(_ >= 0).sum, 2)},""" +
+      s""""default_total":${fmt(defaultT.filter(_ >= 0).sum, 2)},"unit":"sec","n":${names.size},"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -130,9 +130,16 @@ object ModelStore {
   def trainNbPersistent(docs: DataFrame, root: String): Long =
     save(QualityModels.nbModel(docs), root, "nb", corpusStats(docs))
 
+  /** No broadcast hint here, deliberately: the NB model is (token, llr) —
+    * VOCABULARY-sized, unbounded at corpus scale (the type-table caveat
+    * the q62/q63 family documents). The inline [[QualityModels
+    * .nbDocScores]] path uses a plain join for the same reason; forcing a
+    * broadcast would OOM on a production vocabulary instead of degrading
+    * to a shuffle join. AQE picks broadcast on its own when the stored
+    * table is actually small. ([[dsirModelMapAtRest]] MAY collect/
+    * broadcast — its table is ≤ 4096 rows by construction.) */
   def nbScoresAtRest(docs: DataFrame, root: String): DataFrame =
-    QualityModels.nbScoresWithModel(docs,
-      broadcast(load(docs.sparkSession, root)._1))
+    QualityModels.nbScoresWithModel(docs, load(docs.sparkSession, root)._1)
 
   def trainDsirPersistent(docs: DataFrame, root: String): Long =
     save(QualityModels.dsirModel(docs), root, "dsir", corpusStats(docs))
