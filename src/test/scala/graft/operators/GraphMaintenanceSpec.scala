@@ -190,6 +190,129 @@ class GraphMaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(raw.filter(col("rk") <= 0).count() == 0)
   }
 
+  test("tombstone revival: a re-embed with an EMPTY fresh list still accrues later challengers") {
+    // the round-14 ADVICE case: v re-embeds into a cell where it is alone
+    // (fresh re-probe yields zero edges — tombstone written, no rk>=1
+    // rows), then arrivals land near it; under the old rule (tombstone
+    // kills unless tomb_gen <= full_gen) v vanished from the graph
+    // forever even though its probe rows were alive
+    def vec(base: Array[Float], j: Float) =
+      base.zipWithIndex.map { case (v, i) => v + (if (i == 1) j else 0f) }
+    val b1 = Array(10f, 0f, 0f, 0f)
+    val b2 = Array(0f, 0f, 10f, 0f)
+    val cents = Array(b1, b2)
+    val corpus = (1L to 5L).map(i => (i, vec(b1, 0.01f * i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val root = tmp("revive")
+    val embPath = root + "/index"
+    val graphPath = root + "/graph"
+    EmbeddingMaintenance.writeCellLayout(corpus, cents, embPath)
+    EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+      EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+    GraphMaintenance.writeKnnGraph(spark, embPath, graphPath, k = 3, nProbe = 1)
+    // re-embed id 1 into blob2's (empty) cell: fresh list has ZERO rows
+    val re = Seq((1L, vec(b2, 0.02f), 0)).toDF("vec_id", "embedding", "label")
+    GraphMaintenance.upsertGraph(spark, embPath, graphPath, re)
+    assert(GraphMaintenance.edgesAtRest(spark, graphPath)
+      .filter(col("src_id") === 1L).count() == 0,
+      "freshly isolated re-embed must resolve to zero edges")
+    // arrivals land next to it: challengers must revive id 1's list
+    val arrivals = Seq((21L, vec(b2, 0.05f), 1), (22L, vec(b2, 0.08f), 1))
+      .toDF("vec_id", "embedding", "label")
+    GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals)
+    val after = spark.read.parquet(embPath).select("vec_id", "embedding", "label")
+    val refRoot = tmp("revive-ref")
+    EmbeddingMaintenance.writeCellLayout(after, cents, refRoot + "/index")
+    EmbeddingMaintenance.saveQuantizer(spark, refRoot + "/index", cents,
+      EmbeddingMaintenance.layoutStats(spark, refRoot + "/index", cents))
+    GraphMaintenance.writeKnnGraph(spark, refRoot + "/index",
+      refRoot + "/graph", k = 3, nProbe = 1)
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refRoot + "/graph")))
+    assert(GraphMaintenance.edgesAtRest(spark, graphPath)
+      .filter(col("src_id") === 1L).count() == 2,
+      "the tombstoned-then-neighbored source must hold its new edges")
+  }
+
+  test("replay tolerance: a torn append retried at the same generation cannot double-rank") {
+    val isArrival = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10 === 0
+    val base = emb.filter(!isArrival)
+    val arrivals = emb.filter(isArrival)
+    val cents = SemanticDedup.refinedCentroids(base, 16)
+    val (embPath, graphPath) = buildAll(base, cents, tmp("replay"))
+    GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals)
+    val before = edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath))
+    // simulate the torn-write retry: the gen-1 delta rows re-appended
+    // verbatim (same generation, same content)
+    val delta = spark.read.parquet(s"$graphPath/edges")
+      .filter(col("gen") === 1L).localCheckpoint(true)
+    delta.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("src_cell").parquet(s"$graphPath/edges")
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) == before,
+      "duplicated delta rows must collapse in resolution, not occupy two ranks")
+    // and compaction folds the duplicates away without changing the view
+    GraphMaintenance.compactGraph(spark, embPath, graphPath)
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) == before)
+  }
+
+  test("batchId cursor: an already-folded streaming batch is skipped, not double-appended") {
+    val isArrival = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10 === 0
+    val base = emb.filter(!isArrival)
+    val arrivals = emb.filter(isArrival)
+    val cents = SemanticDedup.refinedCentroids(base, 16)
+    val (embPath, graphPath) = buildAll(base, cents, tmp("batchid"))
+    assert(GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals,
+      batchId = 0L))
+    val gen = GraphMaintenance.loadGraphMeta(spark, graphPath).gen
+    val before = edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath))
+    // foreachBatch replays batch 0: must be a no-op (no gen bump, no rows)
+    assert(!GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals,
+      batchId = 0L))
+    val meta = GraphMaintenance.loadGraphMeta(spark, graphPath)
+    assert(meta.gen == gen && meta.lastBatch == 0L)
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) == before)
+    // the next batch folds normally and advances the cursor
+    assert(GraphMaintenance.upsertGraph(spark, embPath, graphPath,
+      arrivals.limit(1).withColumn("vec_id", col("vec_id") + 1000000L),
+      batchId = 1L))
+    assert(GraphMaintenance.loadGraphMeta(spark, graphPath).lastBatch == 1L)
+  }
+
+  test("auto-compaction: compactReasons quiet on a fresh graph, fires on a deep log, view unchanged") {
+    val cents = SemanticDedup.refinedCentroids(emb, 16)
+    val withheld = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 5 === 0
+    val base = emb.filter(!withheld)
+    val (embPath, graphPath) = buildAll(base, cents, tmp("autocompact"))
+    assert(GraphMaintenance.compactReasons(spark, graphPath).isEmpty,
+      "a freshly built graph must not ask for compaction")
+    // three 1/15th batches under maxDeltaGens=3: the third fires the
+    // generation-depth trigger inside maintainGraphPersistent
+    val arr = emb.filter(withheld)
+      .withColumn("slot", pmod(col("vec_id"), lit(3)).cast("int"))
+    val r1 = GraphMaintenance.maintainGraphPersistent(spark, embPath, graphPath,
+      arr.filter(col("slot") === 0).drop("slot"), audit = true,
+      compactMaxGens = 3)
+    assert(r1.isEmpty, s"log depth 1 must stay quiet, got $r1")
+    GraphMaintenance.maintainGraphPersistent(spark, embPath, graphPath,
+      arr.filter(col("slot") === 1).drop("slot"), audit = false,
+      compactMaxGens = 3)
+    val r3 = GraphMaintenance.maintainGraphPersistent(spark, embPath, graphPath,
+      arr.filter(col("slot") === 2).drop("slot"), audit = true,
+      compactMaxGens = 3)
+    assert(r3.exists(_.startsWith("compact:")),
+      s"generation depth 3 must fire the compaction trigger, got $r3")
+    val meta = GraphMaintenance.loadGraphMeta(spark, graphPath)
+    assert(meta.gen == 0L, "compaction must reset the log to one generation")
+    // the compacted view equals the full rebuild of the grown corpus
+    val after = spark.read.parquet(embPath).select("vec_id", "embedding", "label")
+    val (_, refGraph) = buildAll(after, cents, tmp("autocompact-ref"))
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refGraph)))
+  }
+
   test("self-healing cycle: off-manifold churn rebuilds the graph under fresh centroids") {
     def vec(base: Array[Float], j: Float) =
       base.zipWithIndex.map { case (v, i) => v + (if (i == 1) j else 0f) }
