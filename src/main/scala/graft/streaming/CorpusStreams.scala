@@ -291,6 +291,41 @@ object CorpusStreams {
         audit = (batchId + 1) % auditEvery == 0, targetCell,
         recallFloor, recallK, recallNProbe, recallPanelN)
 
+  /** Ingest-time self-healing for the at-rest kNN GRAPH (round-14 verdict
+    * task 2) — the graph twin of [[selfHealingVectorSink]]. Each
+    * micro-batch of (vec_id, embedding) rows folds into BOTH artifacts
+    * through [[graft.operators.GraphMaintenance.maintainGraphPersistent]]:
+    * append-only edge/probe/redge/dir deltas, the index drift/recall
+    * audit at `auditEvery` cadence (the graph is REBUILT under fresh
+    * centroids when it fires — cell boundaries moved, so the candidate
+    * discipline changed wholesale), and the edge-log compaction trigger
+    * otherwise.
+    *
+    * Replay idempotence: unlike the vector sink — whose upsert is
+    * naturally idempotent (same ids, same vectors, same cells) — the
+    * graph fold APPENDS, so foreachBatch's at-least-once delivery needs a
+    * cursor. The checkpointed batchId is persisted in the graph sidecar
+    * (`lastBatch`), an already-folded batchId is skipped entirely, and a
+    * checkpoint-restarted stream resumes from the sidecar cursor alone
+    * (the cursor survives audit-triggered rebuilds too). Create the
+    * layouts with [[graft.operators.EmbeddingMaintenance
+    * .writeCellLayoutPersistent]] +
+    * [[graft.operators.GraphMaintenance.writeKnnGraph]] before starting
+    * the stream. */
+  def selfHealingGraphSink(embPath: String, graphPath: String,
+                           auditEvery: Int = 4, targetCell: Int = 500,
+                           recallFloor: Double = 0.0, recallK: Int = 5,
+                           recallNProbe: Int = 1, recallPanelN: Int = 16,
+                           compactMaxGens: Int = 8,
+                           compactMaxFrac: Double = 0.5): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      graft.operators.GraphMaintenance.maintainGraphPersistent(
+        batch.sparkSession, embPath, graphPath,
+        batch.select("vec_id", "embedding"),
+        audit = (batchId + 1) % auditEvery == 0, targetCell,
+        recallFloor, recallK, recallNProbe, recallPanelN,
+        compactMaxGens, compactMaxFrac, batchId)
+
   /** Streaming semantic near-dup probe — the ingest-time form of q102
     * (SemDeDup) and the embedding twin of [[dedupProbeAgainstIndex]]:
     * each arriving embedding probes its nProbe nearest cells of the
