@@ -158,6 +158,93 @@ object Bench {
       s""""default_total":${fmt(defaultT.filter(_ >= 0).sum, 2)},"unit":"sec","n":${names.size},"sf":"$sfDir"}""")
   }
 
+  /** `graft.Bench --graph` (round-14 verdict task 3): MEASURE the at-rest
+    * graph's amortized win instead of only arguing it. The graph-family
+    * gate queries (q103/q105/q129/q130/q144/q150-shaped consumers)
+    * deliberately rebuild the edge list inline so DuckDB can replay them;
+    * a deployment builds the graph ONCE ([[graft.operators
+    * .GraphMaintenance.writeKnnGraph]]) and every consumer reads
+    * `edgesAtRest`. This arm times both forms over the same embeddings,
+    * alternating whole passes min-of-N like the main bench, and reports
+    * rebuild-total vs build-once + read-total — the amortization curve's
+    * two endpoints (the one-time build amortizes across every future
+    * consumer run, so the steady-state comparison is read-total alone).
+    * Artifact: experiment/graph/graph_bench.json. */
+  private def graphMain(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").localCheckpoint(true)
+    val k = 5
+    val nProbe = 2
+    val nl = ProductQuantization.adaptiveNList(emb)
+    val cents = SemanticDedup.refinedCentroids(emb, nl)
+    val root = java.nio.file.Files.createTempDirectory("graft-graph-bench")
+    val embPath = s"$root/index"
+    val graphPath = s"$root/graph"
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // the one-time cost a deployment pays ONCE per graph lifetime
+    val buildSec = timed {
+      EmbeddingMaintenance.writeCellLayoutPersistent(emb, cents, embPath)
+      GraphMaintenance.writeKnnGraph(spark, embPath, graphPath, k, nProbe)
+    }
+    // the six graph consumers, each a gate-query shape parameterized by
+    // WHERE its edges come from
+    val consumers: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q103_edges" -> (e => e),
+      "q105_clusters" -> (e =>
+        GraphMaintenance.clustersFromEdges(emb.select("vec_id"), e, 0.40)),
+      "q129_label_prop" -> (e =>
+        KnnGraph.labelPropagate(emb, e, _ % 5 === 0, _ === 0)),
+      "q130_pagerank" -> (e => KnnGraph.pageRank(emb, e)),
+      "q144_mutual" -> (e => KnnGraph.mutualPurityAudit(emb, e)),
+      "q150_pr_converged" -> (e =>
+        KnnGraph.pageRankConverged(emb.select("vec_id"), e,
+          tol = 1e-6, maxIters = 20)))
+    def runPass(edges: () => DataFrame): Seq[Double] =
+      consumers.map { case (_, fn) =>
+        timed(fn(edges()).write.format("noop").mode("overwrite").save())
+      }
+    // warm both forms once, then alternate whole passes, min per query
+    runPass(() => KnnGraph.knnEdgesWithCents(emb, cents, k, nProbe))
+    runPass(() => GraphMaintenance.edgesAtRest(spark, graphPath))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val passes = (1 to reps).flatMap(_ => Seq(
+      runPass(() => KnnGraph.knnEdgesWithCents(emb, cents, k, nProbe)),
+      runPass(() => GraphMaintenance.edgesAtRest(spark, graphPath))))
+    def minArm(offset: Int): Seq[Double] = consumers.indices.map(i =>
+      passes.zipWithIndex.collect { case (p, pi) if pi % 2 == offset => p(i) }
+        .filter(_ >= 0).minOption.getOrElse(-1.0))
+    val rebuildT = minArm(0)
+    val atRestT = minArm(1)
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_GRAPH_OUT", "experiment/graph"))
+    java.nio.file.Files.createDirectories(outDir)
+    val sb = new StringBuilder
+    sb.append("{\n")
+    sb.append(s"""  "sf": "$sfDir", "reps": $reps, "k": $k, "nProbe": $nProbe, "nList": $nl,\n""")
+    sb.append(s"""  "n_vectors": ${emb.count()},\n""")
+    sb.append(s"""  "build_once_seconds": ${fmt(buildSec, 3)},\n""")
+    sb.append(s"""  "rebuild_total": ${fmt(rebuildT.filter(_ >= 0).sum, 3)},\n""")
+    sb.append(s"""  "atrest_total": ${fmt(atRestT.filter(_ >= 0).sum, 3)},\n""")
+    sb.append("  \"consumers\": {\n")
+    sb.append(consumers.indices.map { i =>
+      s"""    "${consumers(i)._1}": {"rebuild": ${fmt(rebuildT(i), 3)}, "atrest": ${fmt(atRestT(i), 3)}}"""
+    }.mkString(",\n"))
+    sb.append("\n  }\n}\n")
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    java.nio.file.Files.writeString(
+      outDir.resolve(s"graph_bench_$sfName.json"), sb.toString)
+    spark.stop()
+    println(s"""{"metric":"graph_atrest_total","value":${fmt(atRestT.filter(_ >= 0).sum, 2)},""" +
+      s""""rebuild_total":${fmt(rebuildT.filter(_ >= 0).sum, 2)},""" +
+      s""""build_once":${fmt(buildSec, 2)},"unit":"sec","n":${consumers.size},"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -171,6 +258,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.contains("--steered")) { steeredMain(spark, sfDir); return }
+    if (args.contains("--graph")) { graphMain(spark, sfDir); return }
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
