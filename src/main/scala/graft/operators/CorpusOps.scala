@@ -511,6 +511,147 @@ object CorpusOps {
       |    / COUNT(*), 6)), 6) AS ppl
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q153: Kneser-Ney score-drift audit — the q151/q152 shape applied to
+    * the third stored model ([[ModelStore]] "kn"). The same content-
+    * addressed half (md5₃₂("m:"+doc_id) % 2 — the family's shared frozen
+    * split) trains the v1 bigram type table; v2 is the full retrain;
+    * every document scores under both via the at-rest rule
+    * ([[knScoresWithModel]]: unseen pairs take the backoff mass, bigrams
+    * whose context or continuation v1 never saw are EXCLUDED — a doc with
+    * nothing scorable reports a NULL mean and is counted as unscored).
+    * The decision diagnostic is the q110 one: per-source TERCILE MOVES —
+    * how many documents change head/middle/tail bucket between the
+    * frozen and retrained perplexity orderings (CCNet trains on head,
+    * samples middle, drops tail — a tercile move IS a curation flip).
+    *
+    * Shape: two vocabulary²-bounded type tables over the same bigram
+    * pool, the four KN statistic tables derived per model by one further
+    * aggregation each, a token-keyed scoring join per model (AQE-skew-
+    * safe, q63's plan), |sources|-row exact-percentile cuts broadcast
+    * back (threshold-based, never an NTILE sort — the q110 argument).
+    * Numerics: 6dp terms, DECIMAL(38,6) sums, cuts via the
+    * percentile/quantile_cont pairing — hash-exact. */
+  val q153KnDrift: Q = (s, d) => {
+    val docs = documents(s, d)
+    val isTrain = conv(substring(
+      md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2 === 0
+    val v1 = knModel(docs.filter(isTrain))
+    val v2 = knModel(docs)
+    val s1 = knScoresWithModel(docs, v1)
+      .select(col("doc_id"), col("kn_logprob").as("lp1"))
+    val s2 = knScoresWithModel(docs, v2)
+      .select(col("doc_id"), col("kn_logprob").as("lp2"))
+    val joined = docs.select("doc_id", "source")
+      .join(s1, Seq("doc_id")).join(s2, Seq("doc_id"))
+    val scored = joined.filter(col("lp1").isNotNull)
+    val cuts = scored.groupBy("source").agg(
+      percentile(col("lp1"), lit(1.0 / 3)).as("lo1"),
+      percentile(col("lp1"), lit(2.0 / 3)).as("hi1"),
+      percentile(col("lp2"), lit(1.0 / 3)).as("lo2"),
+      percentile(col("lp2"), lit(2.0 / 3)).as("hi2"))
+    def bucket(lp: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+               hi: org.apache.spark.sql.Column) =
+      when(lp >= hi, lit(2)).when(lp < lo, lit(0)).otherwise(lit(1))
+    val drift = scored.join(broadcast(cuts), Seq("source"))
+      .withColumn("mv",
+        bucket(col("lp1"), col("lo1"), col("hi1")) =!=
+          bucket(col("lp2"), col("lo2"), col("hi2")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_scored"),
+        round(sum(col("lp1").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_lp_v1"),
+        round(sum(col("lp2").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_lp_v2"),
+        round(sum(round(abs(col("lp1") - col("lp2")), 6)
+          .cast(DecimalType(38, 6))).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_abs_shift"),
+        sum(when(col("mv"), 1L).otherwise(0L)).as("n_tercile_moves"))
+    joined.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lp1").isNull, 1L).otherwise(0L)).as("n_unscored_v1"))
+      .join(drift, Seq("source"), "left")
+      .orderBy("source")
+  }
+
+  val q153Sql: String =
+    """WITH l AS (SELECT doc_id, source,
+      |            string_split_regex(TRIM(text), '\s+') AS l FROM documents),
+      |bgs AS (SELECT doc_id, source, unnest(list_transform(range(1, len(l)),
+      |          i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS b
+      |        FROM l WHERE len(l) >= 2),
+      |bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bgs),
+      |trn AS (SELECT w1, w2 FROM bg
+      |  WHERE CAST(concat('0x', substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS BIGINT) % 2 = 0),
+      |cbg1 AS (SELECT w1, w2, COUNT(*) AS c_bg FROM trn GROUP BY 1, 2),
+      |cw1 AS (SELECT w1, SUM(c_bg) AS c_w1, COUNT(*) AS n1p_fw FROM cbg1 GROUP BY 1),
+      |bw1 AS (SELECT w2, COUNT(*) AS n1p_bw FROM cbg1 GROUP BY 1),
+      |t1 AS (SELECT COUNT(*) AS t_types FROM cbg1),
+      |cbg2 AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |cw2 AS (SELECT w1, SUM(c_bg) AS c_w1, COUNT(*) AS n1p_fw FROM cbg2 GROUP BY 1),
+      |bw2 AS (SELECT w2, COUNT(*) AS n1p_bw FROM cbg2 GROUP BY 1),
+      |t2 AS (SELECT COUNT(*) AS t_types FROM cbg2),
+      |terms1 AS (
+      |  SELECT bg.doc_id, bg.source,
+      |    CASE WHEN cw1.c_w1 IS NOT NULL AND bw1.n1p_bw IS NOT NULL THEN
+      |      ROUND(LN(GREATEST(CAST(COALESCE(cbg1.c_bg, 0) AS DOUBLE) - 0.75, 0.0)
+      |          / CAST(cw1.c_w1 AS DOUBLE)
+      |        + 0.75 * CAST(cw1.n1p_fw AS DOUBLE) / CAST(cw1.c_w1 AS DOUBLE)
+      |          * (CAST(bw1.n1p_bw AS DOUBLE) / CAST(t1.t_types AS DOUBLE))), 6)
+      |    END AS logp
+      |  FROM bg LEFT JOIN cbg1 USING (w1, w2) LEFT JOIN cw1 USING (w1)
+      |  LEFT JOIN bw1 USING (w2) CROSS JOIN t1),
+      |s1 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN SUM(CASE WHEN logp IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |      THEN ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
+      |           / SUM(CASE WHEN logp IS NOT NULL THEN 1 ELSE 0 END), 6)
+      |    END AS lp1
+      |  FROM terms1 GROUP BY 1, 2),
+      |terms2 AS (
+      |  SELECT bg.doc_id,
+      |    ROUND(LN((CAST(c_bg AS DOUBLE) - 0.75) / CAST(c_w1 AS DOUBLE)
+      |      + 0.75 * CAST(n1p_fw AS DOUBLE) / CAST(c_w1 AS DOUBLE)
+      |        * (CAST(n1p_bw AS DOUBLE) / CAST(t2.t_types AS DOUBLE))), 6) AS logp
+      |  FROM bg JOIN cbg2 USING (w1, w2) JOIN cw2 USING (w1)
+      |  JOIN bw2 USING (w2) CROSS JOIN t2),
+      |s2 AS (
+      |  SELECT doc_id,
+      |    ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      |      AS lp2
+      |  FROM terms2 GROUP BY 1),
+      |joined AS (SELECT s1.doc_id, s1.source, lp1, lp2
+      |           FROM s1 JOIN s2 USING (doc_id)),
+      |scored AS (SELECT * FROM joined WHERE lp1 IS NOT NULL),
+      |cuts AS (SELECT source,
+      |           quantile_cont(lp1, 1.0/3) AS lo1, quantile_cont(lp1, 2.0/3) AS hi1,
+      |           quantile_cont(lp2, 1.0/3) AS lo2, quantile_cont(lp2, 2.0/3) AS hi2
+      |         FROM scored GROUP BY source),
+      |drift AS (
+      |  SELECT scored.source,
+      |    COUNT(*) AS n_scored,
+      |    ROUND(CAST(SUM(CAST(lp1 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      |      AS mean_lp_v1,
+      |    ROUND(CAST(SUM(CAST(lp2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      |      AS mean_lp_v2,
+      |    ROUND(CAST(SUM(CAST(ROUND(ABS(lp1 - lp2), 6) AS DECIMAL(38,6)))
+      |          AS DOUBLE) / COUNT(*), 6) AS mean_abs_shift,
+      |    CAST(SUM(CASE WHEN
+      |        (CASE WHEN lp1 >= hi1 THEN 2 WHEN lp1 < lo1 THEN 0 ELSE 1 END)
+      |        <> (CASE WHEN lp2 >= hi2 THEN 2 WHEN lp2 < lo2 THEN 0 ELSE 1 END)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_tercile_moves
+      |  FROM scored JOIN cuts USING (source) GROUP BY scored.source),
+      |allsrc AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN lp1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_unscored_v1
+      |  FROM joined GROUP BY source)
+      |SELECT allsrc.source, n_docs, n_unscored_v1, n_scored,
+      |  mean_lp_v1, mean_lp_v2, mean_abs_shift, n_tercile_moves
+      |FROM allsrc LEFT JOIN drift ON allsrc.source = drift.source
+      |ORDER BY allsrc.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62TfidfTopTerms,
     "q63_bigram_lm" -> q63BigramLm,
@@ -518,6 +659,7 @@ object CorpusOps {
     "q104_zipf_slope" -> q104ZipfSlope,
     "q142_kn_perplexity" -> q142KnPerplexity,
     "q147_domain_reweight" -> q147DomainReweight,
+    "q153_kn_drift" -> q153KnDrift,
   )
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -526,5 +668,6 @@ object CorpusOps {
     "q104_zipf_slope" -> q104Sql,
     "q142_kn_perplexity" -> q142Sql,
     "q147_domain_reweight" -> q147Sql,
+    "q153_kn_drift" -> q153Sql,
   )
 }

@@ -188,6 +188,118 @@ object QualityModels {
       .orderBy("source")
   }
 
+  /** q152: DSIR score-drift audit — q151's shape applied to the second
+    * stored model ([[ModelStore]] "dsir"). The same content-addressed
+    * half (md5₃₂("m:"+doc_id) % 2, so the frozen halves ALIGN across the
+    * model family's audits) plays the frozen v1 training set; v2 is the
+    * full-corpus retrain; every document is scored under both via the
+    * at-rest rule ([[dsirLogWeights]]: unseen buckets contribute zero)
+    * and the audit reports per source the mean log-weight under each,
+    * the mean absolute shift, and the decision a deployment gates on —
+    * how many STREAMING ADMISSION verdicts flip. The admission rule is
+    * exactly [[graft.streaming.CorpusStreams.dsirAdmission]] at logZ = 0:
+    * admit iff u < min(1, exp(lw)) with the content-addressed uniform
+    * u = dsirUniform(doc_id) — u is IDENTICAL under both models, so a
+    * flip happens precisely when the retrain moves lw across the
+    * document's own admission threshold.
+    *
+    * Shape: the hashed-bigram feature table is computed ONCE
+    * ([[dsirFeatureCounts]]); each model is a ≤4096-row aggregate over it
+    * (v1 over the frozen half's rows); scoring is two broadcast joins;
+    * the audit is a |sources|-row aggregate. Documents without bigram
+    * features drop out of both engines identically (the q109 rule).
+    * Numerics: 6dp llrs, DECIMAL sums, exp at 6dp — hash-exact. */
+  val q152DsirDrift: Q = (s, d) => {
+    val docs = documents(s, d)
+    val isTrain = conv(substring(
+      md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2 === 0
+    val fc = StageMaterialize(dsirFeatureCounts(docs), "q152_fc")
+    val v1 = dsirModelFromCounts(fc.filter(isTrain))
+    val v2 = dsirModelFromCounts(fc)
+    def admit(lw: org.apache.spark.sql.Column) =
+      dsirUniform(col("doc_id")) < round(least(lit(1.0), exp(lw)), 6)
+    val s1 = dsirLogWeightsFromCounts(fc, v1)
+      .select(col("doc_id"), col("source"), col("log_weight").as("lw1"))
+    val s2 = dsirLogWeightsFromCounts(fc, v2)
+      .select(col("doc_id"), col("log_weight").as("lw2"))
+    s1.join(s2, Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("lw1").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_lw_v1"),
+        round(sum(col("lw2").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_lw_v2"),
+        round(sum(round(abs(col("lw1") - col("lw2")), 6)
+          .cast(DecimalType(38, 6))).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_abs_shift"),
+        sum(when(admit(col("lw1")) =!= admit(col("lw2")), 1L).otherwise(0L))
+          .as("n_admit_flips"))
+      .orderBy("source")
+  }
+
+  /** Prefixed (b → llr) DSIR model CTE over a feature-count CTE
+    * `fcCte(doc_id, source, b, c)` — the q152 oracle needs two. */
+  private def dsirLlrCte(fcCte: String, pfx: String): String =
+    s"""${pfx}cb AS (SELECT b,
+       |         CAST(SUM(CASE WHEN source IN (${refsSqlList}) THEN c
+       |                       ELSE 0 END) AS BIGINT) AS c_t,
+       |         CAST(SUM(c) AS BIGINT) AS c_all
+       |       FROM $fcCte GROUP BY b),
+       |${pfx}tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+       |               CAST(SUM(c_all) AS BIGINT) AS n_all FROM ${pfx}cb),
+       |${pfx}llr AS (SELECT b,
+       |          ROUND(LN((c_t + 1) / CAST(n_t + ${DsirBuckets} AS DOUBLE))
+       |              - LN((c_all + 1) / CAST(n_all + ${DsirBuckets} AS DOUBLE)),
+       |                6) AS llr
+       |        FROM ${pfx}cb CROSS JOIN ${pfx}tot)"""
+
+  // lazy: this interpolates DsirBuckets, declared LATER in the object —
+  // an eager val here would capture its pre-init default (0) and emit
+  // `% 0` (NULL buckets) into the oracle
+  lazy val q152Sql: String =
+    s"""WITH ds_l AS (SELECT doc_id, source,
+       |           string_split_regex(TRIM(text), '\\s+') AS l
+       |         FROM documents),
+       |ds_bg AS (SELECT doc_id, source,
+       |            unnest(list_transform(range(1, len(l)),
+       |                                  i -> l[i] || ' ' || l[i + 1])) AS gram
+       |          FROM ds_l WHERE len(l) >= 2),
+       |fc AS (SELECT doc_id, source,
+       |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+       |           % ${DsirBuckets} AS b,
+       |         COUNT(*) AS c
+       |       FROM ds_bg GROUP BY 1, 2, 3),
+       |fc1 AS (SELECT * FROM fc
+       |  WHERE CAST(concat('0x', substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) % 2 = 0),
+       |${dsirLlrCte("fc1", "v1_")},
+       |${dsirLlrCte("fc", "v2_")},
+       |s1 AS (SELECT doc_id, source,
+       |    ROUND(CAST(SUM(CAST(COALESCE(l.llr, 0.0) AS DECIMAL(18,6))
+       |                   * CAST(c AS DECIMAL(18,0))) AS DOUBLE), 6) AS lw1
+       |  FROM fc LEFT JOIN v1_llr l USING (b) GROUP BY 1, 2),
+       |s2 AS (SELECT doc_id,
+       |    ROUND(CAST(SUM(CAST(COALESCE(l.llr, 0.0) AS DECIMAL(18,6))
+       |                   * CAST(c AS DECIMAL(18,0))) AS DOUBLE), 6) AS lw2
+       |  FROM fc LEFT JOIN v2_llr l USING (b) GROUP BY 1),
+       |keyed AS (SELECT s1.doc_id, source, lw1, lw2,
+       |    (CAST(CAST(concat('0x',
+       |        substr(md5('dsir:' || CAST(s1.doc_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+       |  FROM s1 JOIN s2 USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(CAST(SUM(CAST(lw1 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_lw_v1,
+       |  ROUND(CAST(SUM(CAST(lw2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_lw_v2,
+       |  ROUND(CAST(SUM(CAST(ROUND(ABS(lw1 - lw2), 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |        / COUNT(*), 6) AS mean_abs_shift,
+       |  CAST(SUM(CASE WHEN (u < ROUND(LEAST(1.0, EXP(lw1)), 6))
+       |                  <> (u < ROUND(LEAST(1.0, EXP(lw2)), 6))
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_admit_flips
+       |FROM keyed GROUP BY source ORDER BY source""".stripMargin
+
   /** Prefixed (token → llr) model CTE over an arbitrary training CTE —
     * the q151 oracle needs TWO models in one query. */
   private def nbLlrCte(trainCte: String, pfx: String): String =
@@ -651,6 +763,7 @@ object QualityModels {
     "q110_ccnet_buckets" -> q110CcnetBuckets,
     "q118_curation_pipeline" -> q118CurationPipeline,
     "q151_model_drift" -> q151ModelDrift,
+    "q152_dsir_drift" -> q152DsirDrift,
   )
   val oracle: Map[String, String] = Map(
     "q108_nb_quality" -> q108Sql,
@@ -658,5 +771,6 @@ object QualityModels {
     "q110_ccnet_buckets" -> q110Sql,
     "q118_curation_pipeline" -> q118Sql,
     "q151_model_drift" -> q151Sql,
+    "q152_dsir_drift" -> q152Sql,
   )
 }

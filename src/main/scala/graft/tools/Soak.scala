@@ -151,7 +151,8 @@ object Soak {
     "q142_kn_perplexity", "q143_countmin_audit", "q147_domain_reweight",
     // learned selection (round 9)
     "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
-    "q118_curation_pipeline", "q151_model_drift",
+    "q118_curation_pipeline", "q151_model_drift", "q152_dsir_drift",
+    "q153_kn_drift",
     "q111_fertility", "q112_filter_funnel", "q113_snapshot_diff",
     "q121_split_leakage",
     // multimodal plumbing
