@@ -530,7 +530,8 @@ object CorpusOps {
     * safe, q63's plan), |sources|-row exact-percentile cuts broadcast
     * back (threshold-based, never an NTILE sort — the q110 argument).
     * Numerics: 6dp terms, DECIMAL(38,6) sums, cuts via the
-    * percentile/quantile_cont pairing — hash-exact. */
+    * percentile/quantile_cont pairing — hash-exact. Soaked 100k→400k
+    * docs at 1.89×/1.71× per doubling (SOAK.md round 15). */
   val q153KnDrift: Q = (s, d) => {
     val docs = documents(s, d)
     val isTrain = conv(substring(

@@ -832,7 +832,9 @@ object KnnGraph {
     * builds + one edge-keyed full-outer join (edge-mass-bounded, never
     * pair-mass). Output: |classes| rows of BIGINT counts — hash-exact;
     * the oracle replays BOTH graph chains over the same grid quantizer
-    * and the same split predicate. */
+    * and the same split predicate. Soaked 12.5k→50k vectors at
+    * 1.16×/2.01× per doubling (SOAK.md round 15) — build-dominated, so
+    * the slope tracks the graph build's own ≤2×. */
   def q149GraphArrivalDiff(k: Int = 5, nList: Int = -1, nProbe: Int = 2): Q = (s, d) => {
     val emb = embeddings(s, d)
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
@@ -919,7 +921,9 @@ object KnnGraph {
     * factor; a flat residual means the walk is oscillating on structure,
     * not converging). Same numerics as q130 (6dp scores per iteration,
     * DECIMAL sums), so the deltas are exact multiples of 1e-6 and the
-    * oracle replays all three iterations and the three delta rows. */
+    * oracle replays all three iterations and the three delta rows.
+    * Soaked 12.5k→50k vectors at 1.45×/1.58× per doubling (SOAK.md
+    * round 15) — one build plus edge-mass-linear iteration legs. */
   def q150PagerankResidual(k: Int = 5, nList: Int = -1, nProbe: Int = 2,
                            iters: Int = 3, damping: Double = 0.85): Q = (s, d) => {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}

@@ -161,7 +161,9 @@ object QualityModels {
     * counts (computed once), one scoring join per model, a |sources|-row
     * aggregate. Numerics: scores are the 6dp at-rest rule on both
     * engines; shifts are differences of identical doubles re-rounded at
-    * 6dp; means via DECIMAL(38,6) sums — hash-exact. */
+    * 6dp; means via DECIMAL(38,6) sums — hash-exact. Soaked 100k→400k
+    * docs at 1.89×/1.61× per doubling (SOAK.md round 15) — sub-linear
+    * past the point the corpus vocabulary saturates the model table. */
   val q151ModelDrift: Q = (s, d) => {
     val docs = documents(s, d)
     val isTrain = conv(substring(
@@ -208,7 +210,8 @@ object QualityModels {
     * (v1 over the frozen half's rows); scoring is two broadcast joins;
     * the audit is a |sources|-row aggregate. Documents without bigram
     * features drop out of both engines identically (the q109 rule).
-    * Numerics: 6dp llrs, DECIMAL sums, exp at 6dp — hash-exact. */
+    * Numerics: 6dp llrs, DECIMAL sums, exp at 6dp — hash-exact. Soaked
+    * 100k→400k docs at 2.02×/1.36× per doubling (SOAK.md round 15). */
   val q152DsirDrift: Q = (s, d) => {
     val docs = documents(s, d)
     val isTrain = conv(substring(

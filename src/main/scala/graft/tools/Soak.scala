@@ -170,6 +170,7 @@ object Soak {
     "q119_semantic_decontam", "q126_ivf_recall_audit", "q132_ndcg_audit",
     "q129_label_prop", "q130_pagerank", "q130_pagerank_trained",
     "q144_mutual_knn", "q144_mutual_hier", "q103_knn_hier",
+    "q149_graph_arrival_diff", "q150_pagerank_residual",
     // sequence assembly + pipeline
     "q76_seq_packing", "q77_chunk_windows", "q78_embed_quantize",
     "q141_packing_efficiency",
