@@ -20,11 +20,14 @@ object Bench {
   private def fmt(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(v))
 
-  /** The queries the steered bench explores by default: the relational /
-    * events / text-scoring families where the steering dimensions (join
-    * strategy, shuffle-partition tier) are live knobs. ≥32 per the
-    * round-13 verdict done-bar; SPARK_GRAFT_QUERIES overrides. */
+  /** The queries the steered bench explores by default. Round 13 started
+    * with 45 relational/events/text queries; round 15 extends coverage to
+    * the graph/dedup/similarity/learned families — the shuffle-heavy
+    * shapes where tools/ConfigProbe measured 20–50 % wins for the
+    * shuffle_hash/partition-tier dimensions — per the round-14 verdict
+    * (≥80 done-bar). SPARK_GRAFT_QUERIES overrides. */
   private val steeredDefault: Seq[String] = Seq(
+    // relational / events / text scoring (the round-13 set)
     "q01_pricing_summary", "q02_top_revenue", "q03_broadcast_join",
     "q04_semi_join", "q05_anti_join", "q06_row_min_sum", "q07_min_observed",
     "q08_distinct_sum", "q09_percentiles", "q10_count_distinct",
@@ -38,7 +41,37 @@ object Bench {
     "q62_tfidf_topterms", "q63_bigram_lm", "q65_lateral_topk",
     "q66_decay_engagement", "q68_regional_revenue", "q71_sliding_windows",
     "q72_ordered_set_aggs", "q73_event_paths", "q74_cohort_retention",
-    "q75_promo_revenue")
+    "q75_promo_revenue",
+    // dedup family (gram-keyed self-joins, shuffle-dominated)
+    "q24_dedup_exact", "q26_minhash_signatures", "q27_lsh_pairs",
+    "q28_simhash", "q42_dedup_clusters", "q49_decontaminate",
+    "q60_chunk_dedup", "q64_hamming_profile", "q95_dedup_against_index",
+    "q98_substr_spans", "q122_substr_removal", "q127_bloom_decontam",
+    "q133_containment", "q134_winnowing", "q137_cdc_chunks",
+    // similarity / graph family (cell joins, top-k windows, components)
+    "q30_ann_lsh_bucketed", "q32_embedding_neardup", "q33_ann_native",
+    "q61_embedding_outliers", "q70_dim_stats", "q81_pq_ann",
+    "q83_ivfpq_ann", "q102_semantic_dedup", "q103_knn_graph",
+    "q105_semantic_clusters", "q107_diversity_sample", "q114_filtered_ann",
+    "q115_maxsim", "q117_hybrid_rrf", "q119_semantic_decontam",
+    "q126_ivf_recall_audit", "q129_label_prop", "q130_pagerank",
+    "q132_ndcg_audit", "q136_bm25", "q139_jl_audit", "q140_silhouette",
+    "q144_mutual_knn",
+    // text / learned-selection / mixture (vocab-keyed aggs + scoring joins)
+    "q20_token_stats", "q21_quality_score", "q22_lang_id",
+    "q23_fingerprint", "q39_vocab_topk", "q51_repetition",
+    "q52_token_histogram", "q80_char_diversity", "q100_repetition",
+    "q101_source_divergence", "q104_zipf_slope", "q108_nb_quality",
+    "q109_dsir_resample", "q110_ccnet_buckets", "q128_heavy_hitters",
+    "q131_unigram_logprob", "q142_kn_perplexity", "q143_countmin_audit",
+    "q147_domain_reweight", "q151_model_drift", "q152_dsir_drift",
+    "q153_kn_drift",
+    // packing / layout / events-at-scale
+    "q76_seq_packing", "q77_chunk_windows", "q85_temperature_mix",
+    "q86_shard_assign", "q90_winsorize", "q106_priority_sample",
+    "q141_packing_efficiency", "q145_zorder_layout", "q148_reshard_audit",
+    "q19_event_windows", "q88_sessionize_scaled", "q89_event_paths_scaled",
+    "q91_asof_scaled")
 
   /** `graft.Bench --steered` (round-13 verdict task 4): realize the
     * learned-steering win on the engine's own bench instead of only as a
@@ -116,6 +149,9 @@ object Bench {
     SteeringLoop.saveTrace(res, names, configs.map(_.name),
       outDir.resolve("bench_steer_trace.json"))
     Steered.save(outDir.resolve("bench_learned_hints.json"))
+    // versioned decision table (round-14 verdict task 7): a deployment
+    // pins `hints/v=N.json` while the next steering run publishes v=N+1
+    val hintsVersion = Steered.saveVersioned(outDir.resolve("hints"))
     // bank it: alternate whole default/steered passes, min per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     def once(fn: SparkSession => DataFrame, steered: Boolean): Double = {
@@ -142,7 +178,7 @@ object Bench {
     val recs = adopted.toMap
     val sb = new StringBuilder
     sb.append("{\n  \"sf\": \"").append(sfDir).append("\",\n")
-    sb.append(s"""  "reps": $reps, "configs": ${configs.size},\n""")
+    sb.append(s"""  "reps": $reps, "configs": ${configs.size}, "hints_version": $hintsVersion,\n""")
     sb.append(s"""  "default_total": ${fmt(defaultT.filter(_ >= 0).sum, 3)},\n""")
     sb.append(s"""  "steered_total": ${fmt(steeredT.filter(_ >= 0).sum, 3)},\n""")
     sb.append(s"""  "exploration_seconds": ${fmt(res.totalExplorationSeconds, 3)},\n""")

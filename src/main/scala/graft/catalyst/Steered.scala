@@ -89,6 +89,48 @@ object Steered {
     n
   }
 
+  // --- versioned hint store (the ModelStore pattern applied to the
+  // decision table): each save lands append-only at `<root>/v=<N>.json`
+  // and an atomic sidecar names the LATEST version — so a bench or a
+  // deployment can PIN a hints version while a newer steering run
+  // publishes the next, and an audit can diff two versions ---
+
+  private def hintsSidecar(root: java.nio.file.Path): java.nio.file.Path =
+    root.resolveSibling(root.getFileName.toString + ".hints.json")
+
+  def latestVersion(root: java.nio.file.Path): Option[Long] = {
+    val sc = hintsSidecar(root)
+    if (!java.nio.file.Files.exists(sc)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Some(mapper.readTree(java.nio.file.Files.readString(sc)).path("version").asLong())
+  }
+
+  /** Persist the current registry as the next hints version and promote
+    * the sidecar (write-then-atomic-rename). Returns the version. */
+  def saveVersioned(root: java.nio.file.Path): Long = {
+    val next = latestVersion(root).getOrElse(0L) + 1
+    java.nio.file.Files.createDirectories(root)
+    save(root.resolve(s"v=$next.json"))
+    val tmp = root.resolveSibling(root.getFileName.toString + ".hints.json.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"version":$next,"hints":${learned.size}}""")
+    java.nio.file.Files.move(tmp, hintsSidecar(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** Load (merge) a pinned hints version; [[loadLatestVersion]] follows
+    * the sidecar. Returns the number of hints read. */
+  def loadVersion(root: java.nio.file.Path, version: Long): Int =
+    load(root.resolve(s"v=$version.json"))
+
+  def loadLatestVersion(root: java.nio.file.Path): Int =
+    latestVersion(root) match {
+      case Some(v) => loadVersion(root, v)
+      case None => 0
+    }
+
   /** Execute `action` on `df` under its learned config (no-op for unknown
     * templates). The steering conf is session-scoped, so learned hints for
     * concurrently-running distinct templates should use separate sessions
