@@ -53,10 +53,15 @@ object EmbeddingMaintenance {
       .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
   /** Surgical delete: remove `ids` by rewriting only the cells they live
-    * in; cells left empty are reclaimed at the directory level. */
-  def deleteVecs(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    * in; cells left empty are reclaimed at the directory level.
+    * `knownCells` skips the victim-cell lookup when the caller already
+    * holds it (the graph path's id-keyed directory answers it with a
+    * bucket-pruned read; recomputing it here would re-scan the
+    * cell-partitioned layout, which cannot prune on ids). */
+  def deleteVecs(spark: SparkSession, path: String, ids: Seq[Long],
+                 knownCells: Option[Seq[Int]] = None): Unit = {
     if (ids.isEmpty) return
-    val affected = cellsOf(spark, path, ids)
+    val affected = knownCells.getOrElse(cellsOf(spark, path, ids))
     if (affected.isEmpty) return
     val remaining = materialized(spark.read.parquet(path)
       .filter(col("cell").isInCollection(affected))
@@ -81,10 +86,11 @@ object EmbeddingMaintenance {
     * overwrite. `changed` must carry (vec_id, embedding, …) — the corpus
     * schema minus the cell column. */
   def upsertVecs(spark: SparkSession, path: String,
-                 cents: Array[Array[Float]], changed: DataFrame): Unit = {
+                 cents: Array[Array[Float]], changed: DataFrame,
+                 knownOldCells: Option[Seq[Int]] = None): Unit = {
     val changedIds = changed.select("vec_id").collect().map(_.getLong(0)).toSeq
     if (changedIds.isEmpty) return
-    val oldCells = cellsOf(spark, path, changedIds)
+    val oldCells = knownOldCells.getOrElse(cellsOf(spark, path, changedIds))
     val incoming = changed.withColumn("cell",
       ProductQuantization.cellExpr(spark, cents)(col("embedding")))
     val newCells = incoming.select("cell").distinct()

@@ -458,7 +458,8 @@ object GraphMaintenance {
         .write.mode(SaveMode.Append).partitionBy("cell").parquet(embPath))
     if (nRe > 0)
       prof("index-upsert")(
-        EmbeddingMaintenance.upsertVecs(spark, embPath, cents, reRows))
+        EmbeddingMaintenance.upsertVecs(spark, embPath, cents, reRows,
+          knownOldCells = Some(reOldCells)))
     val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
 
     val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
@@ -643,7 +644,8 @@ object GraphMaintenance {
       .select("src_id").distinct()
       .join(idsDf.select(col("vec_id").as("src_id")), Seq("src_id"), "left_anti"))
 
-    EmbeddingMaintenance.deleteVecs(spark, embPath, ids)
+    EmbeddingMaintenance.deleteVecs(spark, embPath, ids,
+      knownCells = Some(victimCells))
     val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
     // survivors' cells from the post-delete layout (the source of truth)
     val reverseSrcs = materialized(reverseIds.join(

@@ -737,4 +737,35 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
       spark.sql("DROP TABLE IF EXISTS steer_ord_b")
     }
   }
+  test("versioned hint store: append-only versions, atomic latest sidecar, pinning survives a newer publish") {
+    val root = java.nio.file.Files.createTempDirectory("steer-hints").resolve("hints")
+    try {
+      Steered.clear()
+      val df1 = graft.Tables.customer(spark, sf).groupBy("c_mktsegment").count()
+      Steered.learn(df1, "broadcast")
+      val v1 = Steered.saveVersioned(root)
+      assert(v1 == 1L && Steered.latestVersion(root).contains(1L))
+
+      // a second steering run publishes v2 with a DIFFERENT decision
+      Steered.clear()
+      Steered.learn(df1, "merge", Map("spark.sql.shuffle.partitions" -> "8"))
+      val v2 = Steered.saveVersioned(root)
+      assert(v2 == 2L && Steered.latestVersion(root).contains(2L))
+
+      // a consumer PINNED to v1 is unaffected by the newer publish
+      Steered.clear()
+      assert(Steered.loadVersion(root, 1L) == 1)
+      assert(Steered.hintFor(df1).map(_.strategy).contains("broadcast"))
+
+      // an unpinned consumer follows the sidecar to v2, confs included
+      Steered.clear()
+      assert(Steered.loadLatestVersion(root) == 1)
+      val h = Steered.hintFor(df1)
+      assert(h.map(_.strategy).contains("merge"))
+      assert(h.exists(_.confs == Map("spark.sql.shuffle.partitions" -> "8")))
+
+      // v1's file is still on disk, untouched (append-only)
+      assert(java.nio.file.Files.exists(root.resolve("v=1.json")))
+    } finally Steered.clear()
+  }
 }
