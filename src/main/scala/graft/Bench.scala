@@ -70,6 +70,7 @@ object Bench {
     "q76_seq_packing", "q77_chunk_windows", "q85_temperature_mix",
     "q86_shard_assign", "q90_winsorize", "q106_priority_sample",
     "q141_packing_efficiency", "q145_zorder_layout", "q148_reshard_audit",
+    "q154_unimax_budget",
     "q19_event_windows", "q88_sessionize_scaled", "q89_event_paths_scaled",
     "q91_asof_scaled")
 

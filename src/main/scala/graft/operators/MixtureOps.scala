@@ -314,17 +314,110 @@ object MixtureOps {
       |GROUP BY d.source, c.lo, c.hi
       |ORDER BY d.source""".stripMargin
 
+  /** q154: UniMax token-budget allocation (Chung et al., ICLR 2023 —
+    * "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): given a total training budget of
+    * `budgetMult` × the corpus's token mass and an epoch cap of
+    * `epochCap` repeats per source, allocate the budget UNIFORMLY across
+    * sources subject to each source's capacity cap = epochCap × its own
+    * tokens, redistributing what the capped sources can't absorb — the
+    * water-filling closed form. Complements q85 (temperature: smooth
+    * power-law reweighting, no hard repeat bound) and q147 (DoReMi:
+    * quality-signal reweighting): UniMax is the recipe when the binding
+    * constraint is REPEAT DAMAGE on small sources, the documented regime
+    * for multilingual mixes.
+    *
+    * Closed form, no iteration: sort sources by capacity ascending; a
+    * source at rank j saturates iff its capacity times the sources
+    * remaining from j is ≤ the budget left after the smaller capacities
+    * (monotone, so the saturated set is a prefix); everyone else splits
+    * the remainder evenly. One |sources|-row window (driver-scale — the
+    * corpus-sized work is only the per-source token count, collapsing
+    * map-side), two broadcast one-row aggregates.
+    *
+    * Numerics: capacities are n_tokens × 1.5 — exact halves in binary
+    * doubles, so the prefix sums and the saturation comparisons are
+    * EXACT on both engines regardless of accumulation order; only the
+    * final share division and the epochs ratio are inexact, and both are
+    * single IEEE ops rounded at 6dp — hash-exact. All-saturated corpora
+    * never evaluate the share branch (CASE short-circuits per row on
+    * both engines), so the 0/0 guard is structural. */
+  val q154UnimaxBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val epochCap = 1.5
+    val budgetMult = 2.0
+    val tok = documents(s, d)
+      .select(col("source"), nTokens.as("nt"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = tok.agg(sum("n_tokens").as("t_all"), count(lit(1)).as("n_src"))
+    val capped = tok.crossJoin(broadcast(tot))
+      .withColumn("cap", col("n_tokens").cast("double") * epochCap)
+      .withColumn("budget", col("t_all").cast("double") * budgetMult)
+    val w = Window.orderBy(col("cap"), col("source"))
+    val flagged = capped
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pfx", coalesce(
+        sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("sat",
+        col("cap") * (col("n_src") - col("rn") + 1) <= col("budget") - col("pfx"))
+    val aggd = flagged.agg(
+      sum(when(col("sat"), col("cap")).otherwise(lit(0.0))).as("sat_sum"),
+      sum(when(col("sat"), 1L).otherwise(0L)).as("k"))
+    flagged.crossJoin(broadcast(aggd))
+      .withColumn("alloc_raw", when(col("sat"), col("cap"))
+        .otherwise((col("budget") - col("sat_sum")) / (col("n_src") - col("k"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("cap"), 6).as("capacity"),
+        when(col("sat"), 1L).otherwise(0L).as("saturated"),
+        round(col("alloc_raw"), 6).as("allocated"),
+        round(col("alloc_raw") / col("n_tokens"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
+  val q154Sql: String =
+    """WITH tok AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(TRIM(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_all,
+      |               COUNT(*) AS n_src FROM tok),
+      |capped AS (SELECT source, n_docs, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) * 1.5 AS cap,
+      |    CAST(t_all AS DOUBLE) * 2.0 AS budget, n_src
+      |  FROM tok CROSS JOIN tot),
+      |flagged AS (SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY cap, source) AS rn,
+      |    COALESCE(SUM(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pfx
+      |  FROM capped),
+      |satd AS (SELECT *,
+      |    cap * (n_src - rn + 1) <= budget - pfx AS sat FROM flagged),
+      |aggd AS (SELECT SUM(CASE WHEN sat THEN cap ELSE 0.0 END) AS sat_sum,
+      |    CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM satd)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(cap, 6) AS capacity,
+      |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS BIGINT) AS saturated,
+      |  ROUND(CASE WHEN sat THEN cap
+      |        ELSE (budget - sat_sum) / (n_src - k) END, 6) AS allocated,
+      |  ROUND(CASE WHEN sat THEN cap
+      |        ELSE (budget - sat_sum) / (n_src - k) END / n_tokens, 6) AS epochs
+      |FROM satd CROSS JOIN aggd ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q85_temperature_mix" -> q85TemperatureMix,
     "q86_shard_assign" -> q86ShardAssign,
     "q87_ngram_novelty" -> q87NgramNovelty,
     "q148_reshard_audit" -> q148ReshardAudit,
-    "q90_winsorize" -> q90Winsorize)
+    "q90_winsorize" -> q90Winsorize,
+    "q154_unimax_budget" -> q154UnimaxBudget)
 
   val oracle: Map[String, String] = Map(
     "q85_temperature_mix" -> q85Sql,
     "q86_shard_assign" -> q86Sql,
     "q87_ngram_novelty" -> q87Sql,
     "q148_reshard_audit" -> q148Sql,
-    "q90_winsorize" -> q90Sql)
+    "q90_winsorize" -> q90Sql,
+    "q154_unimax_budget" -> q154Sql)
 }

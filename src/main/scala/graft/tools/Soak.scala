@@ -141,6 +141,7 @@ object Soak {
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty", "q148_reshard_audit",
+    "q154_unimax_budget",
     "q90_winsorize",
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
@@ -413,7 +414,107 @@ object Soak {
         }
         val edges = graft.operators.GraphMaintenance.edgesAtRest(spark, graphPath)
         println(s"edges at rest: ${edges.count()} rows over $n vectors")
-      case other => sys.error(s"unknown mode $other (gen|run|graphinc)")
+      case "graphre" =>
+        // RE-EMBED batch profile (round 15): the graphinc chain is
+        // insert-only, so its repair-discovery line exercises the empty
+        // fast path. This mode re-embeds a fixed-size batch of EXISTING
+        // vectors (deterministic perturbation, cells may move) against a
+        // full layout+graph and profiles the repair path proper: the
+        // dir/ present-lookup finds every batch id, the redges/ read
+        // pruned to their old cells discovers the stale-edge holders,
+        // and rebuildSources re-probes them. Run across the doubling
+        // corpora with SPARK_GRAFT_PROFILE=1: present-lookup and
+        // repair-discovery must stay flat while the repair cosine work
+        // tracks the affected-source count, not the corpus.
+        val batchN = args.lift(2).map(_.toLong).getOrElse(1000L)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding", "label")
+        val n = emb.count()
+        val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
+        val cents = graft.operators.ProductQuantization.trainCoarse(emb, nl)
+        val root = s"$dir/graphre"
+        val embPath = s"$root/index"
+        val graphPath = s"$root/graph"
+        def timed[A](what: String)(body: => A): A = {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"$what%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+            f"  (corpus $n, re-embed batch $batchN, nList $nl)")
+          r
+        }
+        timed("index_layout") {
+          graft.operators.EmbeddingMaintenance.writeCellLayout(emb, cents, embPath)
+          graft.operators.EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+            graft.operators.EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+        }
+        timed("graph_full_build") {
+          graft.operators.GraphMaintenance.writeKnnGraph(
+            spark, embPath, graphPath, k = 5, nProbe = 2)
+        }
+        // deterministic re-embeds: the batchN lowest ids, first dimension
+        // perturbed 30 % — enough to move some vectors across cells
+        val changed = emb.filter(col("vec_id") < batchN)
+          .withColumn("embedding", expr(
+            "transform(embedding, (v, i) -> CAST(IF(i = 0, v * 1.3, v) AS FLOAT))"))
+          .localCheckpoint(true)
+        timed("graph_reembed_batch") {
+          graft.operators.GraphMaintenance.upsertGraph(
+            spark, embPath, graphPath, changed)
+        }
+        println(s"edges at rest: ${graft.operators.GraphMaintenance
+          .edgesAtRest(spark, graphPath).count()} rows over $n vectors")
+      case "graphlog" =>
+        // Edge-LOG depth vs read cost (round-14 verdict task 4's soak
+        // row): fold `nBatches` fixed-size arrival batches append-only,
+        // timing the `edgesAtRest` merge-on-read resolve after each —
+        // the cost a consumer pays as the delta log deepens — then
+        // compact and time the read again (the trigger's payoff). Run
+        // with compactReasons printed so the auto-trigger's firing
+        // point is visible against the measured read-cost curve.
+        val nBatches = args.lift(2).map(_.toInt).getOrElse(6)
+        val batchN = args.lift(3).map(_.toLong).getOrElse(1000L)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding", "label")
+        val n = emb.count()
+        val held = nBatches * batchN
+        val base = emb.filter(col("vec_id") < n - held)
+        val nl = graft.operators.ProductQuantization.adaptiveNList(base)
+        val cents = graft.operators.ProductQuantization.trainCoarse(base, nl)
+        val root = s"$dir/graphlog"
+        val embPath = s"$root/index"
+        val graphPath = s"$root/graph"
+        graft.operators.EmbeddingMaintenance.writeCellLayout(base, cents, embPath)
+        graft.operators.EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+          graft.operators.EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+        graft.operators.GraphMaintenance.writeKnnGraph(
+          spark, embPath, graphPath, k = 5, nProbe = 2)
+        def readCost(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val rows = graft.operators.GraphMaintenance
+            .edgesAtRest(spark, graphPath).count()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (t0r, rows0) = readCost()
+        println(f"gen  0: edgesAtRest $t0r%6.2f s ($rows0 rows; fresh build)")
+        (0 until nBatches).foreach { b =>
+          val lo = n - held + b * batchN
+          val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + batchN)
+            .localCheckpoint(true)
+          graft.operators.GraphMaintenance.upsertGraph(spark, embPath, graphPath, batch)
+          val (t, rows) = readCost()
+          val reasons = graft.operators.GraphMaintenance.compactReasons(
+            spark, graphPath)
+          val log = spark.read.parquet(s"$graphPath/edges")
+          val deltaRows = log.filter(col("gen") > 0).count()
+          println(f"gen ${b + 1}%2d: edgesAtRest $t%6.2f s ($rows rows; " +
+            f"delta $deltaRows rows; trigger: ${if (reasons.isEmpty) "quiet" else reasons.mkString("; ")})")
+        }
+        val tC0 = System.nanoTime()
+        graft.operators.GraphMaintenance.compactGraph(spark, embPath, graphPath)
+        println(f"compactGraph ${(System.nanoTime() - tC0) / 1e9}%6.2f s")
+        val (tc, rowsc) = readCost()
+        println(f"post-compact: edgesAtRest $tc%6.2f s ($rowsc rows; log reset to gen 0)")
+      case other => sys.error(s"unknown mode $other (gen|run|graphinc|graphre|graphlog)")
     }
     spark.stop()
   }

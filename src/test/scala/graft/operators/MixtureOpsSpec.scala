@@ -84,4 +84,37 @@ class MixtureOpsSpec extends AnyFunSuite with SharedSpark {
     val d0 = df.filter(col("doc_id") === 0).collect()
     d0.foreach(r => assert(r.getAs[Double]("novelty") == 1.0))
   }
+
+  test("q154 UniMax: caps respected, budget conserved, unsaturated sources share evenly") {
+    val rows = MixtureOps.q154UnimaxBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val budget = totTokens * 2.0
+    val alloc = rows.map(_.getAs[Double]("allocated"))
+    val caps = rows.map(_.getAs[Double]("capacity"))
+    val sat = rows.map(_.getAs[Long]("saturated") == 1L)
+    // nobody exceeds its epoch cap; epochs bounded by 1.5
+    rows.foreach { r =>
+      assert(r.getAs[Double]("allocated") <= r.getAs[Double]("capacity") + 1e-3)
+      assert(r.getAs[Double]("epochs") <= 1.5 + 1e-6)
+    }
+    // saturated sources get exactly their capacity
+    rows.zipWithIndex.filter { case (_, i) => sat(i) }
+      .foreach { case (r, i) => assert(math.abs(alloc(i) - caps(i)) < 1e-3) }
+    if (sat.forall(identity)) {
+      // every source capped: the corpus can't absorb the budget
+      assert(alloc.sum <= budget + 1e-3)
+    } else {
+      // water-filling conserves the budget exactly
+      assert(math.abs(alloc.sum - budget) < 1e-2,
+        s"allocated ${alloc.sum} vs budget $budget")
+      // all unsaturated sources receive the SAME share, and that share is
+      // at least as large as any saturated source's capacity (else the
+      // saturated one wouldn't have capped out)
+      val shares = alloc.zipWithIndex.filterNot { case (_, i) => sat(i) }.map(_._1)
+      assert(shares.distinct.length == 1)
+      val capsSat = caps.zipWithIndex.filter { case (_, i) => sat(i) }.map(_._1)
+      capsSat.foreach(c => assert(c <= shares.head + 1e-3))
+    }
+  }
 }
