@@ -103,16 +103,26 @@ object QualityModels {
     * ([[ModelStore]]) and scored against later corpora / streams without
     * retraining. Values are identical to the inline chain (same
     * aggregations, same 6dp rounding). */
-  def nbModel(docs: DataFrame): DataFrame = {
-    val isT = col("source").isin(ReferenceSources: _*)
-    val cw = docs
-      .select(col("doc_id"), col("source"),
+  def nbModel(docs: DataFrame): DataFrame =
+    nbModelFromCounts(nbTokenCounts(docs))
+
+  /** (doc_id, source, token, c_dw) per-document token counts — the
+    * tokenize/explode/count subtree both NB training and at-rest scoring
+    * consume, factored so multi-model audits (q151 trains and scores TWO
+    * models) compute it ONCE (materialize with [[StageMaterialize]]). */
+  def nbTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "source", "token")
       .agg(count(lit(1)).as("c_dw"))
-      .groupBy("token").agg(
-        sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
-        sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r"))
+
+  /** [[nbModel]] from a precomputed [[nbTokenCounts]] table — identical
+    * values, the counts just arrive pre-grouped. */
+  def nbModelFromCounts(cdw: DataFrame): DataFrame = {
+    val isT = col("source").isin(ReferenceSources: _*)
+    val cw = cdw.groupBy("token").agg(
+      sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
+      sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r"))
     val tot = cw.agg(
       sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
       count(lit(1)).as("v"))
@@ -130,11 +140,12 @@ object QualityModels {
     * model's own training corpus every token hits, so the scores are
     * bit-identical to [[nbDocScores]] (ModelStoreSpec pins it). */
   def nbScoresWithModel(docs: DataFrame, model: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("source"),
-        explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "source", "token")
-      .agg(count(lit(1)).as("c_dw"))
+    nbScoresFromCounts(nbTokenCounts(docs), model)
+
+  /** [[nbScoresWithModel]] from a precomputed [[nbTokenCounts]] table —
+    * identical values. */
+  def nbScoresFromCounts(cdw: DataFrame, model: DataFrame): DataFrame =
+    cdw
       .join(model, Seq("token"), "left")
       .groupBy("doc_id", "source")
       .agg(sum(col("c_dw")).as("n_d"),
@@ -169,11 +180,14 @@ object QualityModels {
     val isTrain = conv(substring(
       md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % 2 === 0
-    val v1 = nbModel(docs.filter(isTrain))
-    val v2 = nbModel(docs)
-    val s1 = nbScoresWithModel(docs, v1)
+    // one tokenize/count pass feeds both trainings and both scorings
+    // (the q118/q152/q153 stage-sharing rule)
+    val cdw = StageMaterialize(nbTokenCounts(docs), "q151_cdw")
+    val v1 = nbModelFromCounts(cdw.filter(isTrain))
+    val v2 = nbModelFromCounts(cdw)
+    val s1 = nbScoresFromCounts(cdw, v1)
       .select(col("doc_id"), col("source"), col("score").as("s1"))
-    val s2 = nbScoresWithModel(docs, v2)
+    val s2 = nbScoresFromCounts(cdw, v2)
       .select(col("doc_id"), col("score").as("s2"))
     s1.join(s2, Seq("doc_id"))
       .groupBy("source").agg(
