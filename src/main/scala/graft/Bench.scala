@@ -176,12 +176,21 @@ object Bench {
     val steeredT = names.indices.map(i =>
       passes.zipWithIndex.collect { case (p, pi) if pi % 2 == 1 => p(i) }
         .filter(_ >= 0).minOption.getOrElse(-1.0))
+    // totals compare apples-to-apples: a query that failed every pass of
+    // EITHER arm is excluded from BOTH totals (round-15 ADVICE: per-arm
+    // drops let a steered-only failure silently flatter the steered
+    // total); its -1 still lands in the per-query artifact, and the
+    // excluded count is reported alongside the totals
+    val comparable = names.indices.filter(i => defaultT(i) >= 0 && steeredT(i) >= 0)
+    val nExcluded = names.size - comparable.size
+    val dTotal = comparable.map(defaultT).sum
+    val sTotal = comparable.map(steeredT).sum
     val recs = adopted.toMap
     val sb = new StringBuilder
     sb.append("{\n  \"sf\": \"").append(sfDir).append("\",\n")
-    sb.append(s"""  "reps": $reps, "configs": ${configs.size}, "hints_version": $hintsVersion,\n""")
-    sb.append(s"""  "default_total": ${fmt(defaultT.filter(_ >= 0).sum, 3)},\n""")
-    sb.append(s"""  "steered_total": ${fmt(steeredT.filter(_ >= 0).sum, 3)},\n""")
+    sb.append(s"""  "reps": $reps, "configs": ${configs.size}, "hints_version": $hintsVersion, "excluded": $nExcluded,\n""")
+    sb.append(s"""  "default_total": ${fmt(dTotal, 3)},\n""")
+    sb.append(s"""  "steered_total": ${fmt(sTotal, 3)},\n""")
     sb.append(s"""  "exploration_seconds": ${fmt(res.totalExplorationSeconds, 3)},\n""")
     sb.append("  \"queries\": {\n")
     sb.append(names.indices.map { i =>
@@ -191,8 +200,9 @@ object Bench {
     sb.append("\n  }\n}\n")
     java.nio.file.Files.writeString(outDir.resolve("steered_bench.json"), sb.toString)
     spark.stop()
-    println(s"""{"metric":"steered_total","value":${fmt(steeredT.filter(_ >= 0).sum, 2)},""" +
-      s""""default_total":${fmt(defaultT.filter(_ >= 0).sum, 2)},"unit":"sec","n":${names.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"steered_total","value":${fmt(sTotal, 2)},""" +
+      s""""default_total":${fmt(dTotal, 2)},"unit":"sec","n":${names.size},""" +
+      s""""excluded":$nExcluded,"sf":"$sfDir"}""")
   }
 
   /** `graft.Bench --graph` (round-14 verdict task 3): MEASURE the at-rest
@@ -258,16 +268,22 @@ object Bench {
         .filter(_ >= 0).minOption.getOrElse(-1.0))
     val rebuildT = minArm(0)
     val atRestT = minArm(1)
+    // same apples-to-apples rule as the steered arm: a consumer that
+    // failed every pass of either form drops from BOTH totals
+    val comparable = consumers.indices.filter(i => rebuildT(i) >= 0 && atRestT(i) >= 0)
+    val nExcluded = consumers.size - comparable.size
+    val rTotal = comparable.map(rebuildT).sum
+    val aTotal = comparable.map(atRestT).sum
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_GRAPH_OUT", "experiment/graph"))
     java.nio.file.Files.createDirectories(outDir)
     val sb = new StringBuilder
     sb.append("{\n")
-    sb.append(s"""  "sf": "$sfDir", "reps": $reps, "k": $k, "nProbe": $nProbe, "nList": $nl,\n""")
+    sb.append(s"""  "sf": "$sfDir", "reps": $reps, "k": $k, "nProbe": $nProbe, "nList": $nl, "excluded": $nExcluded,\n""")
     sb.append(s"""  "n_vectors": ${emb.count()},\n""")
     sb.append(s"""  "build_once_seconds": ${fmt(buildSec, 3)},\n""")
-    sb.append(s"""  "rebuild_total": ${fmt(rebuildT.filter(_ >= 0).sum, 3)},\n""")
-    sb.append(s"""  "atrest_total": ${fmt(atRestT.filter(_ >= 0).sum, 3)},\n""")
+    sb.append(s"""  "rebuild_total": ${fmt(rTotal, 3)},\n""")
+    sb.append(s"""  "atrest_total": ${fmt(aTotal, 3)},\n""")
     sb.append("  \"consumers\": {\n")
     sb.append(consumers.indices.map { i =>
       s"""    "${consumers(i)._1}": {"rebuild": ${fmt(rebuildT(i), 3)}, "atrest": ${fmt(atRestT(i), 3)}}"""
@@ -277,9 +293,10 @@ object Bench {
     java.nio.file.Files.writeString(
       outDir.resolve(s"graph_bench_$sfName.json"), sb.toString)
     spark.stop()
-    println(s"""{"metric":"graph_atrest_total","value":${fmt(atRestT.filter(_ >= 0).sum, 2)},""" +
-      s""""rebuild_total":${fmt(rebuildT.filter(_ >= 0).sum, 2)},""" +
-      s""""build_once":${fmt(buildSec, 2)},"unit":"sec","n":${consumers.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"graph_atrest_total","value":${fmt(aTotal, 2)},""" +
+      s""""rebuild_total":${fmt(rTotal, 2)},""" +
+      s""""build_once":${fmt(buildSec, 2)},"unit":"sec","n":${consumers.size},""" +
+      s""""excluded":$nExcluded,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -106,17 +106,39 @@ object Steered {
   }
 
   /** Persist the current registry as the next hints version and promote
-    * the sidecar (write-then-atomic-rename). Returns the version. */
+    * the sidecar (write-then-atomic-rename). Returns the version.
+    *
+    * The version slot is claimed with CREATE_NEW (round-15 ADVICE: the
+    * old read-then-write let two concurrent publishers both compute
+    * N+1 and the second silently truncate the first's file — violating
+    * the append-only guarantee). Now a losing publisher just advances to
+    * the next free number; every published version file survives, so a
+    * pinned `v=N.json` can never change under a reader. The sidecar
+    * promotion stays last-writer-wins (it only names A latest version —
+    * both are valid), but a publisher never regresses it below a version
+    * it can see. */
   def saveVersioned(root: java.nio.file.Path): Long = {
-    val next = latestVersion(root).getOrElse(0L) + 1
     java.nio.file.Files.createDirectories(root)
+    var next = latestVersion(root).getOrElse(0L) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.writeString(root.resolve(s"v=$next.json"), "",
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
     save(root.resolve(s"v=$next.json"))
-    val tmp = root.resolveSibling(root.getFileName.toString + ".hints.json.tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"""{"version":$next,"hints":${learned.size}}""")
-    java.nio.file.Files.move(tmp, hintsSidecar(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (latestVersion(root).forall(_ < next)) {
+      val tmp = root.resolveSibling(root.getFileName.toString + ".hints.json.tmp")
+      java.nio.file.Files.writeString(tmp,
+        s"""{"version":$next,"hints":${learned.size}}""")
+      java.nio.file.Files.move(tmp, hintsSidecar(root),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     next
   }
 

@@ -146,9 +146,25 @@ object GraphMaintenance {
       case JLong(l) => l
       case other => sys.error(s"bad number in graph sidecar: $other")
     }
+    // Forward-compat for sidecars written before the directory layout /
+    // streaming cursor existed (round-15 ADVICE): a missing lastBatch is
+    // "no batch folded" (−1), and a missing dirBuckets is the −1 SENTINEL —
+    // loading must succeed so writeKnnGraph can migrate the graph in place
+    // (it reads the old sidecar only to preserve the cursor), while the
+    // incremental paths, which need the dir/ layout the old format
+    // predates, fail with an explicit rebuild message (see requireDir).
     GraphMeta(long(m("k")).toInt, long(m("nProbe")).toInt, long(m("gen")),
-      long(m("dirBuckets")).toInt, long(m("lastBatch")))
+      m.get("dirBuckets").map(long(_).toInt).getOrElse(-1),
+      m.get("lastBatch").map(long).getOrElse(-1L))
   }
+
+  /** Incremental maintenance needs the membership directory; a
+    * pre-directory sidecar (dirBuckets sentinel) means the layout on disk
+    * has no `dir/`/`redges/` either — the only migration is a rebuild. */
+  private def requireDir(meta: GraphMeta, graphPath: String): Unit =
+    require(meta.dirBuckets > 0,
+      s"pre-directory graph sidecar at $graphPath (no dirBuckets key) — " +
+        "rebuild required: run writeKnnGraph once to migrate the layout")
 
   /** Step profiler for the maintenance paths (SPARK_GRAFT_PROFILE=1 →
     * one stderr line per materialization/write) — the soak's first stop
@@ -417,6 +433,7 @@ object GraphMaintenance {
   def upsertGraph(spark: SparkSession, embPath: String, graphPath: String,
                   changed: DataFrame, batchId: Long = -1L): Boolean = {
     val meta = loadGraphMeta(spark, graphPath)
+    requireDir(meta, graphPath)
     if (batchId >= 0 && batchId <= meta.lastBatch) return false
     val changedM = prof("batch-materialize")(materialized(changed))
     if (changedM.isEmpty) return false
@@ -618,6 +635,7 @@ object GraphMaintenance {
                       ids: Seq[Long]): Unit = {
     if (ids.isEmpty) return
     val meta = loadGraphMeta(spark, graphPath)
+    requireDir(meta, graphPath)
     val cents = centroidsOf(spark, embPath)
     val thisGen = meta.gen + 1
     import spark.implicits._

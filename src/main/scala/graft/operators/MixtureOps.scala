@@ -341,7 +341,9 @@ object MixtureOps {
     * final share division and the epochs ratio are inexact, and both are
     * single IEEE ops rounded at 6dp — hash-exact. All-saturated corpora
     * never evaluate the share branch (CASE short-circuits per row on
-    * both engines), so the 0/0 guard is structural. */
+    * both engines), so that 0/0 guard is structural; the EPOCHS ratio's
+    * n_tokens = 0 edge (an all-empty source) is guarded explicitly on
+    * both engines. */
   val q154UnimaxBudget: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val epochCap = 1.5
@@ -370,7 +372,13 @@ object MixtureOps {
         round(col("cap"), 6).as("capacity"),
         when(col("sat"), 1L).otherwise(0L).as("saturated"),
         round(col("alloc_raw"), 6).as("allocated"),
-        round(col("alloc_raw") / col("n_tokens"), 6).as("epochs"))
+        // a source whose texts are all empty has n_tokens = 0, cap = 0,
+        // is classified saturated (0 ≤ remaining budget) and allocated 0
+        // — but 0.0/0 is NaN on Spark while DuckDB's division handling
+        // differs (round-15 ADVICE): pin epochs to 0.0 explicitly, CASE
+        // mirrored in q154Sql
+        when(col("n_tokens") > 0, round(col("alloc_raw") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("epochs"))
       .orderBy("source")
   }
 
@@ -401,8 +409,9 @@ object MixtureOps {
       |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS BIGINT) AS saturated,
       |  ROUND(CASE WHEN sat THEN cap
       |        ELSE (budget - sat_sum) / (n_src - k) END, 6) AS allocated,
-      |  ROUND(CASE WHEN sat THEN cap
-      |        ELSE (budget - sat_sum) / (n_src - k) END / n_tokens, 6) AS epochs
+      |  CASE WHEN n_tokens > 0 THEN ROUND(CASE WHEN sat THEN cap
+      |        ELSE (budget - sat_sum) / (n_src - k) END / n_tokens, 6)
+      |       ELSE 0.0 END AS epochs
       |FROM satd CROSS JOIN aggd ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -768,4 +768,28 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
       assert(java.nio.file.Files.exists(root.resolve("v=1.json")))
     } finally Steered.clear()
   }
+
+  test("versioned hint store: a concurrently-claimed version slot is skipped, never truncated") {
+    // round-15 ADVICE: the old read-then-write allocation let two
+    // publishers both compute N+1 and the second silently overwrite the
+    // first's file; CREATE_NEW claims now make losers advance instead
+    val root = java.nio.file.Files.createTempDirectory("steer-hints-race").resolve("hints")
+    try {
+      Steered.clear()
+      val df1 = graft.Tables.customer(spark, sf).groupBy("c_mktsegment").count()
+      Steered.learn(df1, "broadcast")
+      assert(Steered.saveVersioned(root) == 1L)
+      // another publisher (or a crashed claim) already holds v=2 while the
+      // sidecar still names v1 — exactly the race window
+      java.nio.file.Files.writeString(root.resolve("v=2.json"), "{\"claimed\":true}")
+      Steered.learn(df1, "merge")
+      assert(Steered.saveVersioned(root) == 3L)
+      assert(java.nio.file.Files.readString(root.resolve("v=2.json")) == "{\"claimed\":true}",
+        "a claimed slot must never be overwritten")
+      assert(Steered.latestVersion(root).contains(3L))
+      Steered.clear()
+      assert(Steered.loadVersion(root, 3L) == 1)
+      assert(Steered.hintFor(df1).map(_.strategy).contains("merge"))
+    } finally Steered.clear()
+  }
 }

@@ -169,6 +169,35 @@ class GraphMaintenanceSpec extends AnyFunSuite with SharedSpark {
       edgeSet(GraphMaintenance.edgesAtRest(spark, refRoot + "/graph")))
   }
 
+  test("pre-directory sidecar: load defaults, writeKnnGraph migrates in place, incremental demands rebuild") {
+    // round-15 ADVICE: a sidecar written before the dir/ layout existed
+    // has no dirBuckets/lastBatch keys; loading it must not throw a bare
+    // NoSuchElementException — writeKnnGraph reads it to preserve the
+    // cursor, so the rebuild IS the migration path and must succeed
+    val cents = SemanticDedup.refinedCentroids(emb, 16)
+    val (embPath, graphPath) = buildAll(emb, cents, tmp("oldmeta"))
+    Files.writeString(Paths.get(graphPath + ".graph.json"),
+      s"""{"k":$K,"nProbe":$NPROBE,"gen":0}""")
+    // the raw overwrite bypassed Hadoop's LocalFileSystem, whose stale
+    // checksum sidecar would otherwise fail the next read
+    val p = Paths.get(graphPath + ".graph.json")
+    Files.deleteIfExists(p.getParent.resolve("." + p.getFileName + ".crc"))
+    val meta = GraphMaintenance.loadGraphMeta(spark, graphPath)
+    assert(meta.k == K && meta.lastBatch == -1L && meta.dirBuckets == -1)
+    // incremental maintenance needs dir/: explicit message, not a crash
+    val arrivals = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label")).limit(3)
+    val ex = intercept[IllegalArgumentException] {
+      GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals)
+    }
+    assert(ex.getMessage.contains("rebuild required"))
+    // the migration: a rebuild over the old sidecar writes the new format
+    GraphMaintenance.writeKnnGraph(spark, embPath, graphPath, K, NPROBE)
+    val m2 = GraphMaintenance.loadGraphMeta(spark, graphPath)
+    assert(m2.dirBuckets > 0 && m2.lastBatch == -1L)
+    assert(GraphMaintenance.upsertGraph(spark, embPath, graphPath, arrivals))
+  }
+
   test("compaction folds the log without changing the resolved graph") {
     val isArrival = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
       .cast("long") % 10 === 0

@@ -85,6 +85,31 @@ class MixtureOpsSpec extends AnyFunSuite with SharedSpark {
     d0.foreach(r => assert(r.getAs[Double]("novelty") == 1.0))
   }
 
+  test("q154 UniMax: degenerate empty/whitespace sources never yield NaN epochs") {
+    // round-15 ADVICE guard: epochs is CASE-guarded on n_tokens > 0 on
+    // both engines. (With the shared whitespace tokenizer an empty text
+    // still counts 1 token — split('') = [''] on Spark and DuckDB alike —
+    // so n_tokens = 0 needs the guard only for degenerate/null corpora;
+    // the assertion here is NaN-freedom plus determinism on the edge.)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-unimax-empty").toString
+    Seq(
+      (0L, "alpha beta gamma", "en", "web", 16L),
+      (1L, "delta epsilon zeta eta theta iota kappa", "en", "web", 39L),
+      (2L, "", "en", "empty", 0L),
+      (3L, "   ", "en", "empty", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = MixtureOps.q154UnimaxBudget(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("epochs").isNaN, s"NaN epochs for ${r.getAs[String]("source")}")
+      assert(!r.getAs[Double]("allocated").isNaN)
+    }
+    val again = MixtureOps.q154UnimaxBudget(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("q154 UniMax: caps respected, budget conserved, unsaturated sources share evenly") {
     val rows = MixtureOps.q154UnimaxBudget(spark, sf).collect()
     assert(rows.nonEmpty)
