@@ -882,8 +882,8 @@ object KnnGraph {
        |  JOIN $tbl se ON se.vec_id = p.src_id
        |  JOIN $tbl ne ON ne.vec_id = a.vec_id),
        |${pfx}edges AS (
-       |  SELECT src_id, nbr_id FROM (
-       |    SELECT src_id, nbr_id,
+       |  SELECT src_id, nbr_id, sim, rk FROM (
+       |    SELECT src_id, nbr_id, sim,
        |      ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rk
        |    FROM ${pfx}cand) x WHERE rk <= $k)"""
 
@@ -910,6 +910,75 @@ object KnnGraph {
        |  COUNT(*) AS n_edges,
        |  COUNT(DISTINCT src_id) AS n_srcs
        |FROM j GROUP BY 1 ORDER BY class""".stripMargin
+
+  /** q155: the at-rest graph's MERGE-ON-READ RESOLVE under the oracle
+    * (round-15 verdict task 2) — the reader path
+    * ([[GraphMaintenance.edgesAtRest]]: tombstone supersession, rk=0
+    * revival, latest-full-generation-wins, duplicate collapse, re-rank)
+    * was spec-verified only; this gate runs the REAL persisted artifact
+    * through its full life cycle and hash-compares the resolved edge
+    * list against DuckDB.
+    *
+    * Chain (all content-addressed by md5₃₂(vec_id) % 10 — the q149
+    * split idiom, so both engines agree on the batches):
+    *  1. build the index + graph layouts WITHOUT the h=0 ids (the
+    *     arrivals) under the full corpus's frozen grid quantizer;
+    *  2. fold batch 1: the arrivals (challenger + reverse-probe path);
+    *  3. fold batch 2: the h=1 ids RE-EMBEDDED with their negated
+    *     vectors (tombstone + fresh-list + redges/ repair path; negation
+    *     is exact in IEEE float, so both engines see bit-identical new
+    *     embeddings);
+    *  4. fold batch 3: DELETE the h=2 ids (tombstone + survivor-repair
+    *     path; the id list rides the driver — bounded by the batch, the
+    *     [[GraphMaintenance.deleteFromGraph]] contract);
+    *  5. return [[GraphMaintenance.edgesAtRest]] — one merge-on-read
+    *     window pass over the 4-generation log.
+    *
+    * The oracle replays the log resolution through the merge identity
+    * the reader is BUILT on (top-k(A ∪ B) = top-k(top-k(A) ∪ B), proved
+    * bit-exact per step by GraphMaintenanceSpec): the fully resolved log
+    * IS the rebuild over the final corpus — survivors only, re-embeds
+    * negated — under the same frozen centroids. Any reader defect
+    * (a tombstone killing its own generation, a challenger outliving a
+    * newer full list, a duplicate double-ranking) breaks the identity
+    * and the hash. */
+  def q155AtRestResolve(k: Int = 5, nList: Int = -1, nProbe: Int = 2): Q = (s, d) => {
+    val emb = embeddings(s, d).select("vec_id", "embedding", "label")
+    val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
+    val cents = SemanticDedup.refinedCentroids(emb, nl)
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 10
+    val root = java.nio.file.Files.createTempDirectory("graft-q155").toString
+    val embPath = root + "/index"
+    val graphPath = root + "/graph"
+    EmbeddingMaintenance.writeCellLayoutPersistent(
+      emb.filter(h(col("vec_id")) =!= 0), cents, embPath)
+    GraphMaintenance.writeKnnGraph(s, embPath, graphPath, k, nProbe)
+    GraphMaintenance.upsertGraph(s, embPath, graphPath,
+      emb.filter(h(col("vec_id")) === 0))
+    GraphMaintenance.upsertGraph(s, embPath, graphPath,
+      emb.filter(h(col("vec_id")) === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"), col("label")))
+    val delIds = emb.filter(h(col("vec_id")) === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    GraphMaintenance.deleteFromGraph(s, embPath, graphPath, delIds)
+    GraphMaintenance.edgesAtRest(s, graphPath).orderBy("src_id", "rk")
+  }
+
+  private val q155Sql: String =
+    s"""WITH ${SemanticDedup.refinedCentsSql(-1)},
+       |final AS (
+       |  SELECT vec_id,
+       |    CASE WHEN h = 1 THEN list_transform(embedding, x -> -x)
+       |         ELSE embedding END AS embedding
+       |  FROM (SELECT vec_id, embedding,
+       |          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |            AS BIGINT) % 10 AS h
+       |        FROM embeddings) t
+       |  WHERE h <> 2),
+       |${knnCtesOver("final", "r_", nProbe = 2, k = 5)}
+       |SELECT src_id, nbr_id, sim, rk FROM r_edges ORDER BY src_id, rk""".stripMargin
 
   /** q150: PageRank convergence-residual audit — the observable the
     * tolerance-driven production form ([[pageRankConverged]]) stops on,
@@ -1164,6 +1233,7 @@ object KnnGraph {
     "q144_mutual_knn" -> q144MutualKnn(),
     "q149_graph_arrival_diff" -> q149GraphArrivalDiff(),
     "q150_pagerank_residual" -> q150PagerankResidual(),
+    "q155_atrest_resolve" -> q155AtRestResolve(),
   )
   val oracle: Map[String, String] = Map(
     "q140_silhouette" -> q140Sql,
@@ -1176,5 +1246,6 @@ object KnnGraph {
     "q129_label_prop" -> q129Sql,
     "q130_pagerank" -> q130Sql,
     "q144_mutual_knn" -> q144Sql,
+    "q155_atrest_resolve" -> q155Sql,
   )
 }
