@@ -72,7 +72,27 @@ object Bench {
     "q141_packing_efficiency", "q145_zorder_layout", "q148_reshard_audit",
     "q154_unimax_budget",
     "q19_event_windows", "q88_sessionize_scaled", "q89_event_paths_scaled",
-    "q91_asof_scaled")
+    "q91_asof_scaled",
+    // round-16 (verdict task 4): the remaining families — multimodal
+    // headers, samplers, composed pipelines, calibration audits — so the
+    // steered artifact covers the whole SparkEntry surface. The one
+    // deliberate exclusion is q155_atrest_resolve: it builds its graph
+    // artifact in a fresh temp dir per invocation, so its plan
+    // fingerprint is unstable by construction (the relation PATH changes,
+    // which literal-nulling cannot unify) and a learned hint could never
+    // match a later execution.
+    "q31_multimodal_decode", "q40_hash_split", "q41_approx_stats",
+    "q43_frame_sample", "q50_stratified_sample", "q57_redact",
+    "q58_source_quota", "q67_bpe_merges", "q69_token_budget",
+    "q78_embed_quantize", "q79_lang_drift", "q82_e2e_pipeline",
+    "q84_lsh_fast", "q87_ngram_novelty", "q92_dedup_clusters_fast",
+    "q93_image_meta", "q94_audio_meta", "q96_video_meta",
+    "q97_crossmodal_purity", "q99_bpe_encode", "q111_fertility",
+    "q112_filter_funnel", "q113_snapshot_diff", "q116_truncation_audit",
+    "q118_curation_pipeline", "q120_export_order", "q121_split_leakage",
+    "q123_perceptual_neardup", "q124_semdedup_xcell", "q125_nn_descent",
+    "q135_sketch_calibration", "q138_edit_verify", "q146_cluster_split",
+    "q149_graph_arrival_diff", "q150_pagerank_residual")
 
   /** `graft.Bench --steered` (round-13 verdict task 4): realize the
     * learned-steering win on the engine's own bench instead of only as a
@@ -205,6 +225,59 @@ object Bench {
       s""""excluded":$nExcluded,"sf":"$sfDir"}""")
   }
 
+  /** `graft.Bench --steered --revalidate` (round-15 verdict task 5):
+    * hint-STALENESS revalidation. Adopted hints are validated once, at
+    * adoption; as data and code move they can silently regress — exactly
+    * the failure mode the reference's offline loop exists to manage.
+    * This arm loads the LATEST stored hints version, re-measures every
+    * hinted query default-vs-hinted min-of-2 alternated on the current
+    * window, DEMOTES hints that no longer beat the default by ≥5 %
+    * ([[graft.catalyst.Steered.revalidateOne]] — adoption demanded 15 %,
+    * so a 5 % keep-bar gives hysteresis instead of churn), and publishes
+    * the surviving registry as the next hints version. Artifact:
+    * experiment/steering/revalidate.json (kept/demoted counts + the
+    * per-query numbers). */
+  private def revalidateMain(spark: SparkSession, sfDir: String): Unit = {
+    import graft.catalyst.Steered
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STEER_OUT", "experiment/steering"))
+    val loaded = Steered.loadLatestVersion(outDir.resolve("hints"))
+    require(loaded > 0, s"no stored hints under ${outDir.resolve("hints")} — " +
+      "run --steered first")
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None => steeredDefault.filter(SparkEntry.queries.contains)
+    }
+    val qs: Seq[(String, SparkSession => DataFrame)] =
+      names.map(n => n -> ((sp: SparkSession) => SparkEntry.queries(n)(sp, sfDir)))
+    // JVM/codegen warm before anything is measured
+    qs.foreach { case (_, fn) =>
+      try fn(spark).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val noop: DataFrame => Unit = _.write.format("noop").mode("overwrite").save()
+    val results = qs.flatMap { case (name, fn) =>
+      try Steered.revalidateOne(fn(spark))(noop).map {
+        case (d, t, kept) => (name, d, t, kept)
+      } catch { case _: Throwable => None }
+    }
+    val kept = results.count(_._4)
+    val demoted = results.size - kept
+    val version = Steered.saveVersioned(outDir.resolve("hints"))
+    val sb = new StringBuilder
+    sb.append("{\n  \"sf\": \"").append(sfDir).append("\",\n")
+    sb.append(s"""  "hints_loaded": $loaded, "kept": $kept, "demoted": $demoted, "hints_version": $version,\n""")
+    sb.append("  \"queries\": {\n")
+    sb.append(results.map { case (name, d, t, k) =>
+      s"""    "$name": {"default": ${fmt(d, 3)}, "hinted": ${fmt(t, 3)}, "kept": $k}"""
+    }.mkString(",\n"))
+    sb.append("\n  }\n}\n")
+    java.nio.file.Files.writeString(outDir.resolve("revalidate.json"), sb.toString)
+    spark.stop()
+    println(s"""{"metric":"revalidate_kept","value":$kept,"demoted":$demoted,""" +
+      s""""hints_version":$version,"unit":"count","sf":"$sfDir"}""")
+  }
+
   /** `graft.Bench --graph` (round-14 verdict task 3): MEASURE the at-rest
     * graph's amortized win instead of only arguing it. The graph-family
     * gate queries (q103/q105/q129/q130/q144/q150-shaped consumers)
@@ -311,6 +384,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--steered") && args.contains("--revalidate")) {
+      revalidateMain(spark, sfDir); return
+    }
     if (args.contains("--steered")) { steeredMain(spark, sfDir); return }
     if (args.contains("--graph")) { graphMain(spark, sfDir); return }
 

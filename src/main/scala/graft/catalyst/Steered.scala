@@ -49,7 +49,37 @@ object Steered {
 
   def hintFor(df: DataFrame): Option[LearnedHint] = learned.get(fingerprint(df))
 
+  /** Drop a template's learned hint (the demotion step of hint-staleness
+    * revalidation). Returns true iff a hint was present. */
+  def unlearn(df: DataFrame): Boolean = learned.remove(fingerprint(df)).isDefined
+
   def clear(): Unit = learned.clear()
+
+  /** Hint-staleness revalidation for ONE hinted query (round-15 verdict
+    * task 5): a hint is validated at ADOPTION time, but data and code
+    * move underneath it — the exact staleness the reference's offline
+    * loop exists to manage. Re-measure the query min-of-`reps` under the
+    * session default and under its stored hint on the CURRENT data; the
+    * hint is kept only while it still beats the default by the margin
+    * (default 5 % — adoption demanded 15 %, so a kept hint may sit in
+    * the hysteresis band where it neither re-qualifies nor regresses),
+    * and DEMOTED (unlearned) otherwise. Returns (defaultSec, hintedSec,
+    * kept) — None when the query has no stored hint. */
+  def revalidateOne(df: DataFrame, reps: Int = 2, margin: Double = 0.95)
+                   (action: DataFrame => Unit): Option[(Double, Double, Boolean)] =
+    hintFor(df).map { _ =>
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val pairs = (1 to math.max(1, reps)).map { _ =>
+        (timed(action(df)), timed(run(df)(action(_)))) // alternated arms
+      }
+      val d = pairs.map(_._1).min
+      val t = pairs.map(_._2).min
+      val keep = t < margin * d
+      if (!keep) unlearn(df)
+      (d, t, keep)
+    }
 
   /** Persist the registry as one JSON object
     * `{fingerprint: {"strategy": s, "confs": {k: v}}}` — learned hints

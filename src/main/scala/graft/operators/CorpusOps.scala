@@ -542,8 +542,11 @@ object CorpusOps {
     * back (threshold-based, never an NTILE sort — the q110 argument).
     * Numerics: 6dp terms, DECIMAL(38,6) sums, cuts via the
     * percentile/quantile_cont pairing — hash-exact. Soaked 100k→400k
-    * docs at 1.89×/1.71× per doubling (SOAK.md round 15). */
-  val q153KnDrift: Q = (s, d) => {
+    * docs at 1.89×/1.71× per doubling (SOAK.md round 15).
+    * `exactCuts = false` swaps all four tercile cuts onto the mergeable
+    * `percentile_approx` sketch (the 100× form; ApproxCutsSpec bounds
+    * the tercile-move drift). */
+  def q153KnDriftCuts(exactCuts: Boolean): Q = (s, d) => {
     val docs = documents(s, d)
     val isTrain = conv(substring(
       md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -564,10 +567,10 @@ object CorpusOps {
       .join(s1, Seq("doc_id")).join(s2, Seq("doc_id"))
     val scored = joined.filter(col("lp1").isNotNull)
     val cuts = scored.groupBy("source").agg(
-      percentile(col("lp1"), lit(1.0 / 3)).as("lo1"),
-      percentile(col("lp1"), lit(2.0 / 3)).as("hi1"),
-      percentile(col("lp2"), lit(1.0 / 3)).as("lo2"),
-      percentile(col("lp2"), lit(2.0 / 3)).as("hi2"))
+      MixtureOps.pcut(exactCuts)(col("lp1"), 1.0 / 3).as("lo1"),
+      MixtureOps.pcut(exactCuts)(col("lp1"), 2.0 / 3).as("hi1"),
+      MixtureOps.pcut(exactCuts)(col("lp2"), 1.0 / 3).as("lo2"),
+      MixtureOps.pcut(exactCuts)(col("lp2"), 2.0 / 3).as("hi2"))
     def bucket(lp: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
                hi: org.apache.spark.sql.Column) =
       when(lp >= hi, lit(2)).when(lp < lo, lit(0)).otherwise(lit(1))
@@ -591,6 +594,7 @@ object CorpusOps {
       .join(drift, Seq("source"), "left")
       .orderBy("source")
   }
+  val q153KnDrift: Q = q153KnDriftCuts(exactCuts = true)
 
   val q153Sql: String =
     """WITH l AS (SELECT doc_id, source,

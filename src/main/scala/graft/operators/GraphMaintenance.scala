@@ -405,6 +405,29 @@ object GraphMaintenance {
       .select("vec_id", "own_cell", "cell")
   }
 
+  /** Fold a batch into the EMBEDDING layout only: pure inserts APPEND
+    * (new files only); re-embeds take the index's surgical rewrite for
+    * exactly their rows (upsertVecs's internal id collect is bounded by
+    * the re-embed count, not the batch). The incremental fold's index
+    * step; [[upsertGraphAuto]]'s rebuild regime deliberately bypasses it
+    * for a wholesale layout rewrite (a spread batch touches nearly every
+    * cell, where per-cell surgery loses to one partitioned overwrite). */
+  private def foldIndexSide(spark: SparkSession, embPath: String,
+                            cents: Array[Array[Float]], changedM: DataFrame,
+                            present: DataFrame, reOldCells: Seq[Int],
+                            nRe: Long): Unit = {
+    val cellUdf = ProductQuantization.cellExpr(spark, cents)
+    val newRows = changedM.join(present.select("vec_id"), Seq("vec_id"), "left_anti")
+    val reRows = changedM.join(present.select("vec_id"), Seq("vec_id"), "left_semi")
+    if (nRe < changedM.count())
+      prof("index-append")(newRows.withColumn("cell", cellUdf(col("embedding")))
+        .write.mode(SaveMode.Append).partitionBy("cell").parquet(embPath))
+    if (nRe > 0)
+      prof("index-upsert")(
+        EmbeddingMaintenance.upsertVecs(spark, embPath, cents, reRows,
+          knownOldCells = Some(reOldCells)))
+  }
+
   /** Incrementally fold a batch of arrivals (new vectors AND re-embeds)
     * into BOTH layouts, append-only on the graph side:
     *  - brand-new vectors append into the embedding cells (new files
@@ -438,16 +461,28 @@ object GraphMaintenance {
     val changedM = prof("batch-materialize")(materialized(changed))
     if (changedM.isEmpty) return false
     val cents = centroidsOf(spark, embPath)
-    val thisGen = meta.gen + 1
-    val ids = changedM.select("vec_id")
-
     // pre-upsert facts about re-embedded ids: an id-bucket-pruned dir/
     // read (batch-proportional), never an embedding-layout scan
-    val present = prof("present-lookup")(
-      materialized(dirLookup(spark, graphPath, ids, meta.dirBuckets)))
+    val present = prof("present-lookup")(materialized(
+      dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets)))
+    val reOldCells = present.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    upsertGraphResolved(spark, embPath, graphPath, changedM, batchId,
+      meta, cents, present, reOldCells)
+  }
+
+  /** [[upsertGraph]]'s fold body, after the sidecar/cursor/present
+    * precomputation — shared with [[upsertGraphAuto]] so the regime
+    * chooser's membership lookup is never repeated. */
+  private def upsertGraphResolved(spark: SparkSession, embPath: String,
+                                  graphPath: String, changedM: DataFrame,
+                                  batchId: Long, meta: GraphMeta,
+                                  cents: Array[Array[Float]],
+                                  present: DataFrame,
+                                  reOldCells: Seq[Int]): Boolean = {
+    val thisGen = meta.gen + 1
+    val ids = changedM.select("vec_id")
     val nRe = present.count()
-    val reOldCells = if (nRe == 0) Seq.empty[Int]
-      else present.select("cell").distinct().collect().map(_.getInt(0)).toSeq
 
     // the re-embeds' OLD probe rows, recomputed from the PRE-upsert
     // layout pruned to their cells (stored probe rows are exactly
@@ -464,22 +499,11 @@ object GraphMaintenance {
             explode(probeUdf(col("embedding"))).as("cell"))
       }))
 
-    // index side: pure inserts APPEND (new files only); re-embeds take
-    // the surgical rewrite for exactly their rows (upsertVecs's internal
-    // id collect is bounded by the re-embed count, not the batch)
-    val cellUdf = ProductQuantization.cellExpr(spark, cents)
-    val newRows = changedM.join(present.select("vec_id"), Seq("vec_id"), "left_anti")
-    val reRows = changedM.join(present.select("vec_id"), Seq("vec_id"), "left_semi")
-    if (nRe < changedM.count())
-      prof("index-append")(newRows.withColumn("cell", cellUdf(col("embedding")))
-        .write.mode(SaveMode.Append).partitionBy("cell").parquet(embPath))
-    if (nRe > 0)
-      prof("index-upsert")(
-        EmbeddingMaintenance.upsertVecs(spark, embPath, cents, reRows,
-          knownOldCells = Some(reOldCells)))
+    foldIndexSide(spark, embPath, cents, changedM, present, reOldCells, nRe)
     val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
 
     val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
+    val cellUdf = ProductQuantization.cellExpr(spark, cents)
     val arr = prof("arr-materialize")(materialized(
       changedM.select(col("vec_id"), col("embedding"))
         .withColumn("cell", cellUdf(col("embedding")))
@@ -627,6 +651,85 @@ object GraphMaintenance {
     true
   }
 
+  /** [[upsertGraph]] behind a COST-BASED REGIME CHOOSER (round-15
+    * verdict task 1). The incremental fold's cost is dominated by its
+    * RE-EMBED footprint: every re-embedded cell directory takes the
+    * index's surgical rewrite, its redges/ partitions are read for
+    * repair discovery, and the discovered holders are re-probed — so a
+    * re-embed batch SPREAD across most cells approaches full-rebuild
+    * work by construction while paying the log's append overheads on
+    * top (measured: a spread 1000-vec re-embed batch at 100k vectors
+    * costs 51 s incremental vs 45 s rebuild — SOAK.md round 15). Pure
+    * arrivals never trip the chooser: inserts are append-only on every
+    * layout and stay batch-proportional at ANY spread (same soak).
+    *
+    * The signal is |re-embedded ids' old cells| / nList, read from the
+    * membership lookup the fold needs anyway (bucket-pruned dir/ read —
+    * batch-proportional, zero extra I/O). Below `rebuildCellFrac` the
+    * batch folds incrementally (bit-parity specs unchanged — the same
+    * [[upsertGraphResolved]] body); at or above it the EMBEDDING layout
+    * is rewritten wholesale with the batch merged in (per-cell surgery
+    * loses to one partitioned overwrite once most cells are touched)
+    * and the graph layouts are rebuilt under the unchanged quantizer —
+    * the same route [[maintainGraphPersistent]]'s drift trigger already
+    * takes, minus the recluster. The streaming replay cursor survives
+    * either way
+    * (writeKnnGraph preserves it; the rebuild then advances it exactly
+    * as the fold would).
+    *
+    * Returns (folded?, regime): regime is "incremental", or
+    * "rebuild: …" with the fired cell fraction, or the skip reason. */
+  def upsertGraphAuto(spark: SparkSession, embPath: String, graphPath: String,
+                      changed: DataFrame, batchId: Long = -1L,
+                      rebuildCellFrac: Double = 0.8): (Boolean, String) = {
+    val meta = loadGraphMeta(spark, graphPath)
+    requireDir(meta, graphPath)
+    if (batchId >= 0 && batchId <= meta.lastBatch)
+      return (false, "replayed batch skipped")
+    val changedM = prof("batch-materialize")(materialized(changed))
+    if (changedM.isEmpty) return (false, "empty batch")
+    val cents = centroidsOf(spark, embPath)
+    val present = prof("present-lookup")(materialized(
+      dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets)))
+    val reOldCells = present.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val frac = reOldCells.size.toDouble / cents.length
+    if (frac < rebuildCellFrac) {
+      val folded = upsertGraphResolved(spark, embPath, graphPath, changedM,
+        batchId, meta, cents, present, reOldCells)
+      (folded, "incremental")
+    } else {
+      // wholesale index rewrite, not the surgical upsert: a spread
+      // re-embed batch makes upsertVecs rewrite nearly every cell
+      // directory one cell at a time (measured 13.8 s of the 59 s
+      // surgical-then-rebuild route at 100k) — the rebuild regime
+      // instead merges the batch over the materialized old layout and
+      // rewrites once through the build path, then re-derives the graph
+      val cellUdf = ProductQuantization.cellExpr(spark, cents)
+      val merged = materialized(
+        spark.read.parquet(embPath).drop("cell")
+          .join(changedM.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(changedM, allowMissingColumns = true)
+          .withColumn("cell", cellUdf(col("embedding"))))
+      // one file per cell (the writeEdges discipline): an N-task write
+      // across nList partition values would scatter tasks × cells files
+      // and every later read — the rebuild's own scan first — pays the
+      // listing debt
+      prof("regime-layout-rewrite")(
+        merged.repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(embPath))
+      prof("regime-rebuild")(
+        writeKnnGraph(spark, embPath, graphPath, meta.k, meta.nProbe))
+      if (batchId >= 0) {
+        val m2 = loadGraphMeta(spark, graphPath)
+        saveGraphMeta(spark, graphPath,
+          m2.copy(lastBatch = math.max(m2.lastBatch, batchId)))
+      }
+      (true, f"rebuild: re-embeds touch ${reOldCells.size}%d/${cents.length}%d " +
+        f"cells (>= ${rebuildCellFrac * 100}%.0f%% of nList)")
+    }
+  }
+
   /** Remove vectors from BOTH layouts: edge + probe + dir tombstones for
     * the victims (append-only), fresh full lists for every source that
     * pointed at one (the repair path, against the post-delete layout;
@@ -772,7 +875,12 @@ object GraphMaintenance {
     *
     * `batchId` threads the streaming replay cursor through to
     * [[upsertGraph]]; an already-folded batch short-circuits the whole
-    * cycle (audits included — the original fold already ran them). */
+    * cycle (audits included — the original fold already ran them).
+    *
+    * The fold itself goes through [[upsertGraphAuto]]: a re-embed batch
+    * whose old cells cover ≥ `rebuildCellFrac` of nList takes the
+    * rebuild regime instead of the incremental fold (reported as a
+    * "regime rebuild: …" reason). */
   def maintainGraphPersistent(spark: SparkSession, embPath: String,
                               graphPath: String, changed: DataFrame,
                               audit: Boolean, targetCell: Int = 500,
@@ -781,9 +889,14 @@ object GraphMaintenance {
                               recallPanelN: Int = 16,
                               compactMaxGens: Int = 8,
                               compactMaxFrac: Double = 0.5,
-                              batchId: Long = -1L): Seq[String] = {
-    val folded = upsertGraph(spark, embPath, graphPath, changed, batchId)
-    if (!folded || !audit) Seq.empty
+                              batchId: Long = -1L,
+                              rebuildCellFrac: Double = 0.8): Seq[String] = {
+    val (folded, regime) = upsertGraphAuto(spark, embPath, graphPath, changed,
+      batchId, rebuildCellFrac)
+    val regimeReasons =
+      if (folded && regime.startsWith("rebuild")) Seq("regime " + regime)
+      else Seq.empty
+    if (!folded || !audit) regimeReasons
     else {
       val (cents, baseline) = EmbeddingMaintenance.loadQuantizer(spark, embPath)
         .getOrElse(sys.error(s"no quantizer sidecar at $embPath"))
@@ -801,11 +914,11 @@ object GraphMaintenance {
           EmbeddingMaintenance.layoutStats(spark, embPath, fresh))
         val meta = loadGraphMeta(spark, graphPath)
         writeKnnGraph(spark, embPath, graphPath, meta.k, meta.nProbe)
-        reasons
+        regimeReasons ++ reasons
       } else {
         val cr = compactReasons(spark, graphPath, compactMaxGens, compactMaxFrac)
         if (cr.nonEmpty) compactGraph(spark, embPath, graphPath)
-        cr.map("compact: " + _)
+        regimeReasons ++ cr.map("compact: " + _)
       }
     }
   }

@@ -27,6 +27,21 @@ object MixtureOps {
 
   private def nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
 
+  /** Per-source cut: exact `percentile` for the oracle gates (the
+    * quantile_cont pairing), or the MERGEABLE `percentile_approx` sketch
+    * at its production-default accuracy for the 100× path — an exact
+    * percentile is the one sort-buffered, non-mergeable aggregate in the
+    * per-source-cut family (round-15 verdict task 6); the sketch turns
+    * it into a map-side-combinable agg whose state is O(accuracy), not
+    * O(group). Drift bound spec: ApproxCutsSpec. */
+  private[operators] def pcut(exact: Boolean)(
+      c: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column =
+    // the sketch returns a held value of the INPUT type (bigint cuts for
+    // bigint columns) where exact percentile interpolates in double —
+    // cast so both forms share one schema downstream
+    if (exact) percentile(c, lit(p))
+    else percentile_approx(c, lit(p), lit(10000)).cast("double")
+
   /** q85: temperature-weighted source mixture (the GPT-3/PaLM data-recipe
     * shape): a source with n docs is kept at rate (n_min/n)^(1-α) with
     * α = 0.5, so effective counts go as n^α — big sources are downsampled
@@ -279,13 +294,14 @@ object MixtureOps {
     * |sources| rows from one partial agg, broadcast back onto the scan
     * (no shuffle of the corpus); exact per-source percentiles buffer the
     * group — the huge-group path swaps in `approx_percentile` (mergeable
-    * sketch), not used here because the oracle is exact. */
-  val q90Winsorize: Q = (s, d) => {
+    * sketch) via `exactCuts = false`, not used in the gate because the
+    * oracle is exact. */
+  def q90WinsorizeCuts(exactCuts: Boolean): Q = (s, d) => {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val docs = documents(s, d).select(col("source"), nTokens.as("n_tok"))
     val cuts = docs.groupBy("source").agg(
-      percentile(col("n_tok"), lit(0.05)).as("lo"),
-      percentile(col("n_tok"), lit(0.95)).as("hi"))
+      pcut(exactCuts)(col("n_tok"), 0.05).as("lo"),
+      pcut(exactCuts)(col("n_tok"), 0.95).as("hi"))
     val w = greatest(least(col("n_tok").cast("double"), col("hi")), col("lo"))
     docs.join(broadcast(cuts), Seq("source"))
       .groupBy(col("source"), col("lo"), col("hi"))
@@ -298,6 +314,7 @@ object MixtureOps {
         col("winsorized_tokens"))
       .orderBy("source")
   }
+  val q90Winsorize: Q = q90WinsorizeCuts(exactCuts = true)
   val q90Sql: String =
     """WITH d AS (SELECT source, LEN(string_split_regex(TRIM(text), '\s+')) AS n_tok
       |           FROM documents),

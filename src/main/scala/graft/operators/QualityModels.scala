@@ -590,8 +590,12 @@ object QualityModels {
     * event family exists to avoid; thresholds keep the corpus-sized side
     * shuffle-free past the LM scoring itself. Documents with fewer than
     * two tokens have no bigrams and drop out of both engines identically.
+    *
+    * `exactCuts = false` swaps the per-source cuts onto the mergeable
+    * `percentile_approx` sketch — the production form at 100× (exact
+    * percentile sort-buffers each source; drift bound: ApproxCutsSpec).
     */
-  val q110CcnetBuckets: Q = (s, d) => {
+  def q110CcnetBucketsCuts(exactCuts: Boolean): Q = (s, d) => {
     val l = documents(s, d)
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l"))
     val bg = l.filter(size(col("l")) >= 2)
@@ -613,8 +617,8 @@ object QualityModels {
       .agg(round(sum(col("logp").cast(DecimalType(38, 6))).cast(DoubleType) /
         count(lit(1)), 6).as("lp"))
     val cuts = lp.groupBy("source").agg(
-      percentile(col("lp"), lit(1.0 / 3)).as("lo_cut"),
-      percentile(col("lp"), lit(2.0 / 3)).as("hi_cut"))
+      MixtureOps.pcut(exactCuts)(col("lp"), 1.0 / 3).as("lo_cut"),
+      MixtureOps.pcut(exactCuts)(col("lp"), 2.0 / 3).as("hi_cut"))
     lp.join(broadcast(cuts), Seq("source"))
       .withColumn("bucket",
         when(col("lp") >= col("hi_cut"), lit("head"))
@@ -626,6 +630,7 @@ object QualityModels {
           count(lit(1)), 6).as("mean_logprob"))
       .orderBy("source", "bucket")
   }
+  val q110CcnetBuckets: Q = q110CcnetBucketsCuts(exactCuts = true)
 
   val q110Sql: String =
     """WITH l AS (SELECT doc_id, source,

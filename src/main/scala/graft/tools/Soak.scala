@@ -142,7 +142,7 @@ object Soak {
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty", "q148_reshard_audit",
     "q154_unimax_budget",
-    "q90_winsorize",
+    "q90_winsorize", "q90_winsorize_approx",
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",
     "q57_redact", "q62_tfidf_topterms", "q63_bigram_lm", "q80_char_diversity",
@@ -151,9 +151,9 @@ object Soak {
     "q104_zipf_slope", "q128_heavy_hitters", "q131_unigram_logprob",
     "q142_kn_perplexity", "q143_countmin_audit", "q147_domain_reweight",
     // learned selection (round 9)
-    "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets",
+    "q108_nb_quality", "q109_dsir_resample", "q110_ccnet_buckets", "q110_ccnet_approx",
     "q118_curation_pipeline", "q151_model_drift", "q152_dsir_drift",
-    "q153_kn_drift",
+    "q153_kn_drift", "q153_kn_drift_approx",
     "q111_fertility", "q112_filter_funnel", "q113_snapshot_diff",
     "q121_split_leakage",
     // multimodal plumbing
@@ -245,6 +245,17 @@ object Soak {
         // queries (not SparkEntry gate entries — their contract lives in
         // specs), timed here so the md5-vs-fast gap stays measurable.
         val soakOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+          // approx-percentile production twins of the per-source-cut
+          // family (round-15 verdict task 6): the gates keep exact
+          // percentile for the DuckDB pairing; production swaps the
+          // mergeable sketch in — the soak times BOTH so the exact
+          // aggregate's sort-buffer cost is visible at scale
+          "q90_winsorize_approx" ->
+            graft.operators.MixtureOps.q90WinsorizeCuts(exactCuts = false),
+          "q110_ccnet_approx" ->
+            graft.operators.QualityModels.q110CcnetBucketsCuts(exactCuts = false),
+          "q153_kn_drift_approx" ->
+            graft.operators.CorpusOps.q153KnDriftCuts(exactCuts = false),
           // TRAINED-quantizer twins of the semantic gates: since r11 the
           // gate wrappers run the oracle-replayable sampled+refined
           // quantizer (hash-exact, ~2× slower at soak scale because the
@@ -463,6 +474,130 @@ object Soak {
         }
         println(s"edges at rest: ${graft.operators.GraphMaintenance
           .edgesAtRest(spark, graphPath).count()} rows over $n vectors")
+      case "graphauto" =>
+        // Regime-chooser soak (round-15 verdict task 1's done-bar): a
+        // SPREAD re-embed batch (the graphre shape — low ids live in
+        // every cluster, so their old cells cover nList) must route to
+        // the rebuild regime, and a LOCALIZED batch (one cell's
+        // residents) must stay incremental. Prints the chosen regime
+        // and wall time for each, against a fresh layout+graph per arm.
+        val batchN = args.lift(2).map(_.toLong).getOrElse(1000L)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding", "label")
+        val n = emb.count()
+        val nl = graft.operators.ProductQuantization.adaptiveNList(emb)
+        val cents = graft.operators.ProductQuantization.trainCoarse(emb, nl)
+        def buildArm(root: String): (String, String) = {
+          val embPath = s"$root/index"
+          val graphPath = s"$root/graph"
+          graft.operators.EmbeddingMaintenance.writeCellLayout(emb, cents, embPath)
+          graft.operators.EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+            graft.operators.EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+          graft.operators.GraphMaintenance.writeKnnGraph(
+            spark, embPath, graphPath, k = 5, nProbe = 2)
+          (embPath, graphPath)
+        }
+        def arm(name: String, root: String, batch: DataFrame,
+                forceIncremental: Boolean = false): Unit = {
+          val (embPath, graphPath) = buildArm(root)
+          val t0 = System.nanoTime()
+          val (folded, regime) =
+            if (forceIncremental) {
+              (graft.operators.GraphMaintenance
+                .upsertGraph(spark, embPath, graphPath, batch), "incremental (forced)")
+            } else graft.operators.GraphMaintenance
+              .upsertGraphAuto(spark, embPath, graphPath, batch)
+          println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+            f"  folded=$folded regime=$regime (corpus $n, batch ${batch.count()}, nList $nl)")
+        }
+        val spread = emb.filter(col("vec_id") < batchN)
+          .withColumn("embedding", expr(
+            "transform(embedding, (v, i) -> CAST(IF(i = 0, v * 1.3, v) AS FLOAT))"))
+          .localCheckpoint(true)
+        arm("spread_reembed", s"$dir/graphauto_spread", spread)
+        // the route the chooser rejected, same batch, fresh build — the
+        // honest comparison the threshold stands on
+        arm("spread_forced_inc", s"$dir/graphauto_forced", spread,
+          forceIncremental = true)
+        // localized: residents of the fullest cell, bounded by batchN
+        val cellOf = graft.operators.ProductQuantization.cellExpr(spark, cents)
+        val withCell = emb.withColumn("cell", cellOf(col("embedding")))
+        val c0 = withCell.groupBy("cell").count()
+          .orderBy(desc("count"), col("cell")).head().getInt(0)
+        val localized = withCell.filter(col("cell") === c0)
+          .orderBy("vec_id").limit(batchN.toInt)
+          .select(col("vec_id"), expr(
+            "transform(embedding, v -> CAST(v * 1.01 AS FLOAT))").as("embedding"),
+            col("label"))
+          .localCheckpoint(true)
+        arm("localized_reembed", s"$dir/graphauto_local", localized)
+      case "graphstream" =>
+        // The graphlog protocol THROUGH THE STREAMING API (round-15
+        // verdict task 3): drive nBatches of held-out arrivals through
+        // CorpusStreams.selfHealingGraphSink over a MemoryStream with a
+        // real checkpoint, per-batch fold latency printed against the
+        // edge-log depth. auditEvery=4 with compactMaxGens=8 makes the
+        // depth trigger fire mid-stream (gen hits 8 at the batch-7
+        // audit); the chain stops and checkpoint-restarts the query
+        // halfway to exercise the sidecar-cursor resume under load.
+        val nBatches = args.lift(2).map(_.toInt).getOrElse(12)
+        val batchN = args.lift(3).map(_.toLong).getOrElse(1000L)
+        import spark.implicits._
+        implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding", "label")
+        val n = emb.count()
+        val held = nBatches * batchN
+        val base = emb.filter(col("vec_id") < n - held)
+        val nl = graft.operators.ProductQuantization.adaptiveNList(base)
+        val cents = graft.operators.ProductQuantization.trainCoarse(base, nl)
+        val root = s"$dir/graphstream"
+        val embPath = s"$root/index"
+        val graphPath = s"$root/graph"
+        graft.operators.EmbeddingMaintenance.writeCellLayout(base, cents, embPath)
+        graft.operators.EmbeddingMaintenance.saveQuantizer(spark, embPath, cents,
+          graft.operators.EmbeddingMaintenance.layoutStats(spark, embPath, cents))
+        graft.operators.GraphMaintenance.writeKnnGraph(
+          spark, embPath, graphPath, k = 5, nProbe = 2)
+        println(f"built: corpus ${n - held}, $nBatches batches x $batchN, nList $nl")
+        // the sink itself, wrapped only to time each fold and report the
+        // log depth it left behind
+        val sink = graft.streaming.CorpusStreams.selfHealingGraphSink(
+          embPath, graphPath, auditEvery = 4)
+        val timedSink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (batch, batchId) => {
+            val t0 = System.nanoTime()
+            sink(batch, batchId)
+            val meta = graft.operators.GraphMaintenance.loadGraphMeta(spark, graphPath)
+            println(f"batch $batchId%2d: fold ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+              f"  gen=${meta.gen}%2d lastBatch=${meta.lastBatch}%2d" +
+              (if (meta.gen == 0 && batchId > 0) "  <- compacted/rebuilt" else ""))
+          }
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        def startQ() = stream.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch(timedSink)
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        var q = startQ()
+        (0 until nBatches).foreach { b =>
+          val lo = n - held + b * batchN
+          val rows = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + batchN)
+            .select("vec_id", "embedding").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          stream.addData(rows.toIndexedSeq: _*)
+          q.processAllAvailable()
+          if (b == nBatches / 2 - 1) {
+            q.stop()
+            println(s"-- checkpoint restart after batch $b --")
+            q = startQ()
+          }
+        }
+        q.stop()
+        val meta = graft.operators.GraphMaintenance.loadGraphMeta(spark, graphPath)
+        val edges = graft.operators.GraphMaintenance.edgesAtRest(spark, graphPath)
+        println(f"final: gen=${meta.gen} lastBatch=${meta.lastBatch} " +
+          f"edges=${edges.count()} over $n vectors")
       case "graphlog" =>
         // Edge-LOG depth vs read cost (round-14 verdict task 4's soak
         // row): fold `nBatches` fixed-size arrival batches append-only,
@@ -514,7 +649,7 @@ object Soak {
         println(f"compactGraph ${(System.nanoTime() - tC0) / 1e9}%6.2f s")
         val (tc, rowsc) = readCost()
         println(f"post-compact: edgesAtRest $tc%6.2f s ($rowsc rows; log reset to gen 0)")
-      case other => sys.error(s"unknown mode $other (gen|run|graphinc|graphre|graphlog)")
+      case other => sys.error(s"unknown mode $other (gen|run|graphinc|graphre|graphauto|graphstream|graphlog)")
     }
     spark.stop()
   }

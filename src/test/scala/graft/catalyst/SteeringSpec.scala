@@ -769,6 +769,37 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
     } finally Steered.clear()
   }
 
+  test("hint revalidation: a regressing (poisoned) stored hint is demoted, a winning one is kept") {
+    // round-15 verdict task 5. Deterministic cost injection instead of a
+    // real config race: the action sleeps unless the hint's conf marks
+    // the run fast — the poisoned hint makes the hinted arm strictly
+    // slower, the good hint makes it strictly faster, no timing noise.
+    Steered.clear()
+    try {
+      val dfBad = graft.Tables.customer(spark, sf).groupBy("c_mktsegment").count()
+      val dfGood = graft.Tables.nation(spark, sf).groupBy("n_regionkey").count()
+      // "default" is not a recognized join strategy → HintSteeringRule
+      // no-ops and ONLY the conf dimension differs between the arms
+      Steered.learn(dfBad, "default", Map("graft.test.sleepMs" -> "250"))
+      Steered.learn(dfGood, "default", Map("graft.test.fast" -> "1"))
+      val action: org.apache.spark.sql.DataFrame => Unit = df => {
+        val c = df.sparkSession.conf
+        if (c.getOption("graft.test.fast").isEmpty)
+          Thread.sleep(c.getOption("graft.test.sleepMs").map(_.toLong).getOrElse(120L))
+        df.write.format("noop").mode("overwrite").save()
+      }
+      val bad = Steered.revalidateOne(dfBad)(action).get
+      assert(!bad._3, s"poisoned hint must fail the keep margin: $bad")
+      assert(Steered.hintFor(dfBad).isEmpty, "demotion must unlearn the hint")
+      val good = Steered.revalidateOne(dfGood)(action).get
+      assert(good._3, s"winning hint must be kept: $good")
+      assert(Steered.hintFor(dfGood).isDefined)
+      // an unhinted template is not touched
+      assert(Steered.revalidateOne(
+        graft.Tables.region(spark, sf).select("r_name"))(action).isEmpty)
+    } finally Steered.clear()
+  }
+
   test("versioned hint store: a concurrently-claimed version slot is skipped, never truncated") {
     // round-15 ADVICE: the old read-then-write allocation let two
     // publishers both compute N+1 and the second silently overwrite the

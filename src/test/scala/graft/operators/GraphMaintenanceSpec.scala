@@ -169,6 +169,52 @@ class GraphMaintenanceSpec extends AnyFunSuite with SharedSpark {
       edgeSet(GraphMaintenance.edgesAtRest(spark, refRoot + "/graph")))
   }
 
+  test("regime chooser: spread re-embeds rebuild, localized fold incrementally — both bit-equal the rebuild") {
+    val cents = SemanticDedup.refinedCentroids(emb, 16)
+    // SPREAD: every 5th id re-embedded with its negated vector — old
+    // cells cover essentially all of nList, so the chooser must take
+    // the rebuild regime (SOAK.md round 15: spread re-embeds approach
+    // rebuild work by construction)
+    val isRe = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 5 === 0
+    val reSpread = emb.filter(isRe).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"), col("label"))
+    val (embPath1, graphPath1) = buildAll(emb, cents, tmp("regime-spread"))
+    val (folded1, regime1) =
+      GraphMaintenance.upsertGraphAuto(spark, embPath1, graphPath1, reSpread,
+        batchId = 3L)
+    assert(folded1 && regime1.startsWith("rebuild"), regime1)
+    // the replay cursor advanced through the rebuild route too
+    assert(GraphMaintenance.loadGraphMeta(spark, graphPath1).lastBatch == 3L)
+    assert(GraphMaintenance.upsertGraphAuto(spark, embPath1, graphPath1,
+      reSpread, batchId = 3L) == (false, "replayed batch skipped"))
+    val final1 = emb.filter(!isRe).unionByName(reSpread)
+    val (_, refGraph1) = buildAll(final1, cents, tmp("regime-spread-ref"))
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath1)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refGraph1)))
+
+    // LOCALIZED: one cell's residents slightly perturbed — old cells are
+    // a single cell, the chooser stays incremental
+    val (embPath2, graphPath2) = buildAll(emb, cents, tmp("regime-local"))
+    val c0 = spark.read.parquet(embPath2).groupBy("cell").count()
+      .orderBy(desc("count"), col("cell")).head().getInt(0)
+    // pinned eagerly: the fold rewrites the very layout files this reads
+    val localIds = spark.read.parquet(embPath2)
+      .filter(col("cell") === c0).select("vec_id").localCheckpoint(true)
+    val reLocal = emb.join(localIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding"),
+        col("label"))
+    assert(reLocal.count() > 0)
+    val (folded2, regime2) =
+      GraphMaintenance.upsertGraphAuto(spark, embPath2, graphPath2, reLocal)
+    assert(folded2 && regime2 == "incremental", regime2)
+    val final2 = emb.join(localIds, Seq("vec_id"), "left_anti").unionByName(reLocal)
+    val (_, refGraph2) = buildAll(final2, cents, tmp("regime-local-ref"))
+    assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath2)) ==
+      edgeSet(GraphMaintenance.edgesAtRest(spark, refGraph2)))
+  }
+
   test("pre-directory sidecar: load defaults, writeKnnGraph migrates in place, incremental demands rebuild") {
     // round-15 ADVICE: a sidecar written before the dir/ layout existed
     // has no dirBuckets/lastBatch keys; loading it must not throw a bare
