@@ -65,7 +65,7 @@ object Bench {
     "q109_dsir_resample", "q110_ccnet_buckets", "q128_heavy_hitters",
     "q131_unigram_logprob", "q142_kn_perplexity", "q143_countmin_audit",
     "q147_domain_reweight", "q151_model_drift", "q152_dsir_drift",
-    "q153_kn_drift",
+    "q153_kn_drift", "q156_effective_tokens",
     // packing / layout / events-at-scale
     "q76_seq_packing", "q77_chunk_windows", "q85_temperature_mix",
     "q86_shard_assign", "q90_winsorize", "q106_priority_sample",
@@ -175,27 +175,7 @@ object Bench {
     val hintsVersion = Steered.saveVersioned(outDir.resolve("hints"))
     // bank it: alternate whole default/steered passes, min per query
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    def once(fn: SparkSession => DataFrame, steered: Boolean): Double = {
-      val t0 = System.nanoTime()
-      try {
-        val df = fn(spark)
-        if (steered) Steered.run(df)(_.write.format("noop").mode("overwrite").save())
-        else df.write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val passes = (1 to reps).flatMap(_ => Seq(
-      qs.map { case (_, fn) => once(fn, steered = false) },
-      qs.map { case (_, fn) => once(fn, steered = true) }))
-    // minOption: a query that fails in EVERY pass of one arm must record
-    // -1.0 in the artifact (and drop out of the totals below), not crash
-    // the bench after all exploration work is done
-    val defaultT = names.indices.map(i =>
-      passes.zipWithIndex.collect { case (p, pi) if pi % 2 == 0 => p(i) }
-        .filter(_ >= 0).minOption.getOrElse(-1.0))
-    val steeredT = names.indices.map(i =>
-      passes.zipWithIndex.collect { case (p, pi) if pi % 2 == 1 => p(i) }
-        .filter(_ >= 0).minOption.getOrElse(-1.0))
+    val (defaultT, steeredT) = bankArms(spark, qs, adopted.contains, reps)
     // totals compare apples-to-apples: a query that failed every pass of
     // EITHER arm is excluded from BOTH totals (round-15 ADVICE: per-arm
     // drops let a steered-only failure silently flatter the steered
@@ -223,6 +203,97 @@ object Bench {
     println(s"""{"metric":"steered_total","value":${fmt(sTotal, 2)},""" +
       s""""default_total":${fmt(dTotal, 2)},"unit":"sec","n":${names.size},""" +
       s""""excluded":$nExcluded,"sf":"$sfDir"}""")
+  }
+
+  /** Alternate whole default/steered passes and take per-query minima.
+    * Queries in `hinted` run genuinely different plans per arm and keep
+    * separate minima; for every OTHER query both arms execute the
+    * IDENTICAL plan, so the samples are POOLED into one min used on both
+    * sides — more samples of the same plan under the bench's min-of-k
+    * estimator, never a cross-plan comparison. Without pooling, per-arm
+    * minima of identical plans differed by up to ±0.8 s of pure window
+    * noise at sf0.1 and SUMMED into a phantom steering regression larger
+    * than the real adopted deltas (round-16 measurement). A query that
+    * fails every pass of an arm records −1.0 (totals handle exclusion). */
+  private def bankArms(spark: SparkSession,
+                       qs: Seq[(String, SparkSession => DataFrame)],
+                       hinted: String => Boolean,
+                       reps: Int): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    import graft.catalyst.Steered
+    def once(fn: SparkSession => DataFrame, steered: Boolean): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark)
+        if (steered) Steered.run(df)(_.write.format("noop").mode("overwrite").save())
+        else df.write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val passes = (1 to reps).flatMap(_ => Seq(
+      qs.map { case (_, fn) => once(fn, steered = false) },
+      qs.map { case (_, fn) => once(fn, steered = true) }))
+    def armMin(i: Int, offset: Int): Double =
+      passes.zipWithIndex.collect { case (p, pi) if pi % 2 == offset => p(i) }
+        .filter(_ >= 0).minOption.getOrElse(-1.0)
+    val pairs = qs.indices.map { i =>
+      if (hinted(qs(i)._1)) (armMin(i, 0), armMin(i, 1))
+      else {
+        val pooled = passes.map(_(i)).filter(_ >= 0).minOption.getOrElse(-1.0)
+        (pooled, pooled)
+      }
+    }
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** `graft.Bench --steered --bank` : re-bank the LATEST stored hints
+    * version without re-exploring — the deployment shape (a pinned
+    * decision table measured against today's window) and the cheap way
+    * to refresh the banked artifact after a hints change. Writes
+    * experiment/steering/banked_bench.json. */
+  private def bankMain(spark: SparkSession, sfDir: String): Unit = {
+    import graft.catalyst.Steered
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STEER_OUT", "experiment/steering"))
+    val loaded = Steered.loadLatestVersion(outDir.resolve("hints"))
+    require(loaded > 0, s"no stored hints under ${outDir.resolve("hints")} — " +
+      "run --steered first")
+    val version = Steered.latestVersion(outDir.resolve("hints")).getOrElse(0L)
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qr) => qr.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None => steeredDefault.filter(SparkEntry.queries.contains)
+    }
+    val qs: Seq[(String, SparkSession => DataFrame)] =
+      names.map(n => n -> ((sp: SparkSession) => SparkEntry.queries(n)(sp, sfDir)))
+    qs.foreach { case (_, fn) =>
+      try fn(spark).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val hintedSet = qs.flatMap { case (n, fn) =>
+      try if (Steered.hintFor(fn(spark)).isDefined) Some(n) else None
+      catch { case _: Throwable => None }
+    }.toSet
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val (defaultT, steeredT) = bankArms(spark, qs, hintedSet, reps)
+    val comparable = names.indices.filter(i => defaultT(i) >= 0 && steeredT(i) >= 0)
+    val nExcluded = names.size - comparable.size
+    val dTotal = comparable.map(defaultT).sum
+    val sTotal = comparable.map(steeredT).sum
+    val sb = new StringBuilder
+    sb.append("{\n  \"sf\": \"").append(sfDir).append("\",\n")
+    sb.append(s"""  "reps": $reps, "hints_version": $version, "hinted": ${hintedSet.size}, "excluded": $nExcluded,\n""")
+    sb.append(s"""  "default_total": ${fmt(dTotal, 3)},\n""")
+    sb.append(s"""  "steered_total": ${fmt(sTotal, 3)},\n""")
+    sb.append("  \"queries\": {\n")
+    sb.append(names.indices.map { i =>
+      s"""    "${names(i)}": {"default": ${fmt(defaultT(i), 3)}, """ +
+        s""""steered": ${fmt(steeredT(i), 3)}, "hinted": ${hintedSet.contains(names(i))}}"""
+    }.mkString(",\n"))
+    sb.append("\n  }\n}\n")
+    java.nio.file.Files.writeString(outDir.resolve("banked_bench.json"), sb.toString)
+    spark.stop()
+    println(s"""{"metric":"banked_steered_total","value":${fmt(sTotal, 2)},""" +
+      s""""default_total":${fmt(dTotal, 2)},"unit":"sec","n":${names.size},""" +
+      s""""hinted":${hintedSet.size},"hints_version":$version,"sf":"$sfDir"}""")
   }
 
   /** `graft.Bench --steered --revalidate` (round-15 verdict task 5):
@@ -386,6 +457,9 @@ object Bench {
 
     if (args.contains("--steered") && args.contains("--revalidate")) {
       revalidateMain(spark, sfDir); return
+    }
+    if (args.contains("--steered") && args.contains("--bank")) {
+      bankMain(spark, sfDir); return
     }
     if (args.contains("--steered")) { steeredMain(spark, sfDir); return }
     if (args.contains("--graph")) { graphMain(spark, sfDir); return }

@@ -361,7 +361,12 @@ object MixtureOps {
     * both engines), so that 0/0 guard is structural; the EPOCHS ratio's
     * n_tokens = 0 edge (an all-empty source) is guarded explicitly on
     * both engines. */
-  val q154UnimaxBudget: Q = (s, d) => {
+  /** The UniMax water-filling allocation frame shared by q154 and q156:
+    * per source (source, n_docs, n_tokens, cap, sat, alloc_raw) under
+    * the epochCap=1.5 / budget=2× configuration. |sources|-row window,
+    * two broadcast one-row aggregates — driver-scale past the token
+    * count. */
+  private def unimaxAllocFrame(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val epochCap = 1.5
     val budgetMult = 2.0
@@ -385,6 +390,10 @@ object MixtureOps {
     flagged.crossJoin(broadcast(aggd))
       .withColumn("alloc_raw", when(col("sat"), col("cap"))
         .otherwise((col("budget") - col("sat_sum")) / (col("n_src") - col("k"))))
+  }
+
+  val q154UnimaxBudget: Q = (s, d) =>
+    unimaxAllocFrame(s, d)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("cap"), 6).as("capacity"),
         when(col("sat"), 1L).otherwise(0L).as("saturated"),
@@ -397,10 +406,46 @@ object MixtureOps {
         when(col("n_tokens") > 0, round(col("alloc_raw") / col("n_tokens"), 6))
           .otherwise(lit(0.0)).as("epochs"))
       .orderBy("source")
+
+  /** q156: data-constrained EFFECTIVE-token audit — what the q154 UniMax
+    * allocation is actually WORTH in unique-token units, under the
+    * repeat-decay value model of Muennighoff et al., NeurIPS 2023
+    * ("Scaling Data-Constrained Language Models"): tokens seen beyond
+    * the first epoch decay in value with the fitted constant
+    * R* ≈ 15.4 — effective(U, e) = U·(1 + R*·(1 − exp(−(e−1)/R*))) for
+    * e > 1, and exactly the tokens seen when e ≤ 1 (nothing repeats).
+    * Per source: epochs and tokens seen from the shared water-filling
+    * frame, effective tokens, and the value ratio effective/seen — the
+    * number a mixture designer reads to see where the budget is burning
+    * on low-value repeats (value_ratio → 1 means fresh data; it falls
+    * toward R-star over epochs as the source is strip-mined).
+    *
+    * Numerics: epochs is 6dp-rounded BEFORE the exp on both engines (the
+    * q142 EXP discipline), the decay constants are CAST(… AS DOUBLE) in
+    * the oracle (the q130 DECIMAL-literal lesson), outputs 6dp. */
+  val q156EffectiveTokens: Q = (s, d) => {
+    val rStar = 15.4
+    val epochsR = when(col("n_tokens") > 0,
+      round(col("alloc_raw") / col("n_tokens"), 6)).otherwise(lit(0.0))
+    unimaxAllocFrame(s, d)
+      .withColumn("epochs", epochsR)
+      .withColumn("tokens_seen", round(col("alloc_raw"), 6))
+      .withColumn("effective_tokens",
+        when(col("epochs") <= 1.0, col("tokens_seen"))
+          .otherwise(round(col("n_tokens") * (lit(1.0) + lit(rStar) *
+            (lit(1.0) - exp((lit(1.0) - col("epochs")) / lit(rStar)))), 6)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("epochs"), col("tokens_seen"), col("effective_tokens"),
+        when(col("tokens_seen") > 0,
+          round(col("effective_tokens") / col("tokens_seen"), 6))
+          .otherwise(lit(0.0)).as("value_ratio"))
+      .orderBy("source")
   }
 
-  val q154Sql: String =
-    """WITH tok AS (
+  /** The q154 water-filling CTE chain (tok → … → aggd), shared with the
+    * q156 oracle so both replay the identical allocation. */
+  private val unimaxCtes: String =
+    """tok AS (
       |  SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(len(string_split_regex(TRIM(text), '\s+'))) AS BIGINT)
       |      AS n_tokens
@@ -420,7 +465,10 @@ object MixtureOps {
       |    cap * (n_src - rn + 1) <= budget - pfx AS sat FROM flagged),
       |aggd AS (SELECT SUM(CASE WHEN sat THEN cap ELSE 0.0 END) AS sat_sum,
       |    CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS k
-      |  FROM satd)
+      |  FROM satd)""".stripMargin
+
+  val q154Sql: String =
+    s"""WITH $unimaxCtes
       |SELECT source, n_docs, n_tokens,
       |  ROUND(cap, 6) AS capacity,
       |  CAST(CASE WHEN sat THEN 1 ELSE 0 END AS BIGINT) AS saturated,
@@ -431,13 +479,38 @@ object MixtureOps {
       |       ELSE 0.0 END AS epochs
       |FROM satd CROSS JOIN aggd ORDER BY source""".stripMargin
 
+  val q156Sql: String =
+    s"""WITH $unimaxCtes,
+      |alloc AS (SELECT source, n_docs, n_tokens,
+      |    CASE WHEN sat THEN cap
+      |         ELSE (budget - sat_sum) / (n_src - k) END AS alloc_raw
+      |  FROM satd CROSS JOIN aggd),
+      |e AS (SELECT source, n_docs, n_tokens,
+      |    CASE WHEN n_tokens > 0 THEN ROUND(alloc_raw / n_tokens, 6)
+      |         ELSE 0.0 END AS epochs,
+      |    ROUND(alloc_raw, 6) AS tokens_seen
+      |  FROM alloc),
+      |f AS (SELECT *,
+      |    CASE WHEN epochs <= CAST(1.0 AS DOUBLE) THEN tokens_seen
+      |         ELSE ROUND(n_tokens * (CAST(1.0 AS DOUBLE)
+      |           + CAST(15.4 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+      |             - EXP((CAST(1.0 AS DOUBLE) - epochs) / CAST(15.4 AS DOUBLE)))), 6)
+      |    END AS effective_tokens
+      |  FROM e)
+      |SELECT source, n_docs, n_tokens, epochs, tokens_seen, effective_tokens,
+      |  CASE WHEN tokens_seen > 0
+      |       THEN ROUND(effective_tokens / tokens_seen, 6) ELSE 0.0 END
+      |    AS value_ratio
+      |FROM f ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q85_temperature_mix" -> q85TemperatureMix,
     "q86_shard_assign" -> q86ShardAssign,
     "q87_ngram_novelty" -> q87NgramNovelty,
     "q148_reshard_audit" -> q148ReshardAudit,
     "q90_winsorize" -> q90Winsorize,
-    "q154_unimax_budget" -> q154UnimaxBudget)
+    "q154_unimax_budget" -> q154UnimaxBudget,
+    "q156_effective_tokens" -> q156EffectiveTokens)
 
   val oracle: Map[String, String] = Map(
     "q85_temperature_mix" -> q85Sql,
@@ -445,5 +518,6 @@ object MixtureOps {
     "q87_ngram_novelty" -> q87Sql,
     "q148_reshard_audit" -> q148Sql,
     "q90_winsorize" -> q90Sql,
-    "q154_unimax_budget" -> q154Sql)
+    "q154_unimax_budget" -> q154Sql,
+    "q156_effective_tokens" -> q156Sql)
 }

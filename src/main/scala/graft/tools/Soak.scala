@@ -141,7 +141,7 @@ object Soak {
     // text analysis
     // mixture / scheduling (round 8)
     "q85_temperature_mix", "q86_shard_assign", "q87_ngram_novelty", "q148_reshard_audit",
-    "q154_unimax_budget",
+    "q154_unimax_budget", "q156_effective_tokens",
     "q90_winsorize", "q90_winsorize_approx",
     "q20_token_stats", "q21_quality_score", "q22_lang_id", "q23_fingerprint",
     "q39_vocab_topk", "q47_clean_corpus", "q51_repetition", "q52_token_histogram",

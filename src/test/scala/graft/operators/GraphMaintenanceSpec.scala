@@ -213,6 +213,12 @@ class GraphMaintenanceSpec extends AnyFunSuite with SharedSpark {
     val (_, refGraph2) = buildAll(final2, cents, tmp("regime-local-ref"))
     assert(edgeSet(GraphMaintenance.edgesAtRest(spark, graphPath2)) ==
       edgeSet(GraphMaintenance.edgesAtRest(spark, refGraph2)))
+
+    // the self-healing wrapper reports the fired regime as a reason
+    val (embPath3, graphPath3) = buildAll(emb, cents, tmp("regime-wrap"))
+    val reasons = GraphMaintenance.maintainGraphPersistent(
+      spark, embPath3, graphPath3, reSpread, audit = false)
+    assert(reasons.exists(_.startsWith("regime rebuild:")), reasons.toString)
   }
 
   test("pre-directory sidecar: load defaults, writeKnnGraph migrates in place, incremental demands rebuild") {

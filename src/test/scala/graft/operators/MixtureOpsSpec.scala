@@ -85,6 +85,31 @@ class MixtureOpsSpec extends AnyFunSuite with SharedSpark {
     d0.foreach(r => assert(r.getAs[Double]("novelty") == 1.0))
   }
 
+  test("q156 effective tokens: repeats never add value, no repeats means full value, epochs shared with q154") {
+    val rows = MixtureOps.q156EffectiveTokens(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("epochs")
+      val seen = r.getAs[Double]("tokens_seen")
+      val eff = r.getAs[Double]("effective_tokens")
+      val vr = r.getAs[Double]("value_ratio")
+      // R*(1 - exp(-x/R*)) <= x: effective value never exceeds tokens seen
+      assert(eff <= seen + 1e-3, s"${r.getAs[String]("source")}: eff $eff > seen $seen")
+      assert(vr >= 0.0 && vr <= 1.0 + 1e-9)
+      if (e <= 1.0) assert(eff == seen, "below one epoch nothing repeats")
+      else {
+        // beyond one epoch the first full pass is always worth itself
+        assert(eff + 1e-3 >= r.getAs[Long]("n_tokens").toDouble)
+        assert(vr < 1.0, "repeating must cost value")
+      }
+    }
+    // the allocation is the q154 one, bit for bit
+    val eps = MixtureOps.q154UnimaxBudget(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("epochs")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Double]("epochs") == eps(r.getAs[String]("source"))))
+  }
+
   test("q154 UniMax: degenerate empty/whitespace sources never yield NaN epochs") {
     // round-15 ADVICE guard: epochs is CASE-guarded on n_tokens > 0 on
     // both engines. (With the shared whitespace tokenizer an empty text
