@@ -523,10 +523,19 @@ object Bench {
     require(shortKeys.distinct.size == results.size,
       "duplicate qNN prefixes in SparkEntry.queries: " +
         shortKeys.diff(shortKeys.distinct).distinct.mkString(","))
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def shortLine(dp: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // stay inside the driver's 2000-char stdout tail with margin: at 156
+    // queries the 2-decimal line is ~1.86 KB, so the next few additions
+    // would silently truncate the head of the JSON (the round-11 failure
+    // mode). Degrade per-query precision before that happens — the
+    // committed bench/ file keeps 3 decimals regardless.
+    val line = Seq(2, 1).map(shortLine).find(_.length <= 1900)
+      .getOrElse(shortLine(0))
     System.err.println("[bench] full-name map: " + results.map {
       case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
     // Durable copy of the FULL per-query map: the driver's BENCH_r*.json
