@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   *
   *   graft.tools.Soak gen <dir> [nDocs] [nVecs]   # write documents/embeddings.parquet
   *   graft.tools.Soak run <dir>                   # time the families, print a table
+  *   graft.tools.Soak graphinc|graphre|graphauto|graphstream|graphlog <dir> [...]
+  *                                                # at-rest graph lifecycle chains
   *
   * Generator shapes (all chosen to stress a specific scale mechanism):
   *  - ONE DOMINANT SOURCE: "web" holds ~88% of all documents — the shape
