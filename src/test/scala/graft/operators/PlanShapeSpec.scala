@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.{GenerateExec, SparkPlan, TakeOrderedAndPr
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SharedSpark
@@ -607,6 +607,25 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       }.isDefined
       assert(bounded,
         s"q143 rank window reads an unbounded input:\n${physicalPlan(df)}")
+    }
+  }
+
+  test("q154/q156: corpus collapses map-side before its only exchange; one-row totals broadcast back") {
+    // the UniMax family's scale contract: the DOCUMENTS side pays exactly
+    // one shuffle — the per-source aggregate, combined map-side — and the
+    // one-row totals (t_all/n_src, sat_sum/k) rejoin as broadcast cross
+    // joins, so nothing corpus-sized ever reshuffles for them
+    Seq(MixtureOps.q154UnimaxBudget(spark, sf),
+        MixtureOps.q156EffectiveTokens(spark, sf)).foreach { df =>
+      val sourceAggExchanges = nodes(df) {
+        case e: ShuffleExchangeExec
+          if e.child.collectFirst { case a: HashAggregateExec => a }.isDefined &&
+             e.child.collectFirst { case e2: ShuffleExchangeExec => e2 }.isEmpty => e
+      }
+      assert(sourceAggExchanges.nonEmpty,
+        s"no map-side-combined source exchange above the scan:\n${physicalPlan(df)}")
+      assert(nodes(df) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+        s"one-row totals not broadcast back:\n${physicalPlan(df)}")
     }
   }
 }
