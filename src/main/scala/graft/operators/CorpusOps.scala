@@ -96,12 +96,17 @@ object CorpusOps {
     * bigram-occurrences ⋈ bigram-counts on (w1,w2) — high-cardinality,
     * AQE-skew-safe — then collapses back to one row per document. */
   val q63BigramLm: Q = (s, d) => {
-    val l = documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("l"))
-    val bg = l.filter(size(col("l")) >= 2)
+    // the tokenized corpus feeds the bigram explode AND the vocabulary
+    // count; the exploded bigrams feed the type table, the context totals
+    // AND the scoring join — materialize each once (the q147/q110
+    // discipline; Spark shares no subtrees)
+    val l = StageMaterialize(documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("l")), "q63_tokens")
+    val bg = StageMaterialize(l.filter(size(col("l")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
         .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")), "q63_bg")
     val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
     val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
     val v = l.select(explode(col("l")).as("token"))
@@ -302,12 +307,17 @@ object CorpusOps {
     * already-rounded per-doc mean. */
   def knBigramScores(docs: DataFrame): DataFrame = {
     val l = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("l"))
-    val bg = l.filter(size(col("l")) >= 2)
+    // the exploded bigrams feed the type table AND the scoring join, and
+    // the type table feeds all four statistic tables — materialize both
+    // once (the q147/q153 discipline; Spark shares no subtrees, so each
+    // reference otherwise re-tokenizes the corpus)
+    val bg = StageMaterialize(l.filter(size(col("l")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
         .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")), "q142_bg")
+    val cbg = StageMaterialize(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg")), "q142_cbg")
     val cw = cbg.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"),
       count(lit(1)).as("n1p_fw"))
     val bw = cbg.groupBy("w2").agg(count(lit(1)).as("n1p_bw"))
@@ -423,13 +433,19 @@ object CorpusOps {
   def domainReweight(docs: DataFrame): DataFrame = {
     val l = docs
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l"))
-    val bg = l.filter(size(col("l")) >= 2)
+    // multi-consumer stages materialize once (the q118/q153 discipline —
+    // Spark shares no subtrees, so each reference re-runs its whole
+    // tree): the exploded bigrams feed both the type table and the
+    // scoring join; the type table feeds cw/bw/t AND the scoring join;
+    // per-source sums feed the corpus total and the excess projection.
+    val bg = StageMaterialize(l.filter(size(col("l")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("source"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+        col("b.w1").as("w1"), col("b.w2").as("w2")), "q147_bg")
+    val cbg = StageMaterialize(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg")), "q147_cbg")
     val cw = cbg.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"),
       count(lit(1)).as("n1p_fw"))
     val bw = cbg.groupBy("w2").agg(count(lit(1)).as("n1p_bw"))
@@ -438,13 +454,14 @@ object CorpusOps {
         col("c_w1").cast(DoubleType) +
       lit(0.75d) * col("n1p_fw").cast(DoubleType) / col("c_w1").cast(DoubleType) *
         (col("n1p_bw").cast(DoubleType) / col("t_types").cast(DoubleType))
-    val perSource = bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
-      .join(bw, Seq("w2")).crossJoin(broadcast(t))
-      .select(col("source"), col("doc_id"), round(log(pKn), 6).as("logp"))
-      .groupBy("source")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_bigrams"),
-        sum(col("logp").cast(DecimalType(38, 6))).as("sum_lp"))
+    val perSource = StageMaterialize(
+      bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
+        .join(bw, Seq("w2")).crossJoin(broadcast(t))
+        .select(col("source"), col("doc_id"), round(log(pKn), 6).as("logp"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          sum(col("logp").cast(DecimalType(38, 6))).as("sum_lp")), "q147_per_source")
     val tot = perSource.agg(
       sum(col("sum_lp")).as("tot_lp"), sum(col("n_bigrams")).as("tot_n"))
     val meanS = round(col("sum_lp").cast(DoubleType) / col("n_bigrams"), 6)
@@ -557,14 +574,20 @@ object CorpusOps {
     // 13.4 → 11.4 s at 100k docs (the subtree is corpus-proportional,
     // so the saving grows with the corpus; at sf0.1 it's noise)
     val bg = StageMaterialize(knBigrams(docs), "q153_bg")
-    val v1 = knModelFromBigrams(bg.filter(isTrain))
-    val v2 = knModelFromBigrams(bg)
+    // each model TABLE is consumed four times inside knScoresFromBigrams
+    // (the type lookup plus the cw/bw/t statistic tables all derive from
+    // it) — materialize both so each vocabulary²-bounded aggregation over
+    // the bigram pool runs once per model, not four times; `joined` feeds
+    // both the drift leg and the unscored-count leg, so it materializes
+    // too (the scoring joins are the query's dominant shuffles)
+    val v1 = StageMaterialize(knModelFromBigrams(bg.filter(isTrain)), "q153_v1")
+    val v2 = StageMaterialize(knModelFromBigrams(bg), "q153_v2")
     val s1 = knScoresFromBigrams(bg, v1)
       .select(col("doc_id"), col("kn_logprob").as("lp1"))
     val s2 = knScoresFromBigrams(bg, v2)
       .select(col("doc_id"), col("kn_logprob").as("lp2"))
-    val joined = docs.select("doc_id", "source")
-      .join(s1, Seq("doc_id")).join(s2, Seq("doc_id"))
+    val joined = StageMaterialize(docs.select("doc_id", "source")
+      .join(s1, Seq("doc_id")).join(s2, Seq("doc_id")), "q153_joined")
     val scored = joined.filter(col("lp1").isNotNull)
     val cuts = scored.groupBy("source").agg(
       MixtureOps.pcut(exactCuts)(col("lp1"), 1.0 / 3).as("lo1"),

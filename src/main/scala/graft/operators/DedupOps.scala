@@ -166,9 +166,13 @@ object DedupOps {
     * intersection counts, plus the per-doc key-set sizes — the inputs
     * every set-overlap measure (Jaccard, containment, winnowed match)
     * normalizes from. */
-  private def windowPairCounts(sh: DataFrame,
+  private def windowPairCounts(sh0: DataFrame,
                                blockCap: Int): (DataFrame, DataFrame) = {
     requireCap(blockCap)
+    // the key frame feeds both the size aggregate and the pair window —
+    // materialize once so the shingle/tokenize explode upstream runs one
+    // pass, not two (Spark shares no subtrees)
+    val sh = StageMaterialize(sh0, "window_pair_keys")
     val w = Window.partitionBy("source", "sh").orderBy("doc_id")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh
@@ -532,7 +536,10 @@ object DedupOps {
                         blockCap: Int = DefaultCandidateCap): DataFrame = {
     val exactPairs = jaccardPairs(docs, minJaccard, blockCap)
       .select(col("doc_a"), col("doc_b"), col("jaccard").as("exact_j"))
-    val sig = minhashSignatures(docs, nSeeds, useFastKernel = false)
+    // both sides of the pair join read the signature table — materialize
+    // so the 16-seed MinHash pass over the shingles runs once, not twice
+    val sig = StageMaterialize(
+      minhashSignatures(docs, nSeeds, useFastKernel = false), "q135_sig")
     val a = sig.select(col("doc_id").as("doc_a"), col("seed"),
       col("minhash").as("mh_a"))
     val b = sig.select(col("doc_id").as("doc_b"), col("seed"),
@@ -1218,9 +1225,16 @@ object DedupOps {
   def bloomDecontaminate(docs: DataFrame, isBench: Column => Column,
                          fpp: Double = 0.03): DataFrame = {
     val s = docs.sparkSession
-    val withShs = docShinglesOf(docs, withSource = false)
-    val benchSh = withShs.filter(isBench(col("doc_id")))
-      .select(explode(col("shs")).as("sh")).distinct()
+    // the doc-shingle table feeds the bench slice AND the train scan; the
+    // bench shingles feed the count, the Bloom build AND the exact-verify
+    // broadcast; the candidates feed the hit count AND the size column —
+    // materialize each once (Spark shares no subtrees, so every reference
+    // re-ran the shingle pass; at 100 TB this is the
+    // write-the-intermediate-pool pattern via spark.graft.stage.dir)
+    val withShs = StageMaterialize(docShinglesOf(docs, withSource = false),
+      "q127_shingles")
+    val benchSh = StageMaterialize(withShs.filter(isBench(col("doc_id")))
+      .select(explode(col("shs")).as("sh")).distinct(), "q127_bench_sh")
     val train = withShs.filter(!isBench(col("doc_id")))
 
     val bloom = benchSh.stat.bloomFilter("sh",
@@ -1228,7 +1242,8 @@ object DedupOps {
     val bc = s.sparkContext.broadcast(bloom)
     val mightHit = udf { shs: Seq[String] =>
       shs.exists(sh => bc.value.mightContainString(sh)) }
-    val cands = train.filter(mightHit(col("shs")))
+    val cands = StageMaterialize(train.filter(mightHit(col("shs"))),
+      "q127_cands")
 
     val hits = cands.select(col("doc_id"), explode(col("shs")).as("sh"))
       .join(broadcast(benchSh), Seq("sh"))
@@ -1264,8 +1279,10 @@ object DedupOps {
     * every doc still contributes at most sources² pairs) — then a self-join
     * on sh and one k²-cell aggregate. Two shuffles total at any scale. */
   val q59SourceOverlap: Q = (s, d) => {
-    val srcSh = shinglesOf(documents(s, d), withSource = true)
-      .select("source", "sh").distinct()
+    // self-joined below — materialize so the shingle explode + distinct
+    // runs one pass, not two
+    val srcSh = StageMaterialize(shinglesOf(documents(s, d), withSource = true)
+      .select("source", "sh").distinct(), "q59_src_sh")
     srcSh.as("a").join(srcSh.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

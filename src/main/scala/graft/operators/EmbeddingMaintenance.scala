@@ -88,13 +88,15 @@ object EmbeddingMaintenance {
   def upsertVecs(spark: SparkSession, path: String,
                  cents: Array[Array[Float]], changed: DataFrame,
                  knownOldCells: Option[Seq[Int]] = None): Unit = {
-    val changedIds = changed.select("vec_id").collect().map(_.getLong(0)).toSeq
-    if (changedIds.isEmpty) return
-    val oldCells = knownOldCells.getOrElse(cellsOf(spark, path, changedIds))
     val incoming = changed.withColumn("cell",
       ProductQuantization.cellExpr(spark, cents)(col("embedding")))
-    val newCells = incoming.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE collect for both the id list and the new-cell list (they were
+    // two jobs, each re-running the upstream batch plan)
+    val idCellRows = incoming.select("vec_id", "cell").collect()
+    val changedIds = idCellRows.map(_.getLong(0)).toSeq
+    if (changedIds.isEmpty) return
+    val oldCells = knownOldCells.getOrElse(cellsOf(spark, path, changedIds))
+    val newCells = idCellRows.map(_.getInt(1)).distinct.toSeq
     val affected = (oldCells ++ newCells).distinct.sorted
     val corpus = spark.read.parquet(path)
     val kept = corpus
@@ -142,8 +144,14 @@ object EmbeddingMaintenance {
                             meanCell: Double, maxCell: Long, meanSqErr: Double)
 
   def layoutStats(spark: SparkSession, path: String,
-                  cents: Array[Array[Float]]): IvfStats = {
-    val corpus = spark.read.parquet(path)
+                  cents: Array[Array[Float]]): IvfStats =
+    statsOf(spark.read.parquet(path), cents)
+
+  /** [[layoutStats]] over an in-memory (vec_id, embedding, cell) frame —
+    * identical values; lets a builder that already holds the assigned
+    * frame skip the just-written layout's re-read. */
+  def statsOf(corpus: DataFrame, cents: Array[Array[Float]]): IvfStats = {
+    val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(cents)
     val sqErr = udf { (v: Seq[Float], cell: Int) =>
       val c = bc.value(cell)
@@ -340,9 +348,13 @@ object EmbeddingMaintenance {
     * state). */
   def writeCellLayoutPersistent(emb: DataFrame, cents: Array[Array[Float]],
                                 path: String): Unit = {
-    writeCellLayout(emb, cents, path)
-    saveQuantizer(emb.sparkSession, path, cents,
-      layoutStats(emb.sparkSession, path, cents))
+    // assign cells once: the write and the baseline stats both consume
+    // the assigned frame (stats used to re-read the just-written layout
+    // and re-decode every embedding — one extra corpus pass per build)
+    val withCell = MaintenanceIO.materialized(emb.withColumn("cell",
+      ProductQuantization.cellExpr(emb.sparkSession, cents)(col("embedding"))))
+    withCell.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+    saveQuantizer(emb.sparkSession, path, cents, statsOf(withCell, cents))
   }
 
   /** One SIDECAR-BACKED self-healing cycle — [[maintain]] with the

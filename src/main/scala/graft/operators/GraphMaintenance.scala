@@ -287,13 +287,26 @@ object GraphMaintenance {
   def writeKnnGraph(spark: SparkSession, embPath: String, graphPath: String,
                     k: Int, nProbe: Int): Unit = {
     val cents = centroidsOf(spark, embPath)
-    val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
     val lastBatch = {
       val fs = sidecar(graphPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(sidecar(graphPath))) loadGraphMeta(spark, graphPath).lastBatch
       else -1L
     }
-    val index = layout.select(col("cell"), col("vec_id"), col("embedding"))
+    // ONE probe-ranking pass over the corpus: the edge build's probe side
+    // AND the reverse-probe layout both need probeExpr(embedding) — an
+    // O(N·nList·dim) argmin scan that used to run twice (plus a third
+    // parquet re-read for the directory). Materialize the probed layout
+    // once; every consumer below is a projection of it. Values unchanged
+    // (same expression, same rows — the build stays bit-identical to
+    // knnEdgesWithCents, spec-pinned).
+    val probeUdf = ProductQuantization.probeExpr(spark, cents, nProbe)
+    val probed = materialized(
+      spark.read.parquet(embPath).select(col("vec_id"), col("embedding"),
+        col("cell"), probeUdf(col("embedding")).as("probes")))
+    val index = probed.select(col("cell"), col("vec_id"), col("embedding"))
+    val probeSide = probed.select(col("vec_id").as("src_id"),
+      col("embedding").as("src_emb"), col("cell").as("src_cell"),
+      explode(col("probes")).as("cell"))
     // one file per cell partition: a cell holds ≈ targetCell·k edge rows
     // under the adaptive contract, so per-cell files stay bounded at any
     // corpus size while the file COUNT tracks nList (scattering every
@@ -301,19 +314,23 @@ object GraphMaintenance {
     // count — the small-file debt every later read pays). Materialized
     // once and written to both layouts (edges + redges).
     val ranked = materialized(
-      rankTopK(candidates(probeSideOf(layout, cents, nProbe), index), k))
-    writeEdges(ranked.repartition(col("src_cell")), graphPath, gen = 0L,
-      append = false)
-    writeRedges(ranked, graphPath, gen = 0L, append = false)
-    val probeUdf = ProductQuantization.probeExpr(spark, cents, nProbe)
-    layout.select(col("vec_id"), col("cell").as("own_cell"), lit(true).as("alive"),
-        lit(0L).as("gen"), explode(probeUdf(col("embedding"))).as("cell"))
-      .repartition(col("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(probesPath(graphPath))
-    val buckets = adaptiveDirBuckets(layout.count())
-    writeDir(layout.select(col("vec_id"), col("cell"), lit(true).as("alive")),
-      graphPath, gen = 0L, buckets, append = false)
+      rankTopK(candidates(probeSide, index), k))
+    val buckets = adaptiveDirBuckets(probed.count())
+    // the four layout writes are independent (materialized inputs,
+    // disjoint output dirs) — overlap them so the cluster isn't idle in
+    // each write's commit/tail phase (guide §2.6)
+    MaintenanceIO.inParallel(Seq(
+      () => writeEdges(ranked.repartition(col("src_cell")), graphPath, gen = 0L,
+        append = false),
+      () => writeRedges(ranked, graphPath, gen = 0L, append = false),
+      () => probed.select(col("vec_id"), col("cell").as("own_cell"),
+          lit(true).as("alive"),
+          lit(0L).as("gen"), explode(col("probes")).as("cell"))
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(probesPath(graphPath)),
+      () => writeDir(probed.select(col("vec_id"), col("cell"), lit(true).as("alive")),
+        graphPath, gen = 0L, buckets, append = false)))
     saveGraphMeta(spark, graphPath,
       GraphMeta(k, nProbe, gen = 0L, buckets, lastBatch))
   }
@@ -508,9 +525,12 @@ object GraphMaintenance {
       changedM.select(col("vec_id"), col("embedding"))
         .withColumn("cell", cellUdf(col("embedding")))
         .withColumn("probes", probeUdf(col("embedding")))))
-    val arrCells = arr.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val arrProbeCells = arr.select(explode(col("probes")).as("c"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // one collect for both cell lists (they were two separate jobs): the
+    // rows are batch-bounded pairs of (own cell, probe list) ints
+    val arrCellRows = arr.select(col("cell"), col("probes"))
+      .distinct().collect()
+    val arrCells = arrCellRows.map(_.getInt(0)).distinct.toSeq
+    val arrProbeCells = arrCellRows.flatMap(_.getSeq[Int](1)).distinct.toSeq
 
     // the arrivals' own full lists against the post-upsert layout
     // (includes arrival↔arrival edges — the index already holds the batch)
@@ -624,27 +644,31 @@ object GraphMaintenance {
     val allEdges = Seq(Some(arrEdges), Some(challengersClean),
       Some(repairedEdges), edgeTombs).flatten.reduce(_ unionByName _)
     val allEdgesM = prof("edge-delta-compute")(materialized(allEdges))
-    prof("edge-delta-write")(writeEdges(allEdgesM.repartition(col("src_cell")),
-      graphPath, thisGen, append = true))
-    prof("redge-delta-write")(writeRedges(allEdgesM, graphPath, thisGen,
-      append = true))
 
     // probe index: arrivals append their live rows; re-embeds tombstone
     // their old probe rows in place (same partitions, append-only)
     val probeNew = arr.select(col("vec_id"), col("cell").as("own_cell"),
       lit(true).as("alive"), explode(col("probes")).as("cell"))
-    prof("probe-delta-write")(
+    val probeDeltaM = prof("probe-delta-compute")(
       materialized(Seq(Some(probeNew), oldProbeRows).flatten.reduce(_ unionByName _)
-          .select(col("vec_id"), col("own_cell"), col("alive"),
-            lit(thisGen).as("gen"), col("cell")))
-        .repartition(col("cell"))
-        .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)))
+        .select(col("vec_id"), col("own_cell"), col("alive"),
+          lit(thisGen).as("gen"), col("cell"))))
 
-    // membership directory: every changed id's current cell at this
-    // generation (latest-wins supersedes a re-embed's old row)
-    prof("dir-delta-write")(writeDir(
-      arr.select(col("vec_id"), col("cell"), lit(true).as("alive")),
-      graphPath, thisGen, meta.dirBuckets, append = true))
+    // the four layout appends are independent (materialized inputs,
+    // disjoint output dirs) — overlap them (guide §2.6); the membership
+    // directory rows come straight from the checkpointed arrival frame
+    prof("delta-writes")(MaintenanceIO.inParallel(Seq(
+      () => writeEdges(allEdgesM.repartition(col("src_cell")),
+        graphPath, thisGen, append = true),
+      () => writeRedges(allEdgesM, graphPath, thisGen, append = true),
+      () => probeDeltaM
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)),
+      // membership directory: every changed id's current cell at this
+      // generation (latest-wins supersedes a re-embed's old row)
+      () => writeDir(
+        arr.select(col("vec_id"), col("cell"), lit(true).as("alive")),
+        graphPath, thisGen, meta.dirBuckets, append = true))))
 
     saveGraphMeta(spark, graphPath, meta.copy(gen = thisGen,
       lastBatch = math.max(meta.lastBatch, batchId)))
@@ -779,15 +803,16 @@ object GraphMaintenance {
       col("cell").as("src_cell"), lit(0L).as("nbr_id"),
       lit(-1).as("nbr_cell"), lit(0.0).as("sim"), lit(-1).as("rk"))
     val allM = materialized(repairedEdges.unionByName(edgeTombs))
-    writeEdges(allM.repartition(col("src_cell")), graphPath, thisGen,
-      append = true)
-    writeRedges(allM, graphPath, thisGen, append = true)
-
-    probeTombs.select("vec_id", "own_cell", "alive", "gen", "cell")
-      .repartition(col("cell"))
-      .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath))
-    writeDir(victims.select(col("vec_id"), col("cell"), lit(false).as("alive")),
-      graphPath, thisGen, meta.dirBuckets, append = true)
+    // independent appends over materialized inputs — overlap (guide §2.6)
+    MaintenanceIO.inParallel(Seq(
+      () => writeEdges(allM.repartition(col("src_cell")), graphPath, thisGen,
+        append = true),
+      () => writeRedges(allM, graphPath, thisGen, append = true),
+      () => probeTombs.select("vec_id", "own_cell", "alive", "gen", "cell")
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)),
+      () => writeDir(victims.select(col("vec_id"), col("cell"), lit(false).as("alive")),
+        graphPath, thisGen, meta.dirBuckets, append = true)))
     saveGraphMeta(spark, graphPath, meta.copy(gen = thisGen))
   }
 

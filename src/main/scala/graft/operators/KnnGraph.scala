@@ -185,10 +185,13 @@ object KnnGraph {
     var cur = edges.select(col("src_id"), col("nbr_id"), col("sim"))
     if (randomBuckets > 0) {
       val nBuckets = math.max(1L, emb.count() / 4L)
-      val member = emb.select(col("vec_id"),
+      // the bucket membership is self-joined below (two references);
+      // materialize so the seed-key hash pass runs once
+      val member = StageMaterialize(emb.select(col("vec_id"),
           explode(sequence(lit(0), lit(randomBuckets - 1))).as("j"))
         .select(col("vec_id"), col("j"),
-          pmod(seedKey(col("vec_id"), col("j")), lit(nBuckets)).as("bkt"))
+          pmod(seedKey(col("vec_id"), col("j")), lit(nBuckets)).as("bkt")),
+        "nn_descent_member")
       val seed = member.as("a")
         .join(member.as("b"), col("a.j") === col("b.j") &&
           col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
@@ -197,14 +200,22 @@ object KnnGraph {
       cur = cur.unionByName(score(seed))
     }
     for (_ <- 1 to rounds) {
-      val und = cur.select(col("src_id"), col("nbr_id"))
-        .union(cur.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+      // one descent round references `cur` five times (both directions of
+      // the undirected list, their 2-hop self-join, and the max-merge).
+      // Spark shares none of those subtrees, so an unmaterialized round
+      // re-runs the ENTIRE upstream graph build per reference (measured
+      // at sf0.1: the q125 plan held 64 parquet scans of the same table).
+      // Materialize the ≤kN-row edge state once per round — the
+      // pageRankConverged loop discipline applied here; values unchanged.
+      val curM = StageMaterialize(cur, "nn_descent_cur")
+      val und = curM.select(col("src_id"), col("nbr_id"))
+        .union(curM.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
       val cand = und.as("a")
         .join(und.as("b"), col("a.nbr_id") === col("b.src_id"))
         .select(col("a.src_id").as("src_id"), col("b.nbr_id").as("cand_id"))
         .filter(col("src_id") =!= col("cand_id"))
         .distinct()
-      val all = cur.unionByName(score(cand))
+      val all = curM.unionByName(score(cand))
         .groupBy("src_id", "nbr_id").agg(max("sim").as("sim"))
       val w = Window.partitionBy("src_id").orderBy(desc("sim"), col("nbr_id"))
       cur = all.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -535,14 +546,21 @@ object KnnGraph {
                      isSeed: Column => Column, isPos: Column => Column,
                      iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
-    val und = fwd
+    // the edge list (usually a full kNN build) is referenced once per
+    // direction of the undirected list, and the undirected list once per
+    // propagation round — materialize both so the graph build runs ONCE
+    // instead of 2·iters times (Spark shares no subtrees; the
+    // labelPropagateConverged production loop already does this)
+    val fwd = StageMaterialize(
+      edges.select(col("src_id"), col("nbr_id"), col("sim")), "label_prop_edges")
+    val und = StageMaterialize(fwd
       .union(fwd.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id"), col("sim")))
-      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
-    val base = emb.select(col("vec_id"), isSeed(col("vec_id")).as("labeled"),
-      when(isSeed(col("vec_id")) && isPos(col("label")), 1.0)
-        .otherwise(0.0).as("seed"))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w")), "label_prop_und")
+    val base = StageMaterialize(
+      emb.select(col("vec_id"), isSeed(col("vec_id")).as("labeled"),
+        when(isSeed(col("vec_id")) && isPos(col("label")), 1.0)
+          .otherwise(0.0).as("seed")), "label_prop_base")
     var scores = base.withColumn("score", col("seed"))
     for (_ <- 1 to iters) {
       val contrib = und
@@ -628,16 +646,23 @@ object KnnGraph {
   def pageRank(emb: DataFrame, edges: DataFrame, iters: Int = 2,
                damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
-    val und = fwd
+    // same materialization discipline as [[pageRankConverged]]: the edge
+    // list (a full kNN build at the gates) is referenced by both
+    // directions of the undirected list, the undirected list by both the
+    // strength aggregate and the share join, and the share table by every
+    // iteration — unmaterialized, each reference re-runs the whole build
+    // (Spark shares no subtrees). Values unchanged.
+    val fwd = StageMaterialize(
+      edges.select(col("src_id"), col("nbr_id"), col("sim")), "pagerank_edges")
+    val und = StageMaterialize(fwd
       .union(fwd.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id"), col("sim")))
-      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w")), "pagerank_und")
     val strength = und.groupBy("src_id")
       .agg(sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType).as("s"))
-    val share = und.join(strength, Seq("src_id"))
+    val share = StageMaterialize(und.join(strength, Seq("src_id"))
       .select(col("src_id"), col("nbr_id"),
-        round(col("w") / col("s"), 6).as("share"))
+        round(col("w") / col("s"), 6).as("share")), "pagerank_share")
     val n = emb.count()
     val teleport = (1.0 - damping) / n
     var scores = emb.select(col("vec_id"),
@@ -943,7 +968,12 @@ object KnnGraph {
     * newer full list, a duplicate double-ranking) breaks the identity
     * and the hash. */
   def q155AtRestResolve(k: Int = 5, nList: Int = -1, nProbe: Int = 2): Q = (s, d) => {
-    val emb = embeddings(s, d).select("vec_id", "embedding", "label")
+    // the lifecycle below scans the corpus many times (adaptive nList,
+    // centroid seeding + refinement, the h-split filters for the build and
+    // all three folds, the delete-id collect) — materialize once so every
+    // pass reads the checkpointed frame instead of re-reading parquet
+    val emb = StageMaterialize(
+      embeddings(s, d).select("vec_id", "embedding", "label"), "q155_emb")
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
     val cents = SemanticDedup.refinedCentroids(emb, nl)
     def h(c: Column): Column =
@@ -999,16 +1029,24 @@ object KnnGraph {
     val emb = embeddings(s, d)
     val nl = if (nList > 0) nList else ProductQuantization.adaptiveNList(emb)
     val edges = knnEdgesWithCents(emb, SemanticDedup.refinedCentroids(emb, nl), k, nProbe)
-    val fwd = edges.select(col("src_id"), col("nbr_id"), col("sim"))
-    val und = fwd
+    // materialization discipline (see [[pageRank]]): additionally, each
+    // residual row reads BOTH this round's scores and last round's — two
+    // references per iteration, so an unmaterialized loop grows the plan
+    // exponentially in `iters` (measured at sf0.1: a 5300-line plan with
+    // 93 exchanges and 174 scans of the same parquet). Per-round
+    // checkpointed scores keep it flat; values unchanged (every term is
+    // 6dp-rounded DECIMAL arithmetic).
+    val fwd = StageMaterialize(
+      edges.select(col("src_id"), col("nbr_id"), col("sim")), "q150_edges")
+    val und = StageMaterialize(fwd
       .union(fwd.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id"), col("sim")))
-      .groupBy("src_id", "nbr_id").agg(max("sim").as("w"))
+      .groupBy("src_id", "nbr_id").agg(max("sim").as("w")), "q150_und")
     val strength = und.groupBy("src_id")
       .agg(sum(col("w").cast(DecimalType(18, 6))).cast(DoubleType).as("s"))
-    val share = und.join(strength, Seq("src_id"))
+    val share = StageMaterialize(und.join(strength, Seq("src_id"))
       .select(col("src_id"), col("nbr_id"),
-        round(col("w") / col("s"), 6).as("share"))
+        round(col("w") / col("s"), 6).as("share")), "q150_share")
     val n = emb.count()
     val teleport = (1.0 - damping) / n
     var scores = emb.select(col("vec_id"), round(lit(1.0) / n, 6).as("score"))
@@ -1019,11 +1057,11 @@ object KnnGraph {
         .groupBy(col("nbr_id").as("vec_id"))
         .agg(sum(col("share").cast(DecimalType(18, 6)) * col("score").cast(DecimalType(18, 6)))
           .cast(DoubleType).as("inflow"))
-      val next = emb.select(col("vec_id"))
+      val next = StageMaterialize(emb.select(col("vec_id"))
         .join(contrib, Seq("vec_id"), "left_outer")
         .select(col("vec_id"),
           round(lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 6)
-            .as("score"))
+            .as("score")), "q150_scores")
       val row = next.withColumnRenamed("score", "new")
         .join(scores.withColumnRenamed("score", "old"), Seq("vec_id"))
         .select(round(abs(col("new") - col("old")), 6).as("delta"))
@@ -1184,7 +1222,11 @@ object KnnGraph {
     * split out of [[q144MutualKnn]] so the soak's trained/hierarchical
     * twins run the identical audit over their own graphs. */
   def mutualPurityAudit(emb: DataFrame, edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.select("src_id", "nbr_id")
+    // three references below (the knn arm of the union, and both sides of
+    // the mutual self-join) — materialize so a full kNN build passed in
+    // by the gate runs once, not three times (Spark shares no subtrees)
+    val edges = StageMaterialize(edgesIn.select("src_id", "nbr_id"),
+      "mutual_edges")
     val tagged = edges.withColumn("edge_set", lit("knn"))
       .unionAll(mutualEdges(edges).withColumn("edge_set", lit("mutual")))
     val lab = emb.select(col("vec_id"), col("label"))

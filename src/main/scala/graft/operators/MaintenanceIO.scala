@@ -14,6 +14,26 @@ private[operators] object MaintenanceIO {
     * satisfies the check and bounds the exposure window to a pure write. */
   def materialized(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Run independent write jobs CONCURRENTLY (the guide-§2.6 overlap:
+    * Spark's scheduler happily runs several jobs at once inside one
+    * application; sequential actions leave the cluster idle in each
+    * job's commit/tail phase). Callers must pass tasks whose inputs are
+    * already materialized (checkpointed) and whose outputs are disjoint
+    * paths — every use here writes the edge/redge/probe/dir layouts of
+    * one fold, which satisfy both. Failures propagate (the first thrown
+    * exception aborts the fold exactly as the sequential form did). */
+  def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
   /** Run `body` with dynamic partition-overwrite mode, restoring the
     * previous setting afterwards. */
   def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {

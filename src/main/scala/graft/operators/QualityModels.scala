@@ -76,11 +76,15 @@ object QualityModels {
     val tok = docs
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("token"))
-    val cdw = tok.groupBy("doc_id", "source", "token")
-      .agg(count(lit(1)).as("c_dw"))
-    val cw = cdw.groupBy("token").agg(
+    // cdw feeds the vocabulary aggregate AND the scoring join; cw feeds
+    // the totals row AND the llr projection — materialize each once so
+    // the tokenize/explode/count subtree runs a single pass (the
+    // q118/q151 stage-sharing rule; Spark shares no subtrees)
+    val cdw = StageMaterialize(tok.groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("c_dw")), "nb_cdw")
+    val cw = StageMaterialize(cdw.groupBy("token").agg(
       sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
-      sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r"))
+      sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r")), "nb_cw")
     val tot = cw.agg(
       sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
       count(lit(1)).as("v"))
@@ -120,9 +124,11 @@ object QualityModels {
     * values, the counts just arrive pre-grouped. */
   def nbModelFromCounts(cdw: DataFrame): DataFrame = {
     val isT = col("source").isin(ReferenceSources: _*)
-    val cw = cdw.groupBy("token").agg(
+    // consumed twice below (totals row + llr projection) — materialize so
+    // the vocabulary aggregation over the counts runs once
+    val cw = StageMaterialize(cdw.groupBy("token").agg(
       sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
-      sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r"))
+      sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r")), "nb_model_cw")
     val tot = cw.agg(
       sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
       count(lit(1)).as("v"))
@@ -512,9 +518,11 @@ object QualityModels {
     * Identical values: the per-bucket sums just arrive pre-grouped. */
   def dsirModelFromCounts(fc: DataFrame): DataFrame = {
     val isT = col("source").isin(ReferenceSources: _*)
-    val cb = fc.groupBy("b").agg(
+    // consumed twice below (the totals row and the llr projection) —
+    // materialize so the bucket aggregation over fc runs once
+    val cb = StageMaterialize(fc.groupBy("b").agg(
       sum(when(isT, col("c")).otherwise(lit(0L))).as("c_t"),
-      sum(col("c")).as("c_all"))
+      sum(col("c")).as("c_all")), "dsir_cb")
     val tot = cb.agg(sum(col("c_t")).as("n_t"), sum(col("c_all")).as("n_all"))
     cb.crossJoin(broadcast(tot)).select(col("b"),
       round(
@@ -556,7 +564,11 @@ object QualityModels {
   val q109DsirResample: Q = (s, d) => {
     val k = 50
     val docs = documents(s, d)
-    val lw = dsirLogWeights(docs, dsirModel(docs))
+    // model training and scoring both consume the feature-count table —
+    // materialize it once (the q118 discipline) instead of re-running the
+    // tokenize/bigram/md5 subtree per consumer
+    val fc = StageMaterialize(dsirFeatureCounts(docs), "q109_fc")
+    val lw = dsirLogWeightsFromCounts(fc, dsirModelFromCounts(fc))
     lw.withColumn("gumbel", round(-log(-log(dsirUniform(col("doc_id")))), 6))
       .withColumn("sel_key", round(col("log_weight") + col("gumbel"), 6))
       .orderBy(desc("sel_key"), col("doc_id"))
@@ -596,26 +608,32 @@ object QualityModels {
     * percentile sort-buffers each source; drift bound: ApproxCutsSpec).
     */
   def q110CcnetBucketsCuts(exactCuts: Boolean): Q = (s, d) => {
-    val l = documents(s, d)
-      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l"))
-    val bg = l.filter(size(col("l")) >= 2)
+    // the tokenized corpus feeds the bigram explode AND the vocabulary
+    // count; the exploded bigrams feed the type table, the context totals
+    // AND the scoring join; the per-doc scores feed the cuts AND the
+    // bucket join — materialize each once (the q118/q147 discipline;
+    // Spark shares no subtrees)
+    val l = StageMaterialize(documents(s, d)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("l")),
+      "q110_tokens")
+    val bg = StageMaterialize(l.filter(size(col("l")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("source"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
+        col("b.w1").as("w1"), col("b.w2").as("w2")), "q110_bg")
     val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
     val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
     val v = l.select(explode(col("l")).as("token"))
       .agg(countDistinct(col("token")).as("v"))
-    val lp = bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
+    val lp = StageMaterialize(bg.join(cbg, Seq("w1", "w2")).join(cw, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("source"),
         round(log((col("c_bg") + 1) / (col("c_w1") + col("v")).cast(DoubleType)), 6)
           .as("logp"))
       .groupBy("doc_id", "source")
       .agg(round(sum(col("logp").cast(DecimalType(38, 6))).cast(DoubleType) /
-        count(lit(1)), 6).as("lp"))
+        count(lit(1)), 6).as("lp")), "q110_lp")
     val cuts = lp.groupBy("source").agg(
       MixtureOps.pcut(exactCuts)(col("lp"), 1.0 / 3).as("lo_cut"),
       MixtureOps.pcut(exactCuts)(col("lp"), 2.0 / 3).as("hi_cut"))

@@ -95,10 +95,15 @@ object SimilarityOps {
     * avoids it (and measured ~3.1 s → ~2 s at sf0.1). */
   val q29BruteForceTopK: Q = (s, d) => {
     val emb = embeddings(s, d)
-    val elems = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast(DoubleType))
-    val norms = elems.groupBy("vec_id")
-      .agg(sum((col("x") * col("x")).cast(DecimalType(38, 12))).cast(DoubleType).as("nrm"))
+    // elems feeds the norms aggregate, the query slice AND the dot join;
+    // norms feeds both sides of the rescore — materialize each once so
+    // the posexplode (N·dim rows) runs a single pass
+    val elems = StageMaterialize(
+      emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast(DoubleType)), "q29_elems")
+    val norms = StageMaterialize(elems.groupBy("vec_id")
+      .agg(sum((col("x") * col("x")).cast(DecimalType(38, 12))).cast(DoubleType).as("nrm")),
+      "q29_norms")
     val qe = elems.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("pos"), col("x").as("qx"))
     val dots = qe.join(elems.select(col("vec_id").as("target_id"), col("pos"), col("x").as("tx")), Seq("pos"))

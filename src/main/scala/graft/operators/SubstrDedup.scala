@@ -82,8 +82,11 @@ object SubstrDedup {
     val g = gramPositions(docs, k, hashedKeys)
     // One row per (gram, doc): shuffle keys include doc_id, so hot grams
     // distribute; n_pos preserves within-doc repetition for the coverage sum.
-    val perGramDoc = g.groupBy("gram", "doc_id", "source")
-      .agg(count(lit(1)).as("n_pos"))
+    // Materialized once: it feeds both the cross-doc duplicate aggregate
+    // and the coverage join — unmaterialized, the gram explode + aggregate
+    // ran twice (Spark shares no subtrees).
+    val perGramDoc = StageMaterialize(g.groupBy("gram", "doc_id", "source")
+      .agg(count(lit(1)).as("n_pos")), "substr_per_gram_doc")
     // Cross-doc duplicated grams only: input already collapsed to one row
     // per (gram, doc), so count(*) IS the distinct-doc count and the
     // partial aggregate bounds any reducer at ≤ #mappers rows per gram.
