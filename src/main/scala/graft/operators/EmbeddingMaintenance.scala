@@ -353,8 +353,14 @@ object EmbeddingMaintenance {
     // and re-decode every embedding — one extra corpus pass per build)
     val withCell = MaintenanceIO.materialized(emb.withColumn("cell",
       ProductQuantization.cellExpr(emb.sparkSession, cents)(col("embedding"))))
-    withCell.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
-    saveQuantizer(emb.sparkSession, path, cents, statsOf(withCell, cents))
+    // the layout write and the baseline-stats aggregate are independent
+    // jobs over the checkpointed frame — overlap them (guide §2.6); the
+    // sidecar still lands only after both complete
+    var stats: IvfStats = null
+    MaintenanceIO.inParallel(Seq(
+      () => withCell.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path),
+      () => stats = statsOf(withCell, cents)))
+    saveQuantizer(emb.sparkSession, path, cents, stats)
   }
 
   /** One SIDECAR-BACKED self-healing cycle — [[maintain]] with the
