@@ -66,11 +66,18 @@ object EmbeddingMaintenance {
     val remaining = materialized(spark.read.parquet(path)
       .filter(col("cell").isInCollection(affected))
       .filter(!col("vec_id").isInCollection(ids)))
-    val keptCells = remaining.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
-    withDynamicOverwrite(spark) {
-      remaining.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
-    }
+    // the kept-cell collect and the rewrite both read the checkpointed
+    // survivors — overlap them (guide §2.6); the emptied-directory sweep
+    // below needs both done
+    val ov = new MaintenanceIO.Overlap(1)
+    val keptCells = try {
+      val fKept = ov.fork(remaining.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet)
+      withDynamicOverwrite(spark) {
+        remaining.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+      }
+      fKept.join()
+    } finally ov.close()
     val emptied = affected.filterNot(keptCells)
     if (emptied.nonEmpty) {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,16 +94,22 @@ object EmbeddingMaintenance {
     * schema minus the cell column. */
   def upsertVecs(spark: SparkSession, path: String,
                  cents: Array[Array[Float]], changed: DataFrame,
-                 knownOldCells: Option[Seq[Int]] = None): Unit = {
+                 knownOldCells: Option[Seq[Int]] = None,
+                 knownIdCells: Option[Seq[(Long, Int)]] = None): Unit = {
     val incoming = changed.withColumn("cell",
       ProductQuantization.cellExpr(spark, cents)(col("embedding")))
     // ONE collect for both the id list and the new-cell list (they were
-    // two jobs, each re-running the upstream batch plan)
-    val idCellRows = incoming.select("vec_id", "cell").collect()
-    val changedIds = idCellRows.map(_.getLong(0)).toSeq
+    // two jobs, each re-running the upstream batch plan) — skipped
+    // entirely when the caller already holds the batch's (id, cell)
+    // pairs (the graph fold's checkpointed arrival frame carries them)
+    val (changedIds, newCells) = knownIdCells match {
+      case Some(pairs) => (pairs.map(_._1), pairs.map(_._2).distinct)
+      case None =>
+        val rows = incoming.select("vec_id", "cell").collect()
+        (rows.map(_.getLong(0)).toSeq, rows.map(_.getInt(1)).distinct.toSeq)
+    }
     if (changedIds.isEmpty) return
     val oldCells = knownOldCells.getOrElse(cellsOf(spark, path, changedIds))
-    val newCells = idCellRows.map(_.getInt(1)).distinct.toSeq
     val affected = (oldCells ++ newCells).distinct.sorted
     val corpus = spark.read.parquet(path)
     val kept = corpus
@@ -104,11 +117,16 @@ object EmbeddingMaintenance {
       .filter(!col("vec_id").isInCollection(changedIds))
     val next = materialized(
       kept.unionByName(incoming.select(kept.columns.map(col): _*)))
-    val keptCells = next.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
-    withDynamicOverwrite(spark) {
-      next.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
-    }
+    // kept-cell collect ∥ rewrite — both read the checkpointed frame
+    val ov = new MaintenanceIO.Overlap(1)
+    val keptCells = try {
+      val fKept = ov.fork(next.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet)
+      withDynamicOverwrite(spark) {
+        next.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+      }
+      fKept.join()
+    } finally ov.close()
     // an old cell fully vacated by moves (and not re-filled) is reclaimed
     val emptied = affected.filterNot(keptCells)
     if (emptied.nonEmpty) {

@@ -229,9 +229,14 @@ object GraphMaintenance {
   private def writeRedges(df: DataFrame, graphPath: String, gen: Long,
                           append: Boolean): Unit =
     df.filter(col("rk") >= 0)
-      .select(col("nbr_cell"), col("nbr_id"), col("src_id")).distinct()
-      .withColumn("gen", lit(gen))
+      .select(col("nbr_cell"), col("nbr_id"), col("src_id"))
+      // repartition FIRST: hash(nbr_cell) already clusters the dedup keys
+      // (a subset partitioning satisfies the aggregate's distribution), so
+      // the distinct piggybacks on the layout exchange instead of adding a
+      // second full shuffle of the edge delta (guide §2.4)
       .repartition(col("nbr_cell"))
+      .dropDuplicates("nbr_cell", "nbr_id", "src_id")
+      .withColumn("gen", lit(gen))
       .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .partitionBy("nbr_cell").parquet(redgesPath(graphPath))
 
@@ -313,26 +318,36 @@ object GraphMaintenance {
     // task across every partition value would multiply it by the task
     // count — the small-file debt every later read pays). Materialized
     // once and written to both layouts (edges + redges).
-    val ranked = materialized(
-      rankTopK(candidates(probeSide, index), k))
-    val buckets = adaptiveDirBuckets(probed.count())
-    // the four layout writes are independent (materialized inputs,
-    // disjoint output dirs) — overlap them so the cluster isn't idle in
-    // each write's commit/tail phase (guide §2.6)
-    MaintenanceIO.inParallel(Seq(
-      () => writeEdges(ranked.repartition(col("src_cell")), graphPath, gen = 0L,
-        append = false),
-      () => writeRedges(ranked, graphPath, gen = 0L, append = false),
-      () => probed.select(col("vec_id"), col("cell").as("own_cell"),
-          lit(true).as("alive"),
-          lit(0L).as("gen"), explode(col("probes")).as("cell"))
-        .repartition(col("cell"))
-        .write.mode(SaveMode.Overwrite).partitionBy("cell")
-        .parquet(probesPath(graphPath)),
-      () => writeDir(probed.select(col("vec_id"), col("cell"), lit(true).as("alive")),
-        graphPath, gen = 0L, buckets, append = false)))
-    saveGraphMeta(spark, graphPath,
-      GraphMeta(k, nProbe, gen = 0L, buckets, lastBatch))
+    //
+    // Pipelined overlap (guide §2.6): the probes/ and dir/ writes and the
+    // bucket count depend only on the checkpointed `probed` frame — they
+    // need not wait for the candidate join + rank window, the build's
+    // dominant job. Fork them first so they fill the cluster while the
+    // rank materializes; the edge/redge writes join everything at the end.
+    val ov = new MaintenanceIO.Overlap(4)
+    try {
+      val fRanked = ov.fork(materialized(
+        rankTopK(candidates(probeSide, index), k)))
+      val buckets = adaptiveDirBuckets(probed.count())
+      val fProbes = ov.fork(
+        probed.select(col("vec_id"), col("cell").as("own_cell"),
+            lit(true).as("alive"),
+            lit(0L).as("gen"), explode(col("probes")).as("cell"))
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell")
+          .parquet(probesPath(graphPath)))
+      val fDir = ov.fork(
+        writeDir(probed.select(col("vec_id"), col("cell"), lit(true).as("alive")),
+          graphPath, gen = 0L, buckets, append = false))
+      val ranked = fRanked.join()
+      MaintenanceIO.inParallel(Seq(
+        () => writeEdges(ranked.repartition(col("src_cell")), graphPath, gen = 0L,
+          append = false),
+        () => writeRedges(ranked, graphPath, gen = 0L, append = false)))
+      fProbes.join(); fDir.join()
+      saveGraphMeta(spark, graphPath,
+        GraphMeta(k, nProbe, gen = 0L, buckets, lastBatch))
+    } finally ov.close()
   }
 
   /** Resolve the edge log into the CURRENT graph — the merge-on-read
@@ -362,11 +377,21 @@ object GraphMaintenance {
     * challengers are ever generated for it. */
   private def resolveFull(raw: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("src_id")
+    // ONE window pass computes both generation marks (they share the
+    // unordered src_id frame, so Spark evaluates them in a single
+    // WindowExec). full_gen used to be computed in a second pass over the
+    // tombstone-surviving rows; the survivors' max full generation is
+    // derivable without that pass: max_full survives iff max_full ≥
+    // tomb_gen (the newest full list is its own witness), otherwise NO
+    // full list survives the tombstone — exactly the two-pass value.
     val live = raw
       .withColumn("tomb_gen", max(when(col("rk") === -1, col("gen"))).over(w))
+      .withColumn("max_full", max(when(col("rk") >= 1, col("gen"))).over(w))
+      .withColumn("full_gen",
+        when(col("tomb_gen").isNull || col("max_full") >= col("tomb_gen"),
+          col("max_full")))
       .filter(col("rk") =!= -1)
       .filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
-      .withColumn("full_gen", max(when(col("rk") >= 1, col("gen"))).over(w))
       .filter((col("rk") >= 1 && col("gen") === col("full_gen")) ||
         (col("rk") === 0 && col("gen") > coalesce(col("full_gen"), lit(-1L))))
       .select(col("src_id"), col("src_cell"), col("nbr_id"), col("nbr_cell"),
@@ -430,19 +455,24 @@ object GraphMaintenance {
     * for a wholesale layout rewrite (a spread batch touches nearly every
     * cell, where per-cell surgery loses to one partitioned overwrite). */
   private def foldIndexSide(spark: SparkSession, embPath: String,
-                            cents: Array[Array[Float]], changedM: DataFrame,
+                            cents: Array[Array[Float]], arr: DataFrame,
                             present: DataFrame, reOldCells: Seq[Int],
-                            nRe: Long): Unit = {
-    val cellUdf = ProductQuantization.cellExpr(spark, cents)
-    val newRows = changedM.join(present.select("vec_id"), Seq("vec_id"), "left_anti")
-    val reRows = changedM.join(present.select("vec_id"), Seq("vec_id"), "left_semi")
-    if (nRe < changedM.count())
-      prof("index-append")(newRows.withColumn("cell", cellUdf(col("embedding")))
+                            reIdCells: Seq[(Long, Int)],
+                            nRe: Long, nChanged: Long): Unit = {
+    // `arr` is the fold's checkpointed arrival frame — batch columns plus
+    // the already-computed cell (same cellExpr, same frozen centroids),
+    // so neither branch recomputes the assignment and the upsert skips
+    // its internal (id, cell) collect
+    val rows = arr.drop("probes")
+    val newRows = rows.join(present.select("vec_id"), Seq("vec_id"), "left_anti")
+    val reRows = rows.join(present.select("vec_id"), Seq("vec_id"), "left_semi")
+    if (nRe < nChanged)
+      prof("index-append")(newRows
         .write.mode(SaveMode.Append).partitionBy("cell").parquet(embPath))
     if (nRe > 0)
       prof("index-upsert")(
         EmbeddingMaintenance.upsertVecs(spark, embPath, cents, reRows,
-          knownOldCells = Some(reOldCells)))
+          knownOldCells = Some(reOldCells), knownIdCells = Some(reIdCells)))
   }
 
   /** Incrementally fold a batch of arrivals (new vectors AND re-embeds)
@@ -476,16 +506,21 @@ object GraphMaintenance {
     requireDir(meta, graphPath)
     if (batchId >= 0 && batchId <= meta.lastBatch) return false
     val changedM = prof("batch-materialize")(materialized(changed))
-    if (changedM.isEmpty) return false
+    // one count serves the emptiness check here and foldIndexSide's
+    // new-vs-re-embed split below (isEmpty was a separate limit-1 job)
+    val nChanged = changedM.count()
+    if (nChanged == 0) return false
     val cents = centroidsOf(spark, embPath)
     // pre-upsert facts about re-embedded ids: an id-bucket-pruned dir/
-    // read (batch-proportional), never an embedding-layout scan
+    // read (batch-proportional), never an embedding-layout scan. ONE
+    // collect of the batch-bounded cell column yields both the re-embed
+    // count and the old-cell list (they were two jobs).
     val present = prof("present-lookup")(materialized(
       dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets)))
-    val reOldCells = present.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    upsertGraphResolved(spark, embPath, graphPath, changedM, batchId,
-      meta, cents, present, reOldCells)
+    val presentRows = present.select("vec_id", "cell").collect()
+    val reOldCells = presentRows.map(_.getInt(1)).distinct.toSeq
+    upsertGraphResolved(spark, embPath, graphPath, changedM, nChanged, batchId,
+      meta, cents, present, presentRows.map(_.getLong(0)).toSet, reOldCells)
   }
 
   /** [[upsertGraph]]'s fold body, after the sidecar/cursor/present
@@ -493,79 +528,137 @@ object GraphMaintenance {
     * chooser's membership lookup is never repeated. */
   private def upsertGraphResolved(spark: SparkSession, embPath: String,
                                   graphPath: String, changedM: DataFrame,
-                                  batchId: Long, meta: GraphMeta,
+                                  nChanged: Long, batchId: Long, meta: GraphMeta,
                                   cents: Array[Array[Float]],
-                                  present: DataFrame,
+                                  present: DataFrame, presentIds: Set[Long],
                                   reOldCells: Seq[Int]): Boolean = {
     val thisGen = meta.gen + 1
+    val nRe = presentIds.size.toLong
     val ids = changedM.select("vec_id")
-    val nRe = present.count()
-
-    // the re-embeds' OLD probe rows, recomputed from the PRE-upsert
-    // layout pruned to their cells (stored probe rows are exactly
-    // probeUdf(stored embedding) with own_cell = the dir cell) — these
-    // become in-place probe tombstones, with no probes/ scan
-    val oldProbeRows = if (nRe == 0) None else Some(prof("old-probe-lookup")(
-      materialized {
-        val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
-        spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
-          .filter(col("cell").isInCollection(reOldCells))
-          .join(present.select("vec_id"), Seq("vec_id"), "left_semi")
-          .select(col("vec_id"), col("cell").as("own_cell"),
-            lit(false).as("alive"),
-            explode(probeUdf(col("embedding"))).as("cell"))
-      }))
-
-    foldIndexSide(spark, embPath, cents, changedM, present, reOldCells, nRe)
-    val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
-
     val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
     val cellUdf = ProductQuantization.cellExpr(spark, cents)
-    val arr = prof("arr-materialize")(materialized(
-      changedM.select(col("vec_id"), col("embedding"))
-        .withColumn("cell", cellUdf(col("embedding")))
-        .withColumn("probes", probeUdf(col("embedding")))))
-    // one collect for both cell lists (they were two separate jobs): the
-    // rows are batch-bounded pairs of (own cell, probe list) ints
-    val arrCellRows = arr.select(col("cell"), col("probes"))
-      .distinct().collect()
-    val arrCells = arrCellRows.map(_.getInt(0)).distinct.toSeq
-    val arrProbeCells = arrCellRows.flatMap(_.getSeq[Int](1)).distinct.toSeq
 
-    // the arrivals' own full lists against the post-upsert layout
-    // (includes arrival↔arrival edges — the index already holds the batch)
-    val arrProbeSide = arr.select(col("vec_id").as("src_id"),
-      col("embedding").as("src_emb"), col("cell").as("src_cell"),
-      explode(col("probes")).as("cell"))
-    val arrIndex = layout
-      .filter(if (arrProbeCells.isEmpty) lit(false)
-              else col("cell").isInCollection(arrProbeCells))
-      .select(col("cell"), col("vec_id"), col("embedding"))
-    val arrEdges = rankTopK(candidates(arrProbeSide, arrIndex), meta.k)
+    // The fold's serial chain used to run ~15 job barriers back-to-back;
+    // most are independent given their checkpointed inputs (guide §2.6).
+    // Forked here: the arrival cell/probe frame (needs only the batch —
+    // it overlaps the membership lookup and feeds BOTH index branches,
+    // so the assignment is computed once), the probe-index delta (needs
+    // arr + old probe rows), the challenger sources (reads probes/,
+    // untouched until the final appends), and the repair chain (reads
+    // redges/ + the post-upsert layout). Each fork's inputs are
+    // checkpointed and its reads are disjoint from every concurrent
+    // write; joins happen where a result is first consumed.
+    val ov = new MaintenanceIO.Overlap(4)
+    try {
+      val fArr = ov.fork {
+        val a = prof("arr-materialize")(materialized(
+          changedM
+            .withColumn("cell", cellUdf(col("embedding")))
+            .withColumn("probes", probeUdf(col("embedding")))))
+        // one collect serves every driver-side need: the batch's (id,
+        // cell, probes) rows are batch-bounded ints
+        (a, a.select(col("vec_id"), col("cell"), col("probes")).collect())
+      }
 
-    // challenger rows: (existing source probing an arrival cell) ×
-    // (arrival in that cell) — rk = 0, folded in by the reader. The
-    // batch-id exclusion is a broadcast anti-join, not a driver IN-list.
-    val rev = liveProbes(spark, graphPath, arrCells)
-      .join(ids, Seq("vec_id"), "left_anti")
-    val revSrcs = prof("rev-sources")(
-      materialized(rev.select(col("vec_id"), col("own_cell")).distinct()))
-    val srcCells = revSrcs.select("own_cell").distinct().collect().map(_.getInt(0)).toSeq
-    val srcEmb = layout
-      .filter(if (srcCells.isEmpty) lit(false)
-              else col("cell").isInCollection(srcCells))
-      .join(revSrcs.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
-        col("cell").as("src_cell"))
-    val challengersAll = rev
-      .select(col("vec_id").as("src_id"), col("cell"))
-      .join(arr.select(col("cell"), col("vec_id").as("nbr_id"),
-        col("embedding").as("nbr_emb")), Seq("cell"))
-      .join(srcEmb, Seq("src_id"))
-      .select(col("src_id"), col("src_cell"), col("nbr_id"),
-        col("cell").as("nbr_cell"),
-        round(graft.functions.CosineSimilarity(col("src_emb"), col("nbr_emb")), 6)
-          .as("sim"))
+      // the re-embeds' OLD probe rows, recomputed from the PRE-upsert
+      // layout pruned to their cells (stored probe rows are exactly
+      // probeUdf(stored embedding) with own_cell = the dir cell) — these
+      // become in-place probe tombstones, with no probes/ scan. Serial:
+      // must finish before foldIndexSide rewrites those cells.
+      val oldProbeRows = if (nRe == 0) None else Some(prof("old-probe-lookup")(
+        materialized {
+          spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
+            .filter(col("cell").isInCollection(reOldCells))
+            .join(present.select("vec_id"), Seq("vec_id"), "left_semi")
+            .select(col("vec_id"), col("cell").as("own_cell"),
+              lit(false).as("alive"),
+              explode(probeUdf(col("embedding"))).as("cell"))
+        }))
+
+      val (arr, arrRows) = fArr.join()
+      val arrCells = arrRows.map(_.getInt(1)).distinct.toSeq
+      val arrProbeCells = arrRows.flatMap(_.getSeq[Int](2)).distinct.toSeq
+      val reIdCells = arrRows.collect {
+        case r if presentIds(r.getLong(0)) => (r.getLong(0), r.getInt(1))
+      }.toSeq
+
+      foldIndexSide(spark, embPath, cents, arr, present, reOldCells, reIdCells,
+        nRe, nChanged)
+      val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
+
+      // probe index delta: arrivals append their live rows; re-embeds
+      // tombstone their old probe rows in place — checkpointed inputs
+      // only, so it overlaps the whole edge-delta computation below
+      val fProbeDelta = ov.fork(prof("probe-delta-compute")(materialized {
+        val probeNew = arr.select(col("vec_id"), col("cell").as("own_cell"),
+          lit(true).as("alive"), explode(col("probes")).as("cell"))
+        Seq(Some(probeNew), oldProbeRows).flatten.reduce(_ unionByName _)
+          .select(col("vec_id"), col("own_cell"), col("alive"),
+            lit(thisGen).as("gen"), col("cell"))
+      }))
+
+      // challenger sources: (existing source probing an arrival cell),
+      // batch excluded by a broadcast anti-join, not a driver IN-list.
+      // Materialized ONCE and reused by the challenger join (it used to
+      // be recomputed lazily inside the edge-delta job); the own-cell
+      // collect is nList-bounded.
+      val fRev = ov.fork(prof("rev-sources") {
+        val revM = materialized(liveProbes(spark, graphPath, arrCells)
+          .join(ids, Seq("vec_id"), "left_anti"))
+        (revM,
+          revM.select("own_cell").distinct().collect().map(_.getInt(0)).toSeq)
+      })
+
+      // stale-pointer repairs: sources holding an edge to a re-embedded
+      // id get fresh full lists (their stored sims no longer bound
+      // anything). Discovery reads redges/ pruned to the re-embeds' OLD
+      // cells — a batch-proportional metadata read; redges/
+      // over-approximates (superseded pointers linger until compaction):
+      // a stale hit merely re-probes a source whose fresh list equals the
+      // rebuild's anyway. Current cell from the LAYOUT, the single source
+      // of truth. Independent of the challenger chain — forked alongside.
+      val fRepair = ov.fork {
+        val repairSrcs = prof("repair-discovery")(materialized(
+          if (nRe == 0) emptyEdges(spark).select("src_id", "src_cell")
+          else spark.read.parquet(redgesPath(graphPath))
+            .filter(if (reOldCells.isEmpty) lit(false)
+                    else col("nbr_cell").isInCollection(reOldCells))
+            .join(present.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_semi")
+            .select("src_id").distinct()
+            .join(ids.select(col("vec_id").as("src_id")), Seq("src_id"), "left_anti")
+            .join(layout.select(col("vec_id").as("src_id"),
+              col("cell").as("src_cell")), Seq("src_id"), "inner")))
+        (repairSrcs, rebuildSources(spark, layout, repairSrcs, cents,
+          meta.k, meta.nProbe))
+      }
+
+      // the arrivals' own full lists against the post-upsert layout
+      // (includes arrival↔arrival edges — the index already holds the batch)
+      val arrProbeSide = arr.select(col("vec_id").as("src_id"),
+        col("embedding").as("src_emb"), col("cell").as("src_cell"),
+        explode(col("probes")).as("cell"))
+      val arrIndex = layout
+        .filter(if (arrProbeCells.isEmpty) lit(false)
+                else col("cell").isInCollection(arrProbeCells))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+      val arrEdges = rankTopK(candidates(arrProbeSide, arrIndex), meta.k)
+
+      val (revM, srcCells) = fRev.join()
+      val srcEmb = layout
+        .filter(if (srcCells.isEmpty) lit(false)
+                else col("cell").isInCollection(srcCells))
+        .join(revM.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
+          col("cell").as("src_cell"))
+      val challengersAll = revM
+        .select(col("vec_id").as("src_id"), col("cell"))
+        .join(arr.select(col("cell"), col("vec_id").as("nbr_id"),
+          col("embedding").as("nbr_emb")), Seq("cell"))
+        .join(srcEmb, Seq("src_id"))
+        .select(col("src_id"), col("src_cell"), col("nbr_id"),
+          col("cell").as("nbr_cell"),
+          round(graft.functions.CosineSimilarity(col("src_emb"), col("nbr_emb")), 6)
+            .as("sim"))
     // EXACT pre-cut before anything is appended — without it every
     // affected source logs ~nProbe·batch/nList rows per batch and the
     // log grows with the corpus (measured: the uncut form's append was
@@ -580,99 +673,78 @@ object GraphMaintenance {
     //     < k edges have no floor and keep everything.
     //  2. per-source top-k cap: top-k(old ∪ C) = top-k(old ∪ top-k(C)).
     // Appended volume is then ∝ actual displacements, not candidates.
-    val wf = Window.partitionBy("src_id")
-    val kthFloor = spark.read.parquet(edgesPath(graphPath))
-      // partition-pruned to the affected sources' cells: at production
-      // nList >> batch this is batch-bounded; only a source resident in
-      // one of these cells can appear in the challenger set
-      .filter(if (srcCells.isEmpty) lit(false)
-              else col("src_cell").isInCollection(srcCells))
-      .withColumn("tg", max(when(col("rk") === -1, col("gen"))).over(wf))
-      .filter(col("tg").isNull || col("gen") >= col("tg"))
-      .filter(col("rk") >= 1)
-      .withColumn("fg", max("gen").over(wf)).filter(col("gen") === col("fg"))
-      .filter(col("rk") === meta.k)
-      .select(col("src_id"), col("sim").as("kth_sim"))
-      .dropDuplicates("src_id")
-    val wc = Window.partitionBy("src_id").orderBy(desc("sim"), col("nbr_id"))
-    val challengers = challengersAll
-      .join(kthFloor, Seq("src_id"), "left")
-      .filter(col("kth_sim").isNull || col("sim") >= col("kth_sim"))
-      .withColumn("crk", row_number().over(wc)).filter(col("crk") <= meta.k)
-      .select(col("src_id"), col("src_cell"), col("nbr_id"), col("nbr_cell"),
-        col("sim"), lit(0).as("rk"))
+      val wf = Window.partitionBy("src_id")
+      // ONE window pass for both generation marks (the resolveFull
+      // fusion): the tombstone-surviving rows' max full generation is mf
+      // when any rk ≥ 1 row survives (gen === mf implies survival once
+      // the row-level tombstone filter has run) and no row otherwise.
+      val kthFloor = spark.read.parquet(edgesPath(graphPath))
+        // partition-pruned to the affected sources' cells: at production
+        // nList >> batch this is batch-bounded; only a source resident in
+        // one of these cells can appear in the challenger set
+        .filter(if (srcCells.isEmpty) lit(false)
+                else col("src_cell").isInCollection(srcCells))
+        .withColumn("tg", max(when(col("rk") === -1, col("gen"))).over(wf))
+        .withColumn("mf", max(when(col("rk") >= 1, col("gen"))).over(wf))
+        .filter(col("tg").isNull || col("gen") >= col("tg"))
+        .filter(col("rk") >= 1)
+        .filter(col("gen") === col("mf"))
+        .filter(col("rk") === meta.k)
+        .select(col("src_id"), col("sim").as("kth_sim"))
+        .dropDuplicates("src_id")
+      val wc = Window.partitionBy("src_id").orderBy(desc("sim"), col("nbr_id"))
+      val challengers = challengersAll
+        .join(kthFloor, Seq("src_id"), "left")
+        .filter(col("kth_sim").isNull || col("sim") >= col("kth_sim"))
+        .withColumn("crk", row_number().over(wc)).filter(col("crk") <= meta.k)
+        .select(col("src_id"), col("src_cell"), col("nbr_id"), col("nbr_cell"),
+          col("sim"), lit(0).as("rk"))
 
-    // stale-pointer repairs: sources holding an edge to a re-embedded id
-    // get fresh full lists (their stored sims no longer bound anything).
-    // Discovery reads redges/ pruned to the re-embeds' OLD cells — a
-    // batch-proportional metadata read; the old path resolved the whole
-    // edge log. redges/ over-approximates (superseded pointers linger
-    // until compaction): a stale hit merely re-probes a source whose
-    // fresh list equals the rebuild's anyway. Current cell from the
-    // LAYOUT, the single source of truth.
-    val repairSrcs = prof("repair-discovery")(materialized(
-      if (nRe == 0) emptyEdges(spark).select("src_id", "src_cell")
-      else spark.read.parquet(redgesPath(graphPath))
-        .filter(if (reOldCells.isEmpty) lit(false)
-                else col("nbr_cell").isInCollection(reOldCells))
-        .join(present.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_semi")
-        .select("src_id").distinct()
-        .join(ids.select(col("vec_id").as("src_id")), Seq("src_id"), "left_anti")
-        .join(layout.select(col("vec_id").as("src_id"),
-          col("cell").as("src_cell")), Seq("src_id"), "inner")))
-    val repairedEdges = rebuildSources(spark, layout, repairSrcs, cents,
-      meta.k, meta.nProbe)
-    // a repaired source's fresh list supersedes its older challengers,
-    // so challengers for repair sources this batch are dropped to keep
-    // the log unambiguous (their candidates are already in the re-probe)
-    val challengersClean = challengers
-      .join(repairSrcs.select("src_id"), Seq("src_id"), "left_anti")
+      val (repairSrcs, repairedEdges) = fRepair.join()
+      // a repaired source's fresh list supersedes its older challengers,
+      // so challengers for repair sources this batch are dropped to keep
+      // the log unambiguous (their candidates are already in the re-probe)
+      val challengersClean = challengers
+        .join(repairSrcs.select("src_id"), Seq("src_id"), "left_anti")
 
-    // tombstones for re-embedded ids' OLD rows (their fresh lists land in
-    // arrEdges at this generation; old-cell rows must stop resolving) —
-    // built straight from the dir lookup, no driver-side cell map
-    val edgeTombs =
-      if (nRe == 0) None
-      else Some(present.select(col("vec_id").as("src_id"),
-        col("cell").as("src_cell"), lit(0L).as("nbr_id"),
-        lit(-1).as("nbr_cell"), lit(0.0).as("sim"), lit(-1).as("rk")))
+      // tombstones for re-embedded ids' OLD rows (their fresh lists land in
+      // arrEdges at this generation; old-cell rows must stop resolving) —
+      // built straight from the dir lookup, no driver-side cell map
+      val edgeTombs =
+        if (nRe == 0) None
+        else Some(present.select(col("vec_id").as("src_id"),
+          col("cell").as("src_cell"), lit(0L).as("nbr_id"),
+          lit(-1).as("nbr_cell"), lit(0.0).as("sim"), lit(-1).as("rk")))
 
-    // one file per touched partition per batch: a 32-task append across
-    // ~nList partition values would otherwise create tasks × cells tiny
-    // files per batch (measured as the dominant incremental overhead at
-    // 50 k — file creation, then listing on every later read)
-    val allEdges = Seq(Some(arrEdges), Some(challengersClean),
-      Some(repairedEdges), edgeTombs).flatten.reduce(_ unionByName _)
-    val allEdgesM = prof("edge-delta-compute")(materialized(allEdges))
+      // one file per touched partition per batch: a 32-task append across
+      // ~nList partition values would otherwise create tasks × cells tiny
+      // files per batch (measured as the dominant incremental overhead at
+      // 50 k — file creation, then listing on every later read)
+      val allEdges = Seq(Some(arrEdges), Some(challengersClean),
+        Some(repairedEdges), edgeTombs).flatten.reduce(_ unionByName _)
+      val allEdgesM = prof("edge-delta-compute")(materialized(allEdges))
+      val probeDeltaM = fProbeDelta.join()
 
-    // probe index: arrivals append their live rows; re-embeds tombstone
-    // their old probe rows in place (same partitions, append-only)
-    val probeNew = arr.select(col("vec_id"), col("cell").as("own_cell"),
-      lit(true).as("alive"), explode(col("probes")).as("cell"))
-    val probeDeltaM = prof("probe-delta-compute")(
-      materialized(Seq(Some(probeNew), oldProbeRows).flatten.reduce(_ unionByName _)
-        .select(col("vec_id"), col("own_cell"), col("alive"),
-          lit(thisGen).as("gen"), col("cell"))))
+      // the four layout appends are independent (materialized inputs,
+      // disjoint output dirs) — overlap them (guide §2.6); the membership
+      // directory rows come straight from the checkpointed arrival frame
+      prof("delta-writes")(MaintenanceIO.inParallel(Seq(
+        () => writeEdges(allEdgesM.repartition(col("src_cell")),
+          graphPath, thisGen, append = true),
+        () => writeRedges(allEdgesM, graphPath, thisGen, append = true),
+        () => probeDeltaM
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)),
+        // membership directory: every changed id's current cell at this
+        // generation (latest-wins supersedes a re-embed's old row)
+        () => writeDir(
+          arr.select(col("vec_id"), col("cell"), lit(true).as("alive")),
+          graphPath, thisGen, meta.dirBuckets, append = true))))
 
-    // the four layout appends are independent (materialized inputs,
-    // disjoint output dirs) — overlap them (guide §2.6); the membership
-    // directory rows come straight from the checkpointed arrival frame
-    prof("delta-writes")(MaintenanceIO.inParallel(Seq(
-      () => writeEdges(allEdgesM.repartition(col("src_cell")),
-        graphPath, thisGen, append = true),
-      () => writeRedges(allEdgesM, graphPath, thisGen, append = true),
-      () => probeDeltaM
-        .repartition(col("cell"))
-        .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)),
-      // membership directory: every changed id's current cell at this
-      // generation (latest-wins supersedes a re-embed's old row)
-      () => writeDir(
-        arr.select(col("vec_id"), col("cell"), lit(true).as("alive")),
-        graphPath, thisGen, meta.dirBuckets, append = true))))
-
-    saveGraphMeta(spark, graphPath, meta.copy(gen = thisGen,
-      lastBatch = math.max(meta.lastBatch, batchId)))
-    true
+      saveGraphMeta(spark, graphPath, meta.copy(gen = thisGen,
+        lastBatch = math.max(meta.lastBatch, batchId)))
+      true
+    } finally ov.close()
   }
 
   /** [[upsertGraph]] behind a COST-BASED REGIME CHOOSER (round-15
@@ -711,16 +783,18 @@ object GraphMaintenance {
     if (batchId >= 0 && batchId <= meta.lastBatch)
       return (false, "replayed batch skipped")
     val changedM = prof("batch-materialize")(materialized(changed))
-    if (changedM.isEmpty) return (false, "empty batch")
+    val nChanged = changedM.count()
+    if (nChanged == 0) return (false, "empty batch")
     val cents = centroidsOf(spark, embPath)
     val present = prof("present-lookup")(materialized(
       dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets)))
-    val reOldCells = present.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val presentRows = present.select("vec_id", "cell").collect()
+    val reOldCells = presentRows.map(_.getInt(1)).distinct.toSeq
     val frac = reOldCells.size.toDouble / cents.length
     if (frac < rebuildCellFrac) {
       val folded = upsertGraphResolved(spark, embPath, graphPath, changedM,
-        batchId, meta, cents, present, reOldCells)
+        nChanged, batchId, meta, cents, present,
+        presentRows.map(_.getLong(0)).toSet, reOldCells)
       (folded, "incremental")
     } else {
       // wholesale index rewrite, not the surgical upsert: a spread
@@ -768,52 +842,62 @@ object GraphMaintenance {
     import spark.implicits._
     val idsDf = ids.toDF("vec_id")
     val victims = materialized(dirLookup(spark, graphPath, idsDf, meta.dirBuckets))
-    if (victims.isEmpty) return
-    val victimCells = victims.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // one collect of the batch-bounded cell column answers both the
+    // emptiness check and the victim-cell list (they were two jobs)
+    val victimCellRows = victims.select("cell").collect()
+    if (victimCellRows.isEmpty) return
+    val victimCells = victimCellRows.map(_.getInt(0)).distinct.toSeq
 
-    // victims' probe rows from the PRE-delete layout (probe tombstones)
-    val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
-    val probeTombs = materialized(
-      spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
-        .filter(col("cell").isInCollection(victimCells))
-        .join(victims.select("vec_id"), Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("cell").as("own_cell"),
-          lit(false).as("alive"), lit(thisGen).as("gen"),
-          explode(probeUdf(col("embedding"))).as("cell")))
-    // holders of an edge to a victim: redges/ pruned to the victims'
-    // cells (over-approximate — see upsertGraph), surviving ids only
-    val reverseIds = materialized(spark.read.parquet(redgesPath(graphPath))
-      .filter(col("nbr_cell").isInCollection(victimCells))
-      .join(victims.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_semi")
-      .select("src_id").distinct()
-      .join(idsDf.select(col("vec_id").as("src_id")), Seq("src_id"), "left_anti"))
+    val ov = new MaintenanceIO.Overlap(2)
+    try {
+      // holders of an edge to a victim: redges/ pruned to the victims'
+      // cells (over-approximate — see upsertGraph), surviving ids only.
+      // Reads only redges/ — disjoint from the probe-tombstone read AND
+      // the index delete, so it overlaps both (guide §2.6).
+      val fReverseIds = ov.fork(materialized(
+        spark.read.parquet(redgesPath(graphPath))
+          .filter(col("nbr_cell").isInCollection(victimCells))
+          .join(victims.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_semi")
+          .select("src_id").distinct()
+          .join(idsDf.select(col("vec_id").as("src_id")), Seq("src_id"), "left_anti")))
 
-    EmbeddingMaintenance.deleteVecs(spark, embPath, ids,
-      knownCells = Some(victimCells))
-    val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
-    // survivors' cells from the post-delete layout (the source of truth)
-    val reverseSrcs = materialized(reverseIds.join(
-      layout.select(col("vec_id").as("src_id"), col("cell").as("src_cell")),
-      Seq("src_id"), "inner"))
-    val repairedEdges = rebuildSources(spark, layout, reverseSrcs, cents,
-      meta.k, meta.nProbe)
+      // victims' probe rows from the PRE-delete layout (probe tombstones)
+      // — must complete before deleteVecs rewrites the victim cells
+      val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
+      val probeTombs = materialized(
+        spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
+          .filter(col("cell").isInCollection(victimCells))
+          .join(victims.select("vec_id"), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("cell").as("own_cell"),
+            lit(false).as("alive"), lit(thisGen).as("gen"),
+            explode(probeUdf(col("embedding"))).as("cell")))
 
-    val edgeTombs = victims.select(col("vec_id").as("src_id"),
-      col("cell").as("src_cell"), lit(0L).as("nbr_id"),
-      lit(-1).as("nbr_cell"), lit(0.0).as("sim"), lit(-1).as("rk"))
-    val allM = materialized(repairedEdges.unionByName(edgeTombs))
-    // independent appends over materialized inputs — overlap (guide §2.6)
-    MaintenanceIO.inParallel(Seq(
-      () => writeEdges(allM.repartition(col("src_cell")), graphPath, thisGen,
-        append = true),
-      () => writeRedges(allM, graphPath, thisGen, append = true),
-      () => probeTombs.select("vec_id", "own_cell", "alive", "gen", "cell")
-        .repartition(col("cell"))
-        .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)),
-      () => writeDir(victims.select(col("vec_id"), col("cell"), lit(false).as("alive")),
-        graphPath, thisGen, meta.dirBuckets, append = true)))
-    saveGraphMeta(spark, graphPath, meta.copy(gen = thisGen))
+      EmbeddingMaintenance.deleteVecs(spark, embPath, ids,
+        knownCells = Some(victimCells))
+      val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
+      // survivors' cells from the post-delete layout (the source of truth)
+      val reverseSrcs = materialized(fReverseIds.join().join(
+        layout.select(col("vec_id").as("src_id"), col("cell").as("src_cell")),
+        Seq("src_id"), "inner"))
+      val repairedEdges = rebuildSources(spark, layout, reverseSrcs, cents,
+        meta.k, meta.nProbe)
+
+      val edgeTombs = victims.select(col("vec_id").as("src_id"),
+        col("cell").as("src_cell"), lit(0L).as("nbr_id"),
+        lit(-1).as("nbr_cell"), lit(0.0).as("sim"), lit(-1).as("rk"))
+      val allM = materialized(repairedEdges.unionByName(edgeTombs))
+      // independent appends over materialized inputs — overlap (guide §2.6)
+      MaintenanceIO.inParallel(Seq(
+        () => writeEdges(allM.repartition(col("src_cell")), graphPath, thisGen,
+          append = true),
+        () => writeRedges(allM, graphPath, thisGen, append = true),
+        () => probeTombs.select("vec_id", "own_cell", "alive", "gen", "cell")
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)),
+        () => writeDir(victims.select(col("vec_id"), col("cell"), lit(false).as("alive")),
+          graphPath, thisGen, meta.dirBuckets, append = true)))
+      saveGraphMeta(spark, graphPath, meta.copy(gen = thisGen))
+    } finally ov.close()
   }
 
   /** Fold the edge/probe/redge/dir logs back to one generation — the LSM
@@ -827,31 +911,44 @@ object GraphMaintenance {
     * the membership lookup stays batch-proportional. */
   def compactGraph(spark: SparkSession, embPath: String, graphPath: String): Unit = {
     val meta = loadGraphMeta(spark, graphPath)
-    val resolved = materialized(
-      resolveFull(spark.read.parquet(edgesPath(graphPath)), meta.k))
-    writeEdges(resolved.repartition(col("src_cell")), graphPath, gen = 0L,
-      append = false)
-    writeRedges(resolved, graphPath, gen = 0L, append = false)
-    val w = Window.partitionBy("vec_id", "cell")
-    val probes = materialized(spark.read.parquet(probesPath(graphPath))
-      .withColumn("mg", max("gen").over(w)).filter(col("gen") === col("mg"))
-      .filter(col("alive"))
-      .select(col("vec_id"), col("own_cell"), lit(true).as("alive"),
-        lit(0L).as("gen"), col("cell")))
-    // STATIC overwrite: the whole directory is replaced, so partitions
-    // whose every probe row died disappear with it
-    probes.write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(probesPath(graphPath))
-    val wd = Window.partitionBy("vec_id")
-    val dirNow = materialized(spark.read.parquet(dirPath(graphPath))
-      .withColumn("mg", max("gen").over(wd)).filter(col("gen") === col("mg"))
-      .filter(col("alive"))
-      .select(col("vec_id"), col("cell"), lit(true).as("alive"))
-      .dropDuplicates("vec_id"))
-    val buckets = adaptiveDirBuckets(dirNow.count())
-    writeDir(dirNow, graphPath, gen = 0L, buckets, append = false)
-    saveGraphMeta(spark, graphPath,
-      meta.copy(gen = 0L, dirBuckets = buckets))
+    // the three rewrite chains (edge layouts, probe index, membership
+    // directory) read and write disjoint subdirectories — overlap them
+    // (guide §2.6); each chain materializes its own input first, so the
+    // overwrites never race their reads
+    val ov = new MaintenanceIO.Overlap(3)
+    try {
+      val fEdges = ov.fork {
+        val resolved = materialized(
+          resolveFull(spark.read.parquet(edgesPath(graphPath)), meta.k))
+        MaintenanceIO.inParallel(Seq(
+          () => writeEdges(resolved.repartition(col("src_cell")), graphPath,
+            gen = 0L, append = false),
+          () => writeRedges(resolved, graphPath, gen = 0L, append = false)))
+      }
+      val fProbes = ov.fork {
+        val w = Window.partitionBy("vec_id", "cell")
+        val probes = materialized(spark.read.parquet(probesPath(graphPath))
+          .withColumn("mg", max("gen").over(w)).filter(col("gen") === col("mg"))
+          .filter(col("alive"))
+          .select(col("vec_id"), col("own_cell"), lit(true).as("alive"),
+            lit(0L).as("gen"), col("cell")))
+        // STATIC overwrite: the whole directory is replaced, so partitions
+        // whose every probe row died disappear with it
+        probes.write.mode(SaveMode.Overwrite).partitionBy("cell")
+          .parquet(probesPath(graphPath))
+      }
+      val wd = Window.partitionBy("vec_id")
+      val dirNow = materialized(spark.read.parquet(dirPath(graphPath))
+        .withColumn("mg", max("gen").over(wd)).filter(col("gen") === col("mg"))
+        .filter(col("alive"))
+        .select(col("vec_id"), col("cell"), lit(true).as("alive"))
+        .dropDuplicates("vec_id"))
+      val buckets = adaptiveDirBuckets(dirNow.count())
+      writeDir(dirNow, graphPath, gen = 0L, buckets, append = false)
+      fEdges.join(); fProbes.join()
+      saveGraphMeta(spark, graphPath,
+        meta.copy(gen = 0L, dirBuckets = buckets))
+    } finally ov.close()
   }
 
   /** Should the edge log be compacted? Two triggers, both readable

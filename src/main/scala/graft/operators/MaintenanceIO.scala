@@ -34,6 +34,27 @@ private[operators] object MaintenanceIO {
       finally pool.shutdown()
     }
 
+  /** A fork/join scope for overlapping INDEPENDENT Spark actions inside
+    * one maintenance fold (the same guide-§2.6 overlap as [[inParallel]],
+    * but with handles so the caller can pipeline: fork a step the moment
+    * its inputs are materialized, keep driving the serial chain, join
+    * where the result is first consumed). The contract matches
+    * [[inParallel]]: forked bodies must read only checkpointed frames or
+    * paths no concurrent step writes. `join()` rethrows the body's own
+    * exception. Close the scope in a finally — forks still running are
+    * awaited by their joins, never abandoned. */
+  final class Overlap(threads: Int) extends AutoCloseable {
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    final class Forked[A](f: java.util.concurrent.Future[A]) {
+      def join(): A = try f.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+    def fork[A](body: => A): Forked[A] =
+      new Forked(pool.submit(() => body))
+    def close(): Unit = pool.shutdown()
+  }
+
   /** Run `body` with dynamic partition-overwrite mode, restoring the
     * previous setting afterwards. */
   def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
