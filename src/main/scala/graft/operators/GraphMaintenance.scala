@@ -385,8 +385,12 @@ object GraphMaintenance {
     // tomb_gen (the newest full list is its own witness), otherwise NO
     // full list survives the tombstone — exactly the two-pass value.
     val live = raw
-      .withColumn("tomb_gen", max(when(col("rk") === -1, col("gen"))).over(w))
-      .withColumn("max_full", max(when(col("rk") >= 1, col("gen"))).over(w))
+      // both marks in ONE select so they land in the same Window node
+      // (chained withColumns leave a Project between two Windows, which
+      // defeats CollapseWindow — plan-verified)
+      .select(col("*"),
+        max(when(col("rk") === -1, col("gen"))).over(w).as("tomb_gen"),
+        max(when(col("rk") >= 1, col("gen"))).over(w).as("max_full"))
       .withColumn("full_gen",
         when(col("tomb_gen").isNull || col("max_full") >= col("tomb_gen"),
           col("max_full")))
@@ -684,8 +688,9 @@ object GraphMaintenance {
         // one of these cells can appear in the challenger set
         .filter(if (srcCells.isEmpty) lit(false)
                 else col("src_cell").isInCollection(srcCells))
-        .withColumn("tg", max(when(col("rk") === -1, col("gen"))).over(wf))
-        .withColumn("mf", max(when(col("rk") >= 1, col("gen"))).over(wf))
+        .select(col("*"),
+          max(when(col("rk") === -1, col("gen"))).over(wf).as("tg"),
+          max(when(col("rk") >= 1, col("gen"))).over(wf).as("mf"))
         .filter(col("tg").isNull || col("gen") >= col("tg"))
         .filter(col("rk") >= 1)
         .filter(col("gen") === col("mf"))
