@@ -90,6 +90,12 @@ object EventOps {
       // `div` is exact for every long, and any monotone bucketing is valid
       .withColumn("bucket", expr(s"us div ${bucketUs}L"))
     val wb = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    // deliberately NOT materialized, although both the offsets aggregate
+    // and the final join consume it: every downstream stage keys on the
+    // window's own (user_id, bucket) partitioning, so the lazy form's
+    // re-run shares the exchange layout for free, while a checkpoint
+    // erases the known partitioning and forces the join to re-shuffle
+    // BOTH sides (measured at sf0.1: 1.66 s lazy vs 1.86 s checkpointed)
     val local = ev
       .withColumn("prev_us", lag(col("us"), 1).over(wb))
       .withColumn("is_new",
@@ -274,7 +280,13 @@ object EventOps {
       .select(col("user_id"), col("us"), lit(1).as("tag"),
         col("event_id").as("click_id"),
         lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("purchase_value"))
-    val u = purchases.union(clicks).withColumn("b", expr(s"us div ${bucketUs}L"))
+    // materialized once: `u` feeds the local carry window, the per-bucket
+    // purchase summary AND the (user, bucket) universe — three references
+    // that each re-ran the events scan + purchase aggregation + union
+    // (plan-verified: 10 parquet scans before, 2 after)
+    val u = StageMaterialize(
+      purchases.union(clicks).withColumn("b", expr(s"us div ${bucketUs}L")),
+      "q91_union")
     val wb = Window.partitionBy("user_id", "b")
       .orderBy(col("us"), col("tag"), col("click_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
