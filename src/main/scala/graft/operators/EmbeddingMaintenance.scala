@@ -263,11 +263,14 @@ object EmbeddingMaintenance {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
-    val exactCounts = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-    val hits = exact.join(ivf, Seq("query_id", "target_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    val per = exactCounts.join(hits, Seq("query_id"), "left")
-      .na.fill(0L, Seq("hits"))
+    // ONE pass computes both counts: exact left-joined to IVF membership
+    // gives n_exact (all rows) and hits (matched rows) in one aggregate —
+    // the two-aggregate form consumed `exact` twice, re-running the full
+    // linear cosine pass over the layout per reference
+    val per = exact
+      .join(ivf.withColumn("hit", lit(1L)), Seq("query_id", "target_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("hits"))
       .select((col("hits") / col("n_exact")).as("recall"))
       .agg(avg("recall")).first()
     if (per.isNullAt(0)) 1.0 else per.getDouble(0)

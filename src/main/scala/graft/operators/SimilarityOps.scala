@@ -984,13 +984,23 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(graft.functions.CosineSimilarity(col("qv"), col("embedding")), 6).as("sim")))
-    val disc = round(lit(1.0) / log2(col("rk") + 1), 6).cast(DecimalType(18, 6))
-    val idcg = exact.groupBy("query_id")
-      .agg(sum(disc).cast(DoubleType).as("idcg"))
-    val dcg = ivf.join(exact.select("query_id", "target_id"), Seq("query_id", "target_id"))
-      .groupBy("query_id").agg(sum(disc).cast(DoubleType).as("dcg"))
-    panel.select("query_id").join(idcg, Seq("query_id"))
-      .join(dcg, Seq("query_id"), "left")
+    def disc(rk: Column) = round(lit(1.0) / log2(rk + 1), 6).cast(DecimalType(18, 6))
+    // ONE pass computes both sums: exact (left) outer-joined to the IVF
+    // list's ranks gives each exact row its IDCG term (its own rank) and
+    // its DCG term (the IVF rank, when the IVF list surfaced it) — the
+    // previous two-aggregate form consumed `exact` twice, and each
+    // reference re-ran the full linear cosine pass over the corpus (the
+    // plan's most expensive subtree, duplicated). Identical values: the
+    // same DECIMAL terms land in the same per-query sums (a membership
+    // pair appears exactly once in both lists), and a hit-less query's
+    // all-null DCG sum lands as the same 0.0 the old left-join fill gave.
+    val both = exact
+      .join(ivf.select(col("query_id"), col("target_id"), col("rk").as("ivf_rk")),
+        Seq("query_id", "target_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(disc(col("rk"))).cast(DoubleType).as("idcg"),
+        sum(when(col("ivf_rk").isNotNull, disc(col("ivf_rk")))).cast(DoubleType).as("dcg"))
+    panel.select("query_id").join(both, Seq("query_id"))
       .na.fill(0.0, Seq("dcg"))
       .select(col("query_id"), col("dcg"), col("idcg"),
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
