@@ -139,11 +139,19 @@ object HybridRetrieval {
     * bit-stable across engines. */
   def bm25(docs: DataFrame, panelSize: Int = 8, topK: Int = 20): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val tf = docs
+    // ONE tokenize pass: tf fed the df aggregate and the scoring join,
+    // and dl re-tokenized the corpus twice more (size(tokens) for the
+    // stats and the scoring join) — four regex passes over the text in
+    // the plan, one after. dl is derived from tf exactly: Σ_t tf(d,t) is
+    // the doc's token count by construction, with zero-token docs (which
+    // have no tf rows) restored by a text-free doc_id join — so n_docs
+    // and avgdl are bit-identical to the size(tokens) form.
+    val tf = StageMaterialize(docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), "bm25_tf")
+    val dl = docs.select(col("doc_id"))
+      .join(tf.groupBy("doc_id").agg(sum(col("tf")).as("tdl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("tdl"), lit(0L)).as("dl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val panel = broadcast(
       dfreq.orderBy(desc("df"), col("token")).limit(panelSize))
