@@ -527,7 +527,10 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // "cpus" makes the effective parallelism self-evident (round-16
+      // verdict task 2a: the scaling harness honors $SPARK_GRAFT_CPUS, but
+      // a heuristic reading only this line had to guess)
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     }
     // stay inside the driver's 2000-char stdout tail with margin: at 156
     // queries the 2-decimal line is ~1.86 KB, so the next few additions
@@ -556,6 +559,7 @@ object Bench {
       pretty.append(s"""  "value": ${fmt(total, 3)},""" + "\n")
       pretty.append("  \"unit\": \"sec\",\n")
       pretty.append(s"""  "sf": "$sfDir",\n""")
+      pretty.append(s"""  "cpus": $cpus,\n""")
       pretty.append("  \"queries\": {\n")
       pretty.append(results.map { case (k, v) =>
         s"""    "$k": ${fmt(v, 3)}"""

@@ -64,13 +64,16 @@ object Steered {
     * (default 5 % — adoption demanded 15 %, so a kept hint may sit in
     * the hysteresis band where it neither re-qualifies nor regresses),
     * and DEMOTED (unlearned) otherwise. Returns (defaultSec, hintedSec,
-    * kept) — None when the query has no stored hint. */
-  def revalidateOne(df: DataFrame, reps: Int = 2, margin: Double = 0.95)
+    * kept) — None when the query has no stored hint.
+    *
+    * `timer` is the arm-cost seam: production uses wall-clock (the
+    * default); specs inject deterministic per-arm costs so the
+    * keep/demote margin is never a race against host stall waves. */
+  def revalidateOne(df: DataFrame, reps: Int = 2, margin: Double = 0.95,
+                    timer: (() => Unit) => Double = wallClockTimer)
                    (action: DataFrame => Unit): Option[(Double, Double, Boolean)] =
     hintFor(df).map { _ =>
-      def timed(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
+      def timed(f: => Unit): Double = timer(() => f)
       val pairs = (1 to math.max(1, reps)).map { _ =>
         (timed(action(df)), timed(run(df)(action(_)))) // alternated arms
       }
@@ -80,6 +83,10 @@ object Steered {
       if (!keep) unlearn(df)
       (d, t, keep)
     }
+
+  private def wallClockTimer(f: () => Unit): Double = {
+    val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+  }
 
   /** Persist the registry as one JSON object
     * `{fingerprint: {"strategy": s, "confs": {k: v}}}` — learned hints

@@ -171,8 +171,11 @@ object DedupOps {
     requireCap(blockCap)
     // the key frame feeds both the size aggregate and the pair window —
     // materialize once so the shingle/tokenize explode upstream runs one
-    // pass, not two (Spark shares no subtrees)
-    val sh = StageMaterialize(sh0, "window_pair_keys")
+    // pass, not two (Spark shares no subtrees). Scale-gated: at sf0.1
+    // the barrier measured slower than the second pass (round-16 driver:
+    // q133 0.87, q25/q135 flat-negative) — lazy below the gate,
+    // checkpointed at corpus scale where the shingle explode dominates
+    val sh = StageMaterialize.whenLarge(sh0, "window_pair_keys")
     val w = Window.partitionBy("source", "sh").orderBy("doc_id")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh

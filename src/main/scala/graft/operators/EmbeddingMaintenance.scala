@@ -91,13 +91,19 @@ object EmbeddingMaintenance {
     * frozen `cents`), so a vector that moves cells is erased from its
     * old directory and written to its new one in the same dynamic
     * overwrite. `changed` must carry (vec_id, embedding, …) — the corpus
-    * schema minus the cell column. */
+    * schema minus the cell column; a caller that already computed the
+    * assignment under the SAME frozen `cents` may pass it as a `cell`
+    * column and the O(nList·dim) argmin per row is skipped (round-16
+    * ADVICE: the graph fold's checkpointed arrival frame carries it, and
+    * the unconditional withColumn silently re-evaluated it). */
   def upsertVecs(spark: SparkSession, path: String,
                  cents: Array[Array[Float]], changed: DataFrame,
                  knownOldCells: Option[Seq[Int]] = None,
                  knownIdCells: Option[Seq[(Long, Int)]] = None): Unit = {
-    val incoming = changed.withColumn("cell",
-      ProductQuantization.cellExpr(spark, cents)(col("embedding")))
+    val incoming =
+      if (changed.columns.contains("cell")) changed
+      else changed.withColumn("cell",
+        ProductQuantization.cellExpr(spark, cents)(col("embedding")))
     // ONE collect for both the id list and the new-cell list (they were
     // two jobs, each re-running the upstream batch plan) — skipped
     // entirely when the caller already holds the batch's (id, cell)

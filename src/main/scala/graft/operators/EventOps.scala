@@ -283,8 +283,11 @@ object EventOps {
     // materialized once: `u` feeds the local carry window, the per-bucket
     // purchase summary AND the (user, bucket) universe — three references
     // that each re-ran the events scan + purchase aggregation + union
-    // (plan-verified: 10 parquet scans before, 2 after)
-    val u = StageMaterialize(
+    // (plan-verified: 10 parquet scans before, 2 after). Scale-gated:
+    // the barrier measured slower than the triple scan at sf0.1
+    // (round-16 driver: q91 0.80) — lazy below the gate, checkpointed at
+    // event-log scale where three scans of the log dominate
+    val u = StageMaterialize.whenLarge(
       purchases.union(clicks).withColumn("b", expr(s"us div ${bucketUs}L")),
       "q91_union")
     val wb = Window.partitionBy("user_id", "b")

@@ -41,8 +41,17 @@ private[operators] object MaintenanceIO {
     * where the result is first consumed). The contract matches
     * [[inParallel]]: forked bodies must read only checkpointed frames or
     * paths no concurrent step writes. `join()` rethrows the body's own
-    * exception. Close the scope in a finally — forks still running are
-    * awaited by their joins, never abandoned. */
+    * exception. Close the scope in a finally.
+    *
+    * `close()` CANCELS and AWAITS any fork still in flight (round-16
+    * ADVICE: the old shutdown() returned immediately, so an exception in
+    * the serial chain propagated while a forked directory overwrite kept
+    * writing — a caller catching and retrying would then race the
+    * orphaned writer against its own writes to the same paths). On the
+    * normal path every fork has been joined before close() and this is a
+    * no-op; on the abort path in-flight bodies are interrupted and the
+    * scope blocks until they exit, swallowing their secondary failures
+    * (the serial chain's own exception is the one that propagates). */
   final class Overlap(threads: Int) extends AutoCloseable {
     private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     final class Forked[A](f: java.util.concurrent.Future[A]) {
@@ -52,7 +61,18 @@ private[operators] object MaintenanceIO {
     }
     def fork[A](body: => A): Forked[A] =
       new Forked(pool.submit(() => body))
-    def close(): Unit = pool.shutdown()
+    def close(): Unit = {
+      pool.shutdownNow()
+      try {
+        // generous bound: an interrupted Spark action unwinds in well
+        // under this; a hard-stuck body is surfaced rather than hidden
+        if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES))
+          System.err.println("[maintenance] Overlap.close: forked task did not " +
+            "terminate within 10 minutes after cancellation")
+      } catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+      }
+    }
   }
 
   /** Run `body` with dynamic partition-overwrite mode, restoring the

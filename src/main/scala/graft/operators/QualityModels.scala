@@ -79,10 +79,13 @@ object QualityModels {
     // cdw feeds the vocabulary aggregate AND the scoring join; cw feeds
     // the totals row AND the llr projection — materialize each once so
     // the tokenize/explode/count subtree runs a single pass (the
-    // q118/q151 stage-sharing rule; Spark shares no subtrees)
-    val cdw = StageMaterialize(tok.groupBy("doc_id", "source", "token")
+    // q118/q151 stage-sharing rule; Spark shares no subtrees).
+    // Scale-gated: the barriers measured slower than the extra passes at
+    // sf0.1 (round-16 driver: q108 0.86) — lazy below the gate,
+    // checkpointed at corpus scale where the tokenize pass dominates
+    val cdw = StageMaterialize.whenLarge(tok.groupBy("doc_id", "source", "token")
       .agg(count(lit(1)).as("c_dw")), "nb_cdw")
-    val cw = StageMaterialize(cdw.groupBy("token").agg(
+    val cw = StageMaterialize.whenLarge(cdw.groupBy("token").agg(
       sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
       sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r")), "nb_cw")
     val tot = cw.agg(
@@ -125,8 +128,10 @@ object QualityModels {
   def nbModelFromCounts(cdw: DataFrame): DataFrame = {
     val isT = col("source").isin(ReferenceSources: _*)
     // consumed twice below (totals row + llr projection) — materialize so
-    // the vocabulary aggregation over the counts runs once
-    val cw = StageMaterialize(cdw.groupBy("token").agg(
+    // the vocabulary aggregation over the counts runs once (scale-gated:
+    // vocab-sized at sf0.1, where the barrier loses — round-16 driver
+    // q151 0.86)
+    val cw = StageMaterialize.whenLarge(cdw.groupBy("token").agg(
       sum(when(isT, col("c_dw")).otherwise(lit(0L))).as("c_t"),
       sum(when(isT, lit(0L)).otherwise(col("c_dw"))).as("c_r")), "nb_model_cw")
     val tot = cw.agg(
@@ -187,8 +192,10 @@ object QualityModels {
       md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % 2 === 0
     // one tokenize/count pass feeds both trainings and both scorings
-    // (the q118/q152/q153 stage-sharing rule)
-    val cdw = StageMaterialize(nbTokenCounts(docs), "q151_cdw")
+    // (the q118/q152/q153 stage-sharing rule). Scale-gated: at sf0.1 the
+    // barrier chain measured slower than re-tokenizing (round-16 driver:
+    // q151 0.86) — lazy below the gate, checkpointed at corpus scale
+    val cdw = StageMaterialize.whenLarge(nbTokenCounts(docs), "q151_cdw")
     val v1 = nbModelFromCounts(cdw.filter(isTrain))
     val v2 = nbModelFromCounts(cdw)
     val s1 = nbScoresFromCounts(cdw, v1)
@@ -237,6 +244,10 @@ object QualityModels {
     val isTrain = conv(substring(
       md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % 2 === 0
+    // deliberately NOT scale-gated (measured r17: alternated same-window
+    // arms put lazy at 3.38/3.59 s vs materialized 2.66/3.03 s at sf0.1 —
+    // the hashed-bigram feature pass is CPU-bound and consumed 4×, so the
+    // recompute dwarfs the barrier even at small inputs)
     val fc = StageMaterialize(dsirFeatureCounts(docs), "q152_fc")
     val v1 = dsirModelFromCounts(fc.filter(isTrain))
     val v2 = dsirModelFromCounts(fc)

@@ -97,11 +97,14 @@ object SimilarityOps {
     val emb = embeddings(s, d)
     // elems feeds the norms aggregate, the query slice AND the dot join;
     // norms feeds both sides of the rescore — materialize each once so
-    // the posexplode (N·dim rows) runs a single pass
-    val elems = StageMaterialize(
+    // the posexplode (N·dim rows) runs a single pass. Scale-gated: at
+    // sf0.1 the two barriers measured slower than the recompute they save
+    // (round-16 driver: q29 0.90) — lazy below the gate, checkpointed at
+    // corpus scale where the N·dim explode dominates
+    val elems = StageMaterialize.whenLarge(
       emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("x", col("x").cast(DoubleType)), "q29_elems")
-    val norms = StageMaterialize(elems.groupBy("vec_id")
+    val norms = StageMaterialize.whenLarge(elems.groupBy("vec_id")
       .agg(sum((col("x") * col("x")).cast(DecimalType(38, 12))).cast(DoubleType).as("nrm")),
       "q29_norms")
     val qe = elems.filter(col("vec_id") < 5)

@@ -84,8 +84,11 @@ object SubstrDedup {
     // distribute; n_pos preserves within-doc repetition for the coverage sum.
     // Materialized once: it feeds both the cross-doc duplicate aggregate
     // and the coverage join — unmaterialized, the gram explode + aggregate
-    // ran twice (Spark shares no subtrees).
-    val perGramDoc = StageMaterialize(g.groupBy("gram", "doc_id", "source")
+    // ran twice (Spark shares no subtrees). Scale-gated: the barrier
+    // measured slower than the double pass at sf0.1 (round-16 driver:
+    // q98 0.79, q122 0.91) — lazy below the gate, checkpointed at corpus
+    // scale where the gram explode dominates
+    val perGramDoc = StageMaterialize.whenLarge(g.groupBy("gram", "doc_id", "source")
       .agg(count(lit(1)).as("n_pos")), "substr_per_gram_doc")
     // Cross-doc duplicated grams only: input already collapsed to one row
     // per (gram, doc), so count(*) IS the distinct-doc count and the

@@ -660,29 +660,35 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
         s"bloom cell's confs did not inject the runtime filter:\n$steered")
       assert(!fn(spark).queryExecution.optimizedPlan.toString.contains("might_contain"))
 
-      // min-of-2 per cell + one whole-loop retry: this host shows
-      // multi-second whole-JVM stall waves (Bench.scala's rationale; the
-      // round-9 soaks measured 60 s+ waves) — a wave blanketing just the
-      // bloom cell's reps would flip the winner, so on a wrong-winner
-      // outcome the loop re-measures once in a fresh wall-clock window
-      // before the claim is judged. The loop semantics under test don't
-      // care how a cell's seconds were measured.
-      def runLoop() = SteeringLoop.runCensored(
+      // Deterministic cell costs derived from the LIVE plan (round-16
+      // verdict task 1): the old form measured real wall-clock per cell
+      // and raced this host's multi-second whole-JVM stall waves — a wave
+      // blanketing the bloom cell's reps flipped the winner and turned
+      // the whole gate red. The causal chain under test is unchanged and
+      // still live end-to-end: the cell's confs are applied to the real
+      // session, the optimizer either injects the runtime bloom filter or
+      // doesn't (plan-asserted above), and the cost model prices the
+      // filtered shuffle below the unfiltered one. Only the pricing step
+      // is injected — the loop must still EXPLORE the bloom cell and
+      // RECOMMEND it from the observations.
+      def costOf(c: Int): Double = {
+        val confs = configs(c).confs
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val plan = try fn(spark).queryExecution.optimizedPlan.toString
+        finally confs.keys.foreach(spark.conf.unset)
+        // ~99 % of the probe shuffle drops behind the runtime filter
+        if (plan.contains("might_contain")) 1.0 else 3.0
+      }
+      val res = SteeringLoop.runCensored(
         Seq("selective_probe"), configs.map(_.name),
-        (q, c, _) => SteeringLoop.Completed(
-          (1 to 2).map(_ => SteeringLoop.measure(spark, fn, configs(c))).min),
+        (q, c, _) => SteeringLoop.Completed(costOf(c)),
         batch = 1, rounds = 2,
         alpha = Double.PositiveInfinity, beta = Double.PositiveInfinity)
-      val first = runLoop()
-      assert(first.observations.map(_.config).toSet == Set(0, 1),
+      assert(res.observations.map(_.config).toSet == Set(0, 1),
         "loop never explored the bloom cell")
-      val res =
-        if (first.recommendations.head.configName == "default+bloom") first
-        else runLoop()
       val rec = res.recommendations.head
       assert(rec.configName == "default+bloom",
-        s"bloom did not win the selective-probe shape in either window: $rec " +
-          s"(first ${first.observations}, retry ${res.observations})")
+        s"bloom did not win the selective-probe shape: $rec (${res.observations})")
       assert(rec.observedSeconds < rec.defaultSeconds)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
@@ -770,33 +776,39 @@ class SteeringSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("hint revalidation: a regressing (poisoned) stored hint is demoted, a winning one is kept") {
-    // round-15 verdict task 5. Deterministic cost injection instead of a
-    // real config race: the action sleeps unless the hint's conf marks
-    // the run fast — the poisoned hint makes the hinted arm strictly
-    // slower, the good hint makes it strictly faster, no timing noise.
+    // round-15 verdict task 5, de-flaked per round-16 verdict task 1: the
+    // old form encoded arm costs as Thread.sleep durations and still
+    // compared REAL wall clock, so a host stall wave blanketing one arm
+    // could flip the 5 % keep margin. Costs are now injected through
+    // revalidateOne's timer seam: the action reads its arm's cost from
+    // the session conf the hint sets (the hinted arm runs under the
+    // hint's confs — the exact mechanism under test) and the timer
+    // returns that cost instead of elapsed time. Zero wall-clock
+    // dependence; the keep/demote arithmetic is unchanged.
     Steered.clear()
     try {
       val dfBad = graft.Tables.customer(spark, sf).groupBy("c_mktsegment").count()
       val dfGood = graft.Tables.nation(spark, sf).groupBy("n_regionkey").count()
       // "default" is not a recognized join strategy → HintSteeringRule
       // no-ops and ONLY the conf dimension differs between the arms
-      Steered.learn(dfBad, "default", Map("graft.test.sleepMs" -> "250"))
-      Steered.learn(dfGood, "default", Map("graft.test.fast" -> "1"))
+      Steered.learn(dfBad, "default", Map("graft.test.costSec" -> "0.25"))
+      Steered.learn(dfGood, "default", Map("graft.test.costSec" -> "0.01"))
+      val armCost = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
       val action: org.apache.spark.sql.DataFrame => Unit = df => {
-        val c = df.sparkSession.conf
-        if (c.getOption("graft.test.fast").isEmpty)
-          Thread.sleep(c.getOption("graft.test.sleepMs").map(_.toLong).getOrElse(120L))
+        armCost.set(df.sparkSession.conf
+          .getOption("graft.test.costSec").map(_.toDouble).getOrElse(0.12))
         df.write.format("noop").mode("overwrite").save()
       }
-      val bad = Steered.revalidateOne(dfBad)(action).get
+      val timer: (() => Unit) => Double = f => { f(); armCost.get }
+      val bad = Steered.revalidateOne(dfBad, timer = timer)(action).get
       assert(!bad._3, s"poisoned hint must fail the keep margin: $bad")
       assert(Steered.hintFor(dfBad).isEmpty, "demotion must unlearn the hint")
-      val good = Steered.revalidateOne(dfGood)(action).get
+      val good = Steered.revalidateOne(dfGood, timer = timer)(action).get
       assert(good._3, s"winning hint must be kept: $good")
       assert(Steered.hintFor(dfGood).isDefined)
       // an unhinted template is not touched
       assert(Steered.revalidateOne(
-        graft.Tables.region(spark, sf).select("r_name"))(action).isEmpty)
+        graft.Tables.region(spark, sf).select("r_name"), timer = timer)(action).isEmpty)
     } finally Steered.clear()
   }
 

@@ -30,4 +30,27 @@ class StageMaterializeSpec extends AnyFunSuite with SharedSpark {
           s"stage $stage not written under the run's namespace $dir/$appId")
     } finally spark.conf.unset("spark.graft.stage.dir")
   }
+
+  test("whenLarge stays lazy below the gate and materializes at or above it") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stage = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    // sf0.001 leaves are a few KB — far under the 256 MB default gate:
+    // the SAME logical plan comes back (no checkpoint barrier)
+    val lazyOut = StageMaterialize.whenLarge(stage, "gate_test")
+    assert(lazyOut.queryExecution.logical eq stage.queryExecution.logical,
+      "below the gate the frame must be returned lazy")
+    // with the gate forced to 0 the site materializes exactly like apply():
+    // lineage is truncated (leaf is no longer the parquet relation) and
+    // values are unchanged
+    spark.conf.set("spark.graft.stage.gateBytes", "0")
+    try {
+      val mat = StageMaterialize.whenLarge(stage, "gate_test")
+      assert(!(mat.queryExecution.logical eq stage.queryExecution.logical))
+      assert(mat.queryExecution.optimizedPlan.collectLeaves()
+        .forall(l => !l.toString.contains("parquet")),
+        "above the gate the stage must be checkpointed (lineage truncated)")
+      assert(mat.collect().toSet == stage.collect().toSet)
+    } finally spark.conf.unset("spark.graft.stage.gateBytes")
+  }
 }
