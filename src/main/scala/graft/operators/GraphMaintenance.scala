@@ -243,6 +243,17 @@ object GraphMaintenance {
   private def dirBucket(buckets: Int) =
     pmod(xxhash64(col("vec_id")), lit(buckets.toLong)).cast("int")
 
+  /** Driver-side twin of [[dirBucket]] for a locally-known id —
+    * XxHash64Function is the exact kernel `functions.xxhash64` evaluates
+    * (seed 42), and the pmod arithmetic matches; GraphMaintenanceSpec
+    * pins the two equal over a sample. Lets a batch whose ids are already
+    * on the driver compute its dir/ pruning buckets without a Spark job. */
+  private[operators] def dirBucketLocal(id: Long, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      id, org.apache.spark.sql.types.LongType, 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
   /** Append (or rebuild) membership-directory rows: `rows` carries
     * (vec_id, cell, alive). One file per touched bucket per batch. */
   private def writeDir(rows: DataFrame, graphPath: String, gen: Long,
@@ -260,9 +271,14 @@ object GraphMaintenance {
     * keeps the live ones. Batch-proportional by the dir/ sizing
     * contract; never touches the embedding layout. */
   private def dirLookup(spark: SparkSession, graphPath: String,
-                        ids: DataFrame, buckets: Int): DataFrame = {
-    val bks = ids.select(dirBucket(buckets).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+                        ids: DataFrame, buckets: Int,
+                        knownBuckets: Option[Seq[Int]] = None): DataFrame = {
+    // the pruning-bucket list costs one job over the batch unless the
+    // caller already holds the ids on the driver (round-16 verdict task
+    // 3: the fold's serial spine is driver-blocking jobs — every fused
+    // collect is a barrier removed)
+    val bks = knownBuckets.getOrElse(ids.select(dirBucket(buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq)
     if (bks.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0).as("cell")).limit(0)
@@ -424,14 +440,28 @@ object GraphMaintenance {
     * |srcs| · nProbe · |cell|. */
   private def rebuildSources(spark: SparkSession, layout: DataFrame,
                              srcs: DataFrame, cents: Array[Array[Float]],
-                             k: Int, nProbe: Int): DataFrame = {
-    val srcCells = srcs.select("src_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+                             k: Int, nProbe: Int,
+                             knownSrcCells: Option[Seq[Int]] = None): DataFrame = {
+    // callers that collected the repair set already hold its cells —
+    // passing them skips a driver-blocking distinct job
+    val srcCells = knownSrcCells.getOrElse(srcs.select("src_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq)
     if (srcCells.isEmpty) return emptyEdges(spark)
     val srcRows = layout.filter(col("cell").isInCollection(srcCells))
       .join(srcs.select(col("src_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val probeSide = materialized(probeSideOf(srcRows, cents, nProbe))
-    val pCells = probeSide.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // ONE job collects the probed-cell pruning list (distinct ints, never
+    // the embeddings); the probe side itself stays LAZY — its single
+    // consumer is the caller's edge-delta materialization, so the probe
+    // ranking fuses into that job instead of paying its own checkpoint
+    // barrier + collect (the old form was 2 driver-blocking jobs here).
+    // The probe expression is evaluated once more per repair row in the
+    // final job — repair sets are batch-proportional, the argmin rescan
+    // is cheaper than the barrier it replaces.
+    val probeUdf = ProductQuantization.probeExpr(spark, cents, nProbe)
+    val pCells = srcRows
+      .select(explode(probeUdf(col("embedding"))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probeSide = probeSideOf(srcRows, cents, nProbe)
     val index = layout.filter(col("cell").isInCollection(pCells))
       .select(col("cell"), col("vec_id"), col("embedding"))
     rankTopK(candidates(probeSide, index), k)
@@ -510,20 +540,28 @@ object GraphMaintenance {
     requireDir(meta, graphPath)
     if (batchId >= 0 && batchId <= meta.lastBatch) return false
     val changedM = prof("batch-materialize")(materialized(changed))
-    // one count serves the emptiness check here and foldIndexSide's
-    // new-vs-re-embed split below (isEmpty was a separate limit-1 job)
-    val nChanged = changedM.count()
+    // ONE collect of the batch ids serves the emptiness check, the
+    // new-vs-re-embed count AND the dir/ pruning-bucket list (computed
+    // driver-side) — these were three jobs (count, bucket scan, lookup
+    // checkpoint); the membership lookup itself is now a single job whose
+    // result lives on the driver and replays as a local relation in every
+    // downstream join (round-16 verdict task 3: fuse the fold's
+    // driver-blocking jobs). Batch-bounded by the same contract that lets
+    // the fold collect (id, cell, probes) per arrival below.
+    val batchIds = prof("batch-ids")(
+      changedM.select("vec_id").collect().map(_.getLong(0)))
+    val nChanged = batchIds.length.toLong
     if (nChanged == 0) return false
     val cents = centroidsOf(spark, embPath)
-    // pre-upsert facts about re-embedded ids: an id-bucket-pruned dir/
-    // read (batch-proportional), never an embedding-layout scan. ONE
-    // collect of the batch-bounded cell column yields both the re-embed
-    // count and the old-cell list (they were two jobs).
-    val present = prof("present-lookup")(materialized(
-      dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets)))
-    val presentRows = present.select("vec_id", "cell").collect()
+    val bks = batchIds.map(dirBucketLocal(_, meta.dirBuckets)).distinct.toSeq
+    val presentRows = prof("present-lookup")(
+      dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets,
+        Some(bks)).collect())
+    import spark.implicits._
+    val present = presentRows.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .toDF("vec_id", "cell")
     val reOldCells = presentRows.map(_.getInt(1)).distinct.toSeq
-    upsertGraphResolved(spark, embPath, graphPath, changedM, nChanged, batchId,
+    upsertGraphResolved(spark, embPath, graphPath, changedM, batchIds, batchId,
       meta, cents, present, presentRows.map(_.getLong(0)).toSet, reOldCells)
   }
 
@@ -532,13 +570,20 @@ object GraphMaintenance {
     * chooser's membership lookup is never repeated. */
   private def upsertGraphResolved(spark: SparkSession, embPath: String,
                                   graphPath: String, changedM: DataFrame,
-                                  nChanged: Long, batchId: Long, meta: GraphMeta,
+                                  batchIds: Array[Long], batchId: Long,
+                                  meta: GraphMeta,
                                   cents: Array[Array[Float]],
                                   present: DataFrame, presentIds: Set[Long],
                                   reOldCells: Seq[Int]): Boolean = {
     val thisGen = meta.gen + 1
     val nRe = presentIds.size.toLong
-    val ids = changedM.select("vec_id")
+    // the batch ids as a LOCAL relation (callers collected them for the
+    // bucket pruning): the rev-source and repair anti-joins against them
+    // now plan as broadcast joins — the checkpointed frame carried no
+    // usable size estimate, so the same joins fell back to sort-merge
+    // and paid an exchange of both sides
+    import spark.implicits._
+    val ids = batchIds.toSeq.toDF("vec_id")
     val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
     val cellUdf = ProductQuantization.cellExpr(spark, cents)
 
@@ -587,7 +632,7 @@ object GraphMaintenance {
       }.toSeq
 
       foldIndexSide(spark, embPath, cents, arr, present, reOldCells, reIdCells,
-        nRe, nChanged)
+        nRe, batchIds.length.toLong)
       val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
 
       // probe index delta: arrivals append their live rows; re-embeds
@@ -622,8 +667,12 @@ object GraphMaintenance {
       // rebuild's anyway. Current cell from the LAYOUT, the single source
       // of truth. Independent of the challenger chain — forked alongside.
       val fRepair = ov.fork {
-        val repairSrcs = prof("repair-discovery")(materialized(
-          if (nRe == 0) emptyEdges(spark).select("src_id", "src_cell")
+        // the repair set is batch-proportional (holders of a stale edge)
+        // — collected ONCE, so the discovery is a single job and the set
+        // replays as a local relation in the anti-join below and in the
+        // re-probe (it was a checkpoint + a separate src-cell distinct)
+        val repairRows = prof("repair-discovery")(
+          if (nRe == 0) Array.empty[org.apache.spark.sql.Row]
           else spark.read.parquet(redgesPath(graphPath))
             .filter(if (reOldCells.isEmpty) lit(false)
                     else col("nbr_cell").isInCollection(reOldCells))
@@ -631,9 +680,14 @@ object GraphMaintenance {
             .select("src_id").distinct()
             .join(ids.select(col("vec_id").as("src_id")), Seq("src_id"), "left_anti")
             .join(layout.select(col("vec_id").as("src_id"),
-              col("cell").as("src_cell")), Seq("src_id"), "inner")))
+              col("cell").as("src_cell")), Seq("src_id"), "inner")
+            .collect())
+        import spark.implicits._
+        val repairSrcs = repairRows.map(r => (r.getLong(0), r.getInt(1))).toSeq
+          .toDF("src_id", "src_cell")
         (repairSrcs, rebuildSources(spark, layout, repairSrcs, cents,
-          meta.k, meta.nProbe))
+          meta.k, meta.nProbe,
+          knownSrcCells = Some(repairRows.map(_.getInt(1)).distinct.toSeq)))
       }
 
       // the arrivals' own full lists against the post-upsert layout
@@ -788,17 +842,25 @@ object GraphMaintenance {
     if (batchId >= 0 && batchId <= meta.lastBatch)
       return (false, "replayed batch skipped")
     val changedM = prof("batch-materialize")(materialized(changed))
-    val nChanged = changedM.count()
+    // same fused precomputation as [[upsertGraph]]: one batch-id collect,
+    // driver-side pruning buckets, single-job membership lookup
+    val batchIds = prof("batch-ids")(
+      changedM.select("vec_id").collect().map(_.getLong(0)))
+    val nChanged = batchIds.length.toLong
     if (nChanged == 0) return (false, "empty batch")
     val cents = centroidsOf(spark, embPath)
-    val present = prof("present-lookup")(materialized(
-      dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets)))
-    val presentRows = present.select("vec_id", "cell").collect()
+    val bks = batchIds.map(dirBucketLocal(_, meta.dirBuckets)).distinct.toSeq
+    val presentRows = prof("present-lookup")(
+      dirLookup(spark, graphPath, changedM.select("vec_id"), meta.dirBuckets,
+        Some(bks)).collect())
+    import spark.implicits._
+    val present = presentRows.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .toDF("vec_id", "cell")
     val reOldCells = presentRows.map(_.getInt(1)).distinct.toSeq
     val frac = reOldCells.size.toDouble / cents.length
     if (frac < rebuildCellFrac) {
       val folded = upsertGraphResolved(spark, embPath, graphPath, changedM,
-        nChanged, batchId, meta, cents, present,
+        batchIds, batchId, meta, cents, present,
         presentRows.map(_.getLong(0)).toSet, reOldCells)
       (folded, "incremental")
     } else {
@@ -846,12 +908,17 @@ object GraphMaintenance {
     val thisGen = meta.gen + 1
     import spark.implicits._
     val idsDf = ids.toDF("vec_id")
-    val victims = materialized(dirLookup(spark, graphPath, idsDf, meta.dirBuckets))
-    // one collect of the batch-bounded cell column answers both the
-    // emptiness check and the victim-cell list (they were two jobs)
-    val victimCellRows = victims.select("cell").collect()
-    if (victimCellRows.isEmpty) return
-    val victimCells = victimCellRows.map(_.getInt(0)).distinct.toSeq
+    // the ids are already on the driver, so the pruning buckets cost no
+    // job and the membership lookup is ONE collect; the victim set then
+    // replays as a local relation in every downstream join (it was a
+    // checkpoint + a second collect — two extra barriers)
+    val victimRows = prof("victims-lookup")(
+      dirLookup(spark, graphPath, idsDf, meta.dirBuckets,
+        Some(ids.map(dirBucketLocal(_, meta.dirBuckets)).distinct)).collect())
+    if (victimRows.isEmpty) return
+    val victims = victimRows.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .toDF("vec_id", "cell")
+    val victimCells = victimRows.map(_.getInt(1)).distinct.toSeq
 
     val ov = new MaintenanceIO.Overlap(2)
     try {
@@ -869,30 +936,37 @@ object GraphMaintenance {
       // victims' probe rows from the PRE-delete layout (probe tombstones)
       // — must complete before deleteVecs rewrites the victim cells
       val probeUdf = ProductQuantization.probeExpr(spark, cents, meta.nProbe)
-      val probeTombs = materialized(
+      val probeTombs = prof("probe-tombs")(materialized(
         spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
           .filter(col("cell").isInCollection(victimCells))
           .join(victims.select("vec_id"), Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("cell").as("own_cell"),
             lit(false).as("alive"), lit(thisGen).as("gen"),
-            explode(probeUdf(col("embedding"))).as("cell")))
+            explode(probeUdf(col("embedding"))).as("cell"))))
 
       EmbeddingMaintenance.deleteVecs(spark, embPath, ids,
         knownCells = Some(victimCells))
       val layout = spark.read.parquet(embPath).select("vec_id", "embedding", "cell")
-      // survivors' cells from the post-delete layout (the source of truth)
-      val reverseSrcs = materialized(fReverseIds.join().join(
+      // survivors' cells from the post-delete layout (the source of
+      // truth), collected ONCE — the repair set is victim-proportional,
+      // and the local relation feeds the re-probe without the old
+      // checkpoint + src-cell distinct barriers
+      val reverseRows = prof("repair-discovery")(fReverseIds.join().join(
         layout.select(col("vec_id").as("src_id"), col("cell").as("src_cell")),
-        Seq("src_id"), "inner"))
+        Seq("src_id"), "inner").select("src_id", "src_cell").collect())
+      val reverseSrcs = reverseRows.map(r => (r.getLong(0), r.getInt(1))).toSeq
+        .toDF("src_id", "src_cell")
       val repairedEdges = rebuildSources(spark, layout, reverseSrcs, cents,
-        meta.k, meta.nProbe)
+        meta.k, meta.nProbe,
+        knownSrcCells = Some(reverseRows.map(_.getInt(1)).distinct.toSeq))
 
       val edgeTombs = victims.select(col("vec_id").as("src_id"),
         col("cell").as("src_cell"), lit(0L).as("nbr_id"),
         lit(-1).as("nbr_cell"), lit(0.0).as("sim"), lit(-1).as("rk"))
-      val allM = materialized(repairedEdges.unionByName(edgeTombs))
+      val allM = prof("delete-edge-compute")(
+        materialized(repairedEdges.unionByName(edgeTombs)))
       // independent appends over materialized inputs — overlap (guide §2.6)
-      MaintenanceIO.inParallel(Seq(
+      prof("delete-writes")(MaintenanceIO.inParallel(Seq(
         () => writeEdges(allM.repartition(col("src_cell")), graphPath, thisGen,
           append = true),
         () => writeRedges(allM, graphPath, thisGen, append = true),
@@ -900,7 +974,7 @@ object GraphMaintenance {
           .repartition(col("cell"))
           .write.mode(SaveMode.Append).partitionBy("cell").parquet(probesPath(graphPath)),
         () => writeDir(victims.select(col("vec_id"), col("cell"), lit(false).as("alive")),
-          graphPath, thisGen, meta.dirBuckets, append = true)))
+          graphPath, thisGen, meta.dirBuckets, append = true))))
       saveGraphMeta(spark, graphPath, meta.copy(gen = thisGen))
     } finally ov.close()
   }

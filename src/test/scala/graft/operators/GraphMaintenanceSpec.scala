@@ -429,4 +429,25 @@ class GraphMaintenanceSpec extends AnyFunSuite with SharedSpark {
       edgeSet(KnnGraph.knnEdgesWithCents(
         nowCorpus.select("vec_id", "embedding"), freshCents, 3, 1)))
   }
+
+  test("dirBucketLocal matches the Column-expression dirBucket for every id") {
+    // the driver-side bucket computation must agree with the xxhash64/pmod
+    // expression the dir/ layout was WRITTEN under — a mismatch would make
+    // the pruned membership read silently miss its bucket (rows would look
+    // absent and a re-embed would double-insert)
+    import org.apache.spark.sql.functions._
+    val ids = (Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L) ++
+      (1 to 200).map(i => i * 7919L - 1000L)).distinct
+    for (buckets <- Seq(8, 64, 4096)) {
+      import spark.implicits._
+      val viaExpr = ids.toDF("vec_id")
+        .select(col("vec_id"),
+          pmod(xxhash64(col("vec_id")), lit(buckets.toLong)).cast("int").as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      ids.foreach { id =>
+        assert(GraphMaintenance.dirBucketLocal(id, buckets) == viaExpr(id),
+          s"bucket mismatch for id=$id buckets=$buckets")
+      }
+    }
+  }
 }
